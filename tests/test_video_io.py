@@ -1,0 +1,106 @@
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vrgdg_tpu.runtime import video_io as vio
+
+
+@pytest.fixture(scope="module")
+def sample_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "sample.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12.0,
+                             (64, 48))
+    assert writer.isOpened()
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (20, 48, 64, 3), np.uint8)
+    for frame in frames:
+        writer.write(frame)
+    writer.release()
+    return path
+
+
+def test_probe(sample_video):
+    meta = vio.probe_video(sample_video)
+    assert meta["width"] == 64 and meta["height"] == 48
+    assert meta["frame_count"] == 20
+    assert abs(meta["fps"] - 12.0) < 1e-3
+    assert meta["duration"] > 1.5
+
+
+def test_probe_rejects_bad_paths(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        vio.probe_video(str(tmp_path / "missing.mp4"))
+    bad = tmp_path / "file.txt"
+    bad.write_text("x")
+    with pytest.raises(ValueError, match="Unsupported"):
+        vio.probe_video(str(bad))
+
+
+def test_safe_name():
+    assert vio.safe_name("../../etc/passwd") == "passwd"
+    assert vio.safe_name("my video!.mp4") == "my_video.mp4"
+    assert vio.safe_name("", "fallback") == "fallback"
+
+
+def test_reader_batches_and_ranges(sample_video):
+    with vio.VideoReader(sample_video, batch_size=8) as reader:
+        batches = list(reader)
+    starts = [s for s, _ in batches]
+    sizes = [b.shape[0] for _, b in batches]
+    assert starts == [0, 8, 16]
+    assert sizes == [8, 8, 4]
+    assert batches[0][1].dtype == np.float32
+    assert batches[0][1].max() <= 1.0
+
+    with vio.VideoReader(sample_video, batch_size=4, start_frame=10,
+                         end_frame=15) as reader:
+        seg = list(reader)
+    assert [s for s, _ in seg] == [10, 14]
+    assert sum(b.shape[0] for _, b in seg) == 5
+
+
+def test_prefetching_reader_matches_direct(sample_video):
+    with vio.VideoReader(sample_video, batch_size=6) as reader:
+        direct = list(reader)
+    pre = list(vio.PrefetchingReader(vio.VideoReader(sample_video, batch_size=6)))
+    assert len(direct) == len(pre)
+    for (s1, b1), (s2, b2) in zip(direct, pre):
+        assert s1 == s2
+        np.testing.assert_array_equal(b1, b2)
+
+
+def test_round_trip_conversion():
+    rng = np.random.default_rng(1)
+    array = rng.uniform(0, 1, (3, 8, 8, 3)).astype(np.float32)
+    frames = vio.array_to_frames(array)
+    back = vio.frames_to_array(frames)
+    assert np.max(np.abs(back - array)) <= (1.0 / 255.0)
+
+
+def test_writer_fallback_and_validation(tmp_path):
+    path = str(tmp_path / "out.mp4")
+    rng = np.random.default_rng(2)
+    batches = [rng.uniform(0, 1, (5, 32, 48, 3)).astype(np.float32)]
+    codec = vio.write_video_with_fallback(
+        path, 10.0, 48, 32, lambda: iter(batches))
+    assert codec in vio.CODEC_CANDIDATES
+    assert vio.validate_video_readable(path)
+    meta = vio.probe_video(path)
+    assert meta["frame_count"] == 5
+
+
+def test_concat_cv2_fallback(tmp_path, sample_video, monkeypatch):
+    seg2 = str(tmp_path / "seg2.mp4")
+    rng = np.random.default_rng(3)
+    vio.write_video_with_fallback(
+        seg2, 12.0, 64, 48,
+        lambda: iter([rng.uniform(0, 1, (4, 48, 64, 3)).astype(np.float32)]))
+    out = str(tmp_path / "final.mp4")
+    monkeypatch.setattr(vio, "find_ffmpeg", lambda: None)
+    result = vio.concat_videos([sample_video, seg2], out, 12.0, 64, 48)
+    assert result["backend"].startswith("cv2:")
+    meta = vio.probe_video(out)
+    assert meta["frame_count"] == 24

@@ -1,0 +1,137 @@
+"""The fused grade stack: one jitted device pass per frame batch.
+
+This is the framework's flagship compute path and the unit the benchmark
+measures (BASELINE.json: "fused grain+LUT+colormatch+sharpen").  Where the
+reference runs each effect as a separate node/endpoint with two host<->GPU
+hops per effect per micro-batch (e.g. ``nodes.py:49-61``), here the enabled
+stages compose into a single function traced once and compiled by XLA into
+fused HBM->VMEM passes — frames cross the host boundary once per batch.
+
+Stage order (fixed, documented): LUT -> adjust -> color match -> sharpen ->
+grain.  This matches the enhancer's sharpen-before-grain ordering
+(``VRGDG_StandaloneVideoEnhancerNodes.py:284-293``); grain is applied last
+so noise is never sharpened.
+
+``GradeConfig`` is static under jit: disabled stages are dead-code, so a
+sharpen-only grade compiles to exactly the sharpen math.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import (AdjustSettings, ColorMatchParams, GrainParams,
+                           LUTParams, SharpenParams)
+from .adjust import apply_adjust
+from .color_match import lab_statistics, transfer_lab_statistics
+from .grain import film_grain
+from .lut import apply_lut
+from .sharpen import laplacian_sharpen, sobel_sharpen, unsharp
+
+_SHARPEN_FNS = {
+    "unsharp": unsharp,
+    "laplacian": laplacian_sharpen,
+    "sobel": sobel_sharpen,
+}
+
+
+@dataclass(frozen=True)
+class GradeConfig:
+    """Static description of which stages run and with what parameters.
+
+    ``None`` disables a stage.  The LUT table and color-match reference
+    statistics are runtime arrays (they may be large or computed on
+    device) and are passed to :func:`grade` separately.
+    """
+
+    lut: LUTParams | None = None
+    adjust: AdjustSettings | None = None
+    color_match: ColorMatchParams | None = None
+    sharpen: SharpenParams | None = None
+    grain: GrainParams | None = None
+
+    @property
+    def any_enabled(self) -> bool:
+        return any((self.lut, self.adjust, self.color_match,
+                    self.sharpen, self.grain))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _grade_impl(frames, config: GradeConfig, lut_table, domain_min,
+                domain_max, ref_mean, ref_std, frame_start):
+    out = frames
+    if config.lut is not None:
+        out = apply_lut(out, lut_table, domain_min, domain_max,
+                        strength=config.lut.strength)
+    if config.adjust is not None:
+        out = apply_adjust(out, config.adjust)
+    if config.color_match is not None:
+        out = transfer_lab_statistics(out, ref_mean, ref_std,
+                                      config.color_match.match_strength)
+    if config.sharpen is not None and config.sharpen.strength > 0:
+        fn = _SHARPEN_FNS[config.sharpen.kind]
+        out = fn(out, config.sharpen.strength, config.sharpen.border)
+    if config.grain is not None and config.grain.intensity > 0:
+        out = film_grain(out, config.grain.intensity,
+                         config.grain.saturation_mix, config.grain.seed,
+                         frame_start=frame_start)
+    return out
+
+
+def grade(frames: jnp.ndarray, config: GradeConfig, *, lut=None,
+          reference=None, ref_stats=None, frame_start=0) -> jnp.ndarray:
+    """Run the configured grade stack over a BHWC [0,1] batch.
+
+    Args:
+      frames: ``(B, H, W, C>=3)`` float32 batch.
+      config: static :class:`GradeConfig`.
+      lut: :class:`~vrgdg_tpu.core.cube.LutData` or ``(N,N,N,3)`` table
+        (required when ``config.lut`` is set).
+      reference: reference image batch for color match; or pass
+        precomputed ``ref_stats=(mean, std)`` from
+        :func:`~vrgdg_tpu.ops.color_match.lab_statistics`.
+      frame_start: absolute index of ``frames[0]`` for seeded grain.
+    """
+    if not config.any_enabled:
+        return frames
+
+    from ..core.cube import LutData  # local import to avoid cycle at init
+
+    table = dmin = dmax = None
+    if config.lut is not None:
+        if lut is None:
+            raise ValueError("config.lut is set but no LUT was provided.")
+        if isinstance(lut, LutData):
+            table = jnp.asarray(lut.table)
+            dmin = jnp.asarray(lut.domain_min)
+            dmax = jnp.asarray(lut.domain_max)
+        else:
+            table = jnp.asarray(lut)
+            dmin = jnp.zeros(3, jnp.float32)
+            dmax = jnp.ones(3, jnp.float32)
+    else:
+        table = jnp.zeros((2, 2, 2, 3), jnp.float32)
+        dmin = jnp.zeros(3, jnp.float32)
+        dmax = jnp.ones(3, jnp.float32)
+
+    if config.color_match is not None:
+        if ref_stats is not None:
+            ref_mean, ref_std = ref_stats
+        elif reference is not None:
+            ref_mean, ref_std = lab_statistics(jnp.asarray(reference))
+        else:
+            raise ValueError(
+                "config.color_match is set but neither reference nor "
+                "ref_stats was provided.")
+        ref_mean = jnp.asarray(ref_mean)
+        ref_std = jnp.asarray(ref_std)
+    else:
+        ref_mean = jnp.zeros((1, 1, 1, 3), jnp.float32)
+        ref_std = jnp.ones((1, 1, 1, 3), jnp.float32)
+
+    return _grade_impl(frames, config, table, dmin, dmax, ref_mean, ref_std,
+                       jnp.asarray(frame_start, jnp.uint32))

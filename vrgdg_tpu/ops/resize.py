@@ -1,0 +1,215 @@
+"""Resampling: resize / letterbox / crop-to-fill and their exact inverses.
+
+Functional parity targets:
+- ``_resize_batch`` / ``_restore_batch`` (``VRGDG_VideoEnhanceNodes.py:54-106``):
+  torch ``F.interpolate`` semantics for nearest / bilinear / bicubic / area
+  with align_corners=False, plus the three fit modes (stretch, crop-to-fill
+  with center crop, letterbox with zero pad) and the letterbox inverse that
+  recomputes the content box and stretches it back,
+- ``_resize_frames`` (``VRGDG_StandaloneVideoEnhancerNodes.py:213-230``):
+  cv2 ``INTER_LANCZOS4`` full-frame resize used by the enhancer.
+
+TPU-first formulation: every 2D resample here is separable, so it is
+expressed as two dense matmuls with precomputed (host-cached) weight
+matrices — ``out = W_h @ frame @ W_w^T`` per channel, batched over frames.
+That turns interpolation into MXU work instead of per-pixel gather loops,
+and it is exactly reproducible: each row of a weight matrix holds the tap
+weights (bicubic A=-0.75, Lanczos a=4, box means for area) with
+border-clamped taps accumulated, matching torch/cv2 edge handling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+# Canonical fit-mode names (the reference's UI strings) plus short aliases.
+FIT_STRETCH = "Stretch to dimensions"
+FIT_CROP = "Crop to fill"
+FIT_LETTERBOX = "Fit with letterbox (preserve all)"
+_FIT_ALIASES = {
+    "stretch": FIT_STRETCH, FIT_STRETCH: FIT_STRETCH,
+    "crop": FIT_CROP, FIT_CROP: FIT_CROP,
+    "letterbox": FIT_LETTERBOX, FIT_LETTERBOX: FIT_LETTERBOX,
+}
+
+_METHOD_ALIASES = {
+    "nearest": "nearest", "Nearest": "nearest",
+    "bilinear": "bilinear", "Bilinear": "bilinear",
+    "bicubic": "bicubic", "Bicubic (recommended)": "bicubic",
+    "area": "area", "Area": "area",
+    "lanczos4": "lanczos4", "lanczos": "lanczos4",
+}
+
+
+def canonical_fit_mode(mode: str) -> str:
+    try:
+        return _FIT_ALIASES[str(mode)]
+    except KeyError:
+        raise ValueError(f"Unknown fit mode: {mode!r}") from None
+
+
+def canonical_method(method: str) -> str:
+    try:
+        return _METHOD_ALIASES[str(method)]
+    except KeyError:
+        raise ValueError(f"Unknown resize method: {method!r}") from None
+
+
+def _cubic_weight(d: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with torch's A=-0.75."""
+    d = np.abs(d)
+    w = np.where(d <= 1.0,
+                 ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0,
+                 np.where(d < 2.0,
+                          ((a * d - 5.0 * a) * d + 8.0 * a) * d - 4.0 * a,
+                          0.0))
+    return w
+
+
+def _lanczos_weight(d: np.ndarray, a: int = 4) -> np.ndarray:
+    w = np.sinc(d) * np.sinc(d / a)
+    return np.where(np.abs(d) < a, w, 0.0)
+
+
+@functools.lru_cache(maxsize=256)
+def resample_matrix(src: int, dst: int, method: str) -> np.ndarray:
+    """Dense ``(dst, src)`` resampling matrix for one axis.
+
+    Border taps are clamped into range and accumulated, reproducing
+    torch's bounded access / cv2's replicate border.
+    """
+    method = canonical_method(method)
+    src, dst = int(src), int(dst)
+    out = np.zeros((dst, src), np.float64)
+    if src == dst and method != "area":
+        np.fill_diagonal(out, 1.0)
+        return out.astype(np.float32)
+    scale = src / dst
+
+    if method == "nearest":
+        idx = np.minimum((np.arange(dst) * scale).astype(np.int64), src - 1)
+        out[np.arange(dst), idx] = 1.0
+        return out.astype(np.float32)
+
+    if method == "area":
+        # torch adaptive_avg_pool boundaries: floor/ceil integer ranges.
+        for i in range(dst):
+            start = int(np.floor(i * src / dst))
+            end = int(np.ceil((i + 1) * src / dst))
+            out[i, start:end] = 1.0 / (end - start)
+        return out.astype(np.float32)
+
+    centers = (np.arange(dst) + 0.5) * scale - 0.5
+    if method == "bilinear":
+        centers = np.maximum(centers, 0.0)  # torch clamps the source index
+        base = np.floor(centers).astype(np.int64)
+        taps, radius = 2, 0
+        weight_fn = None  # handled explicitly
+    elif method == "bicubic":
+        base = np.floor(centers).astype(np.int64)
+        taps, radius = 4, 1
+        weight_fn = _cubic_weight
+    else:  # lanczos4
+        base = np.floor(centers).astype(np.int64)
+        taps, radius = 8, 3
+        weight_fn = _lanczos_weight
+
+    for i in range(dst):
+        x = centers[i]
+        b = base[i]
+        if method == "bilinear":
+            lam = x - b
+            pairs = ((min(max(b, 0), src - 1), 1.0 - lam),
+                     (min(b + 1, src - 1), lam))
+            for j, w in pairs:
+                out[i, j] += w
+            continue
+        offsets = np.arange(taps) - radius
+        positions = b + offsets
+        weights = weight_fn(x - positions)
+        total = weights.sum()
+        if method == "lanczos4" and total != 0.0:
+            weights = weights / total  # cv2 normalizes the windowed sinc
+        for j, w in zip(np.clip(positions, 0, src - 1), weights):
+            out[i, j] += w
+    return out.astype(np.float32)
+
+
+def resample(frames: jnp.ndarray, target_height: int, target_width: int,
+             method: str = "bicubic") -> jnp.ndarray:
+    """Resample a BHWC batch to ``(target_height, target_width)`` via two
+    weight-matrix matmuls (all channels)."""
+    method = canonical_method(method)
+    src_h, src_w = int(frames.shape[1]), int(frames.shape[2])
+    if (src_h, src_w) == (int(target_height), int(target_width)):
+        return frames
+    wh = jnp.asarray(resample_matrix(src_h, int(target_height), method))
+    ww = jnp.asarray(resample_matrix(src_w, int(target_width), method))
+    x = frames.astype(jnp.float32)
+    # precision=HIGHEST keeps these f32 weight matmuls exact on TPU (the
+    # default would run bf16 passes and cost ~1e-3 per-pixel error).
+    x = jnp.einsum("Oh,bhwc->bOwc", wh, x,
+                   preferred_element_type=jnp.float32, precision="highest")
+    x = jnp.einsum("Ow,bhwc->bhOc", ww, x,
+                   preferred_element_type=jnp.float32, precision="highest")
+    return x.astype(frames.dtype)
+
+
+def resize_batch(frames: jnp.ndarray, target_width: int, target_height: int,
+                 fit_mode: str = FIT_STRETCH,
+                 method: str = "bicubic") -> jnp.ndarray:
+    """Resize an RGB batch with the reference's three fit modes
+    (``VRGDG_VideoEnhanceNodes.py:54-86``); output is clamped to [0,1] and
+    carries only the first three channels, as in the reference."""
+    if frames.ndim != 4 or frames.shape[0] < 1:
+        raise ValueError("resize_batch requires a non-empty BHWC batch.")
+    fit_mode = canonical_fit_mode(fit_mode)
+    src_h, src_w = int(frames.shape[1]), int(frames.shape[2])
+    target_width, target_height = int(target_width), int(target_height)
+    rgb = frames[..., :3]
+
+    if fit_mode == FIT_STRETCH:
+        out = resample(rgb, target_height, target_width, method)
+    else:
+        if fit_mode == FIT_CROP:
+            scale = max(target_width / src_w, target_height / src_h)
+        else:
+            scale = min(target_width / src_w, target_height / src_h)
+        scaled_w = max(1, int(round(src_w * scale)))
+        scaled_h = max(1, int(round(src_h * scale)))
+        resized = resample(rgb, scaled_h, scaled_w, method)
+        if fit_mode == FIT_CROP:
+            left = max(0, (scaled_w - target_width) // 2)
+            top = max(0, (scaled_h - target_height) // 2)
+            out = resized[:, top:top + target_height, left:left + target_width, :]
+        else:
+            pad_l = max(0, (target_width - scaled_w) // 2)
+            pad_r = max(0, target_width - scaled_w - pad_l)
+            pad_t = max(0, (target_height - scaled_h) // 2)
+            pad_b = max(0, target_height - scaled_h - pad_t)
+            out = jnp.pad(resized, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def restore_batch(frames: jnp.ndarray, source_width: int, source_height: int,
+                  fit_mode: str = FIT_STRETCH,
+                  method: str = "bicubic") -> jnp.ndarray:
+    """Exact inverse of :func:`resize_batch` back to source dimensions: a
+    letterboxed batch has its content box recomputed, cropped and
+    stretched; other modes stretch directly
+    (``VRGDG_VideoEnhanceNodes.py:89-106``)."""
+    if canonical_fit_mode(fit_mode) != FIT_LETTERBOX:
+        return resize_batch(frames, source_width, source_height,
+                            FIT_STRETCH, method)
+    work_h, work_w = int(frames.shape[1]), int(frames.shape[2])
+    scale = min(work_w / source_width, work_h / source_height)
+    content_w = min(work_w, max(1, int(round(source_width * scale))))
+    content_h = min(work_h, max(1, int(round(source_height * scale))))
+    left = max(0, (work_w - content_w) // 2)
+    top = max(0, (work_h - content_h) // 2)
+    content = frames[:, top:top + content_h, left:left + content_w, :]
+    return resize_batch(content, source_width, source_height,
+                        FIT_STRETCH, method)

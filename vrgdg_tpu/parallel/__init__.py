@@ -1,0 +1,9 @@
+"""Mesh sharding and multi-chip execution."""
+
+from .mesh import (DATA_AXIS, SPACE_AXIS, frame_sharding, grade_on_mesh,
+                   make_mesh, pad_to_multiple, replicated, shard_clip)
+
+__all__ = [
+    "DATA_AXIS", "SPACE_AXIS", "frame_sharding", "grade_on_mesh",
+    "make_mesh", "pad_to_multiple", "replicated", "shard_clip",
+]

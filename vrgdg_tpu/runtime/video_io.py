@@ -1,0 +1,404 @@
+"""Host-side media I/O: probing, batched decode, codec-fallback encode.
+
+This is the L2 layer of SURVEY.md §1 rebuilt for a TPU host: OpenCV handles
+decode/encode on the CPU while frames stream to the accelerator as BHWC
+float32 [0,1] batches.  Functional parity targets:
+
+- probe/path validation: ``VRGDG_StandaloneVideoEnhancerNodes.py:98-139``,
+- codec fallback chain with read-back validation:
+  ``VRGDG_LUTVideoTools.py:26-31, 966-1023`` (avc1 -> H264 -> X264 -> mp4v,
+  keep the first codec whose output re-opens),
+- ffmpeg re-encode + audio remux: ``VRGDG_LUTVideoTools.py:859-916`` and
+  the enhancer's concat+mux (``VRGDG_StandaloneVideoEnhancerNodes.py:444-510``).
+  The ffmpeg binary is optional here: every ffmpeg step degrades cleanly
+  (concat falls back to cv2 re-encode; audio remux is skipped with a note).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import queue
+import re
+import shutil
+import subprocess
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+
+VIDEO_EXTENSIONS = {".mp4", ".mov", ".mkv", ".webm", ".avi", ".m4v"}
+IMAGE_EXTENSIONS = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
+
+# Preference order from the reference (VRGDG_LUTVideoTools.py:26-31).
+CODEC_CANDIDATES = ("avc1", "H264", "X264", "mp4v")
+
+
+def safe_name(value, fallback: str = "video") -> str:
+    """Sanitize a user-supplied file name
+    (``VRGDG_StandaloneVideoEnhancerNodes.py:26-31``)."""
+    name = os.path.basename(str(value or "").strip()) or fallback
+    stem, ext = os.path.splitext(name)
+    stem = re.sub(r"[^A-Za-z0-9._-]+", "_", stem).strip("._") or fallback
+    ext = re.sub(r"[^A-Za-z0-9.]+", "", ext)
+    return stem[:100] + ext[:12]
+
+
+def normalize_video_path(value) -> str:
+    path = os.path.normpath(os.path.abspath(str(value or "").strip().strip('"')))
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"Video file was not found: {path}")
+    if os.path.splitext(path)[1].lower() not in VIDEO_EXTENSIONS:
+        raise ValueError(
+            "Unsupported video type. Use MP4, MOV, MKV, WEBM, AVI, or M4V.")
+    return path
+
+
+def find_ffmpeg() -> str | None:
+    return shutil.which("ffmpeg")
+
+
+def media_has_audio(path: str) -> bool | None:
+    """True/False when ffprobe is available, None otherwise."""
+    ffprobe = shutil.which("ffprobe")
+    if not ffprobe:
+        return None
+    try:
+        result = subprocess.run(
+            [ffprobe, "-v", "error", "-select_streams", "a:0",
+             "-show_entries", "stream=index", "-of", "csv=p=0", path],
+            capture_output=True, text=True, errors="replace", timeout=30,
+            check=False)
+        return bool(result.returncode == 0 and (result.stdout or "").strip())
+    except Exception:
+        return None
+
+
+def probe_video(path) -> dict:
+    """Metadata dict with the same fields as the reference's ``_probe_video``
+    (``VRGDG_StandaloneVideoEnhancerNodes.py:107-139``)."""
+    import cv2
+
+    path = normalize_video_path(path)
+    capture = cv2.VideoCapture(path)
+    try:
+        if not capture.isOpened():
+            raise ValueError("The video could not be opened.")
+        width = int(capture.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
+        height = int(capture.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)
+        fps = float(capture.get(cv2.CAP_PROP_FPS) or 0)
+        frame_count = int(capture.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        if width < 1 or height < 1 or fps <= 0:
+            raise ValueError(
+                "The video does not contain readable dimensions or frame-rate "
+                "metadata.")
+        fourcc = int(capture.get(cv2.CAP_PROP_FOURCC) or 0)
+        codec = "".join(chr((fourcc >> (8 * i)) & 0xFF) for i in range(4)).strip()
+    finally:
+        capture.release()
+    stat = os.stat(path)
+    return {
+        "path": path,
+        "name": os.path.basename(path),
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "frame_count": frame_count,
+        "duration": frame_count / fps if frame_count > 0 else 0.0,
+        "codec": codec,
+        "has_audio": media_has_audio(path),
+        "size": int(stat.st_size),
+        "mtime": float(stat.st_mtime),
+    }
+
+
+def frames_to_array(frames: list[np.ndarray]) -> np.ndarray:
+    """BGR uint8 frame list -> BHWC float32 RGB in [0,1]."""
+    stacked = np.stack(frames, axis=0)
+    rgb = stacked[..., ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(rgb, dtype=np.float32) / 255.0
+
+
+def array_to_frames(array: np.ndarray) -> list[np.ndarray]:
+    """BHWC float [0,1] RGB -> list of BGR uint8 frames."""
+    array = np.asarray(array)
+    u8 = np.clip(array * 255.0, 0, 255).astype(np.uint8)
+    return [np.ascontiguousarray(frame[..., ::-1]) for frame in u8]
+
+
+class VideoReader:
+    """Batched frame reader over a video file.
+
+    Yields BHWC float32 RGB [0,1] numpy arrays of ``batch_size`` frames
+    (the final batch may be short).
+    """
+
+    def __init__(self, path, batch_size: int = 8,
+                 start_frame: int = 0, end_frame: int | None = None):
+        import cv2
+
+        self.path = normalize_video_path(path)
+        self.batch_size = max(1, int(batch_size))
+        self._capture = cv2.VideoCapture(self.path)
+        if not self._capture.isOpened():
+            raise RuntimeError(f"Could not open video: {self.path}")
+        self.start_frame = max(0, int(start_frame))
+        if self.start_frame:
+            self._capture.set(cv2.CAP_PROP_POS_FRAMES, self.start_frame)
+        self.end_frame = end_frame
+        self._position = self.start_frame
+
+    def __iter__(self) -> Iterator[tuple[int, np.ndarray]]:
+        """Yields ``(first_frame_index, batch)`` pairs."""
+        while True:
+            limit = self.batch_size
+            if self.end_frame is not None:
+                limit = min(limit, self.end_frame - self._position)
+                if limit <= 0:
+                    return
+            frames = []
+            for _ in range(limit):
+                ok, frame = self._capture.read()
+                if not ok:
+                    break
+                frames.append(frame)
+            if not frames:
+                return
+            start = self._position
+            self._position += len(frames)
+            yield start, frames_to_array(frames)
+
+    def close(self):
+        self._capture.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+@dataclass
+class _OpenWriter:
+    writer: object
+    codec: str
+    path: str
+
+
+def _try_open_writer(path: str, codec: str, fps: float,
+                     width: int, height: int):
+    import cv2
+
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec),
+                             float(fps), (int(width), int(height)))
+    if writer.isOpened():
+        return writer
+    writer.release()
+    return None
+
+
+def validate_video_readable(path: str) -> bool:
+    """Read-back check used by the codec fallback chain
+    (``VRGDG_LUTVideoTools.py:761-771``)."""
+    import cv2
+
+    if not os.path.isfile(path) or os.path.getsize(path) <= 0:
+        return False
+    capture = cv2.VideoCapture(path)
+    try:
+        if not capture.isOpened():
+            return False
+        ok, _ = capture.read()
+        return bool(ok)
+    finally:
+        capture.release()
+
+
+class VideoWriter:
+    """cv2 writer with the reference's codec preference order.
+
+    The first codec that opens is used; :func:`write_video_with_fallback`
+    adds the full write-then-validate retry loop.
+    """
+
+    def __init__(self, path, fps: float, width: int, height: int,
+                 codecs: tuple[str, ...] = CODEC_CANDIDATES):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = os.fspath(path)
+        self.codec = None
+        self._writer = None
+        for codec in codecs:
+            writer = _try_open_writer(self.path, codec, fps, width, height)
+            if writer is not None:
+                self._writer, self.codec = writer, codec
+                break
+        if self._writer is None:
+            raise RuntimeError(
+                f"No available codec could encode {self.path} "
+                f"(tried {', '.join(codecs)}).")
+        self.frames_written = 0
+
+    def write_array(self, array: np.ndarray):
+        for frame in array_to_frames(array):
+            self._writer.write(frame)
+            self.frames_written += 1
+
+    def write_bgr(self, frame: np.ndarray):
+        self._writer.write(frame)
+        self.frames_written += 1
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_video_with_fallback(path, fps: float, width: int, height: int,
+                              produce_batches: Callable[[], Iterator[np.ndarray]],
+                              codecs: tuple[str, ...] = CODEC_CANDIDATES) -> str:
+    """Encode with each candidate codec until the output validates on
+    read-back, re-running the producer per attempt
+    (``VRGDG_LUTVideoTools.py:966-1023`` semantics)."""
+    last_error = None
+    for codec in codecs:
+        try:
+            with VideoWriter(path, fps, width, height, (codec,)) as writer:
+                for batch in produce_batches():
+                    writer.write_array(batch)
+            if validate_video_readable(path):
+                return codec
+            last_error = RuntimeError(f"Codec {codec} produced unreadable output.")
+        except RuntimeError as exc:
+            last_error = exc
+        with contextlib.suppress(OSError):
+            os.remove(path)
+    raise RuntimeError(f"All codecs failed for {path}: {last_error}")
+
+
+def concat_videos(segment_paths: list[str], output_path: str, fps: float,
+                  width: int, height: int, source_audio_path: str | None = None,
+                  preserve_audio: bool = True, crf: int = 18,
+                  preset: str = "medium",
+                  cancel_event: threading.Event | None = None,
+                  log_path: str | None = None) -> dict:
+    """Join rendered segments into the final video.
+
+    With ffmpeg available this is the reference's concat-demuxer + libx264 +
+    audio-remux command (``VRGDG_StandaloneVideoEnhancerNodes.py:444-510``);
+    without it, segments are re-encoded through the cv2 codec chain and
+    audio is skipped.  Returns ``{"backend", "audio"}``.
+    """
+    ffmpeg = find_ffmpeg()
+    if ffmpeg is not None:
+        return _concat_ffmpeg(ffmpeg, segment_paths, output_path,
+                              source_audio_path if preserve_audio else None,
+                              crf, preset, cancel_event, log_path)
+
+    import cv2
+
+    writer = VideoWriter(output_path, fps, width, height)
+    try:
+        for segment in segment_paths:
+            capture = cv2.VideoCapture(segment)
+            try:
+                while True:
+                    if cancel_event is not None and cancel_event.is_set():
+                        raise InterruptedError("Render canceled.")
+                    ok, frame = capture.read()
+                    if not ok:
+                        break
+                    if frame.shape[1] != width or frame.shape[0] != height:
+                        frame = cv2.resize(frame, (width, height),
+                                           interpolation=cv2.INTER_LANCZOS4)
+                    writer.write_bgr(frame)
+            finally:
+                capture.release()
+    finally:
+        writer.close()
+    if not validate_video_readable(output_path):
+        raise RuntimeError(f"Could not produce a readable final video at "
+                           f"{output_path}.")
+    return {"backend": f"cv2:{writer.codec}", "audio": False}
+
+
+def _concat_ffmpeg(ffmpeg, segment_paths, output_path, audio_source,
+                   crf, preset, cancel_event, log_path) -> dict:
+    folder = os.path.dirname(os.path.abspath(segment_paths[0]))
+    concat_list = os.path.join(folder, "segments.txt")
+    with open(concat_list, "w", encoding="utf-8") as handle:
+        for path in segment_paths:
+            escaped = os.path.abspath(path).replace("\\", "/").replace("'", "'\\''")
+            handle.write(f"file '{escaped}'\n")
+    command = [ffmpeg, "-y", "-f", "concat", "-safe", "0", "-i", concat_list]
+    if audio_source:
+        command += ["-i", audio_source, "-map", "0:v:0", "-map", "1:a?"]
+    else:
+        command += ["-map", "0:v:0", "-an"]
+    command += ["-c:v", "libx264", "-preset", str(preset), "-crf", str(crf),
+                "-pix_fmt", "yuv420p"]
+    if audio_source:
+        command += ["-c:a", "aac", "-b:a", "192k"]
+    command += ["-movflags", "+faststart", "-shortest", output_path]
+
+    log_path = log_path or os.path.join(folder, "ffmpeg.log")
+    with open(log_path, "w", encoding="utf-8", errors="replace") as log:
+        process = subprocess.Popen(command, stdout=subprocess.DEVNULL,
+                                   stderr=log, text=True, errors="replace")
+        while process.poll() is None:
+            if cancel_event is not None and cancel_event.wait(0.25):
+                process.terminate()
+                try:
+                    process.wait(timeout=5)
+                except subprocess.TimeoutExpired:
+                    process.kill()
+                raise InterruptedError("Render canceled.")
+    if process.returncode != 0 or not os.path.isfile(output_path):
+        tail = ""
+        with contextlib.suppress(OSError):
+            with open(log_path, "r", encoding="utf-8", errors="replace") as log:
+                tail = log.read()[-1800:]
+        raise RuntimeError(f"FFmpeg could not create the final video: {tail}")
+    return {"backend": "ffmpeg:libx264", "audio": bool(audio_source)}
+
+
+class PrefetchingReader:
+    """Decode-ahead wrapper: a background thread keeps ``depth`` decoded
+    batches queued so device compute overlaps host decode — the streaming
+    half of SURVEY.md §7 step 4."""
+
+    _SENTINEL = object()
+
+    def __init__(self, reader: VideoReader, depth: int = 2):
+        self._reader = reader
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._thread.start()
+
+    def _pump(self):
+        try:
+            for item in self._reader:
+                self._queue.put(item)
+        except BaseException as exc:  # propagated on next __iter__ step
+            self._error = exc
+        finally:
+            self._queue.put(self._SENTINEL)
+
+    def __iter__(self):
+        while True:
+            item = self._queue.get()
+            if item is self._SENTINEL:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item
+
+    def close(self):
+        self._reader.close()
