@@ -1,0 +1,152 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vrgdg_tpu import api
+from vrgdg_tpu.core.cube import parse_cube
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("media")
+    video = str(folder / "clip.mp4")
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        writer.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+
+    from PIL import Image
+
+    image = str(folder / "img.png")
+    Image.fromarray(rng.integers(0, 255, (48, 64, 3), np.uint8)).save(image)
+    return {"video": video, "image": image}
+
+
+def test_bundled_luts_catalog():
+    catalog = api.list_luts()
+    names = [item["name"] for item in catalog["luts"]]
+    assert "identity.cube" in names
+    assert len(names) >= 12
+    lut = parse_cube(os.path.join(catalog["luts_dir"], "teal_orange.cube"))
+    assert lut.size == 33
+
+
+def test_safe_lut_path_rejects_traversal():
+    # traversal components are stripped to a basename inside the LUT dir
+    with pytest.raises(FileNotFoundError):
+        api.safe_lut_path("../../../etc/secrets.cube")
+    with pytest.raises(ValueError):
+        api.safe_lut_path("notalut.txt")
+    with pytest.raises(FileNotFoundError):
+        api.safe_lut_path("missing_thing.cube")
+    assert api.safe_lut_path("identity.cube").endswith("identity.cube")
+
+
+def test_apply_lut_to_video(media, tmp_path):
+    out = str(tmp_path / "graded.mp4")
+    result = api.apply_lut_to_video(media["video"], "teal_orange.cube",
+                                    output_path=out, strength=8.0)
+    assert result["output"] == out
+    assert result["processed_frames"] == 12
+    assert result["processed_fps"] > 0
+    assert result["lut"] == "teal_orange.cube"
+    assert os.path.isfile(result["thumbnail_path"])
+    assert result["encoder"]
+    meta_keys = {"width", "height", "fps", "elapsed_seconds",
+                 "audio_preserved", "browser_friendly", "ffmpeg_encode"}
+    assert meta_keys.issubset(result)
+
+
+def test_apply_lut_identity_roundtrip(media, tmp_path):
+    """identity LUT at full strength must leave pixels within codec noise."""
+    out = str(tmp_path / "ident.mp4")
+    api.apply_lut_to_video(media["video"], "identity.cube", output_path=out)
+    src = cv2.VideoCapture(media["video"])
+    dst = cv2.VideoCapture(out)
+    ok1, f1 = src.read()
+    ok2, f2 = dst.read()
+    src.release(), dst.release()
+    assert ok1 and ok2
+    assert np.mean(np.abs(f1.astype(int) - f2.astype(int))) < 6  # codec noise
+
+
+def test_apply_grain_to_video_seeded(media, tmp_path):
+    result = api.apply_film_grain_to_video(
+        media["video"], output_path=str(tmp_path / "g.mp4"),
+        grain_intensity=0.08, seed=42)
+    assert result["processed_frames"] == 12
+    assert result["seed"] == 42
+
+
+def test_apply_adjust_to_image(media, tmp_path):
+    out = str(tmp_path / "adj.png")
+    result = api.apply_adjust_to_image(media["image"], output_path=out,
+                                       settings={"contrast": 40,
+                                                 "saturation": 30})
+    assert os.path.isfile(out)
+    assert result["settings"]["contrast"] == 40.0
+
+
+def test_grade_video_fused(media, tmp_path):
+    result = api.grade_video(
+        media["video"], output_path=str(tmp_path / "full.mp4"),
+        lut_name="warm_sunset.cube", lut_strength=7.0,
+        adjust={"contrast": 10}, reference_image=media["image"],
+        match_strength=0.5, sharpen_strength=1.0, grain_intensity=0.03,
+        seed=7)
+    assert result["processed_frames"] == 12
+    assert result["stages"] == ["lut", "adjust", "color_match", "sharpen",
+                                "grain"]
+
+
+def test_previews(media, tmp_path):
+    base = str(tmp_path)
+    for fn, kwargs in [
+        (api.preview_lut_on_media, {"lut_name": "cool_night.cube"}),
+        (api.preview_film_grain_on_media, {"grain_intensity": 0.1}),
+        (api.preview_adjust_on_media, {"settings": {"exposure": 30}}),
+    ]:
+        result = fn(media["video"], base=base, **kwargs)
+        assert os.path.isfile(result["before"])
+        assert os.path.isfile(result["after"])
+        assert api.delete_preview(result["after"], base=base)
+        assert not api.delete_preview(result["after"], base=base)
+    # image input also works
+    result = api.preview_lut_on_media(media["image"],
+                                      lut_name="cool_night.cube", base=base)
+    assert os.path.isfile(result["after"])
+
+
+def test_adjust_presets(tmp_path):
+    base = str(tmp_path)
+    saved = api.save_adjust_preset("My Look!", {"contrast": 25,
+                                                "vignette": 40}, base=base)
+    assert saved["settings"]["contrast"] == 25.0
+    listed = api.list_adjust_presets(base=base)
+    assert any(p["name"] == saved["name"] for p in listed)
+
+    external = tmp_path / "ext.json"
+    external.write_text(json.dumps({"name": "imported",
+                                    "settings": {"fade": 15}}))
+    imported = api.import_adjust_preset(str(external), base=base)
+    assert imported["settings"]["fade"] == 15.0
+    assert api.delete_adjust_preset("imported", base=base)
+    assert not api.delete_adjust_preset("imported", base=base)
+
+
+def test_replace_source(media, tmp_path):
+    import shutil
+
+    copy = str(tmp_path / "copy.mp4")
+    shutil.copy(media["video"], copy)
+    before_mtime = os.path.getmtime(copy)
+    result = api.apply_lut_to_video(copy, "identity.cube",
+                                    replace_source=True)
+    assert result["output"] == os.path.abspath(copy)
+    assert os.path.isfile(copy)

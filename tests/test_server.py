@@ -1,0 +1,145 @@
+import asyncio
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+aiohttp = pytest.importorskip("aiohttp")
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from vrgdg_tpu.server import create_app
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("srvmedia")
+    video = str(folder / "clip.mp4")
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        writer.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+    return video
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_routes_end_to_end(media, tmp_path):
+    base = str(tmp_path)
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # health
+            resp = await client.get("/vrgdg/health")
+            body = await resp.json()
+            assert body["ok"] and body["backend"]
+
+            # LUT catalog
+            resp = await client.get("/vrgdg/music_builder/luts")
+            body = await resp.json()
+            assert body["ok"] and len(body["luts"]) >= 12
+
+            # probe/load
+            resp = await client.post("/vrgdg/video_enhancer/load",
+                                     json={"path": media})
+            body = await resp.json()
+            assert body["ok"] and body["video"]["frame_count"] == 10
+
+            # upload
+            with open(media, "rb") as handle:
+                form = aiohttp.FormData()
+                form.add_field("video", handle, filename="up.mp4",
+                               content_type="video/mp4")
+                resp = await client.post("/vrgdg/video_enhancer/upload",
+                                         data=form)
+            body = await resp.json()
+            assert body["ok"] and body["video"]["frame_count"] == 10
+
+            # preview frame
+            resp = await client.post(
+                "/vrgdg/video_enhancer/preview",
+                json={"source_path": media, "timestamp": 0.2,
+                      "settings": {"sharpen_strength": 2.0}})
+            body = await resp.json()
+            assert body["ok"] and os.path.isfile(body["after_path"])
+
+            # media serving
+            resp = await client.get("/vrgdg/video_enhancer/media",
+                                    params={"path": body["after_path"]})
+            assert resp.status == 200
+
+            # LUT video apply through the API
+            out_path = os.path.join(base, "graded.mp4")
+            resp = await client.post(
+                "/vrgdg/music_builder/luts/apply_video",
+                json={"input": media, "lut": "teal_orange.cube",
+                      "output": out_path, "strength": 8.0})
+            body = await resp.json()
+            assert body["ok"], body
+            assert body["result"]["processed_frames"] == 10
+
+            # adjust preview + delete
+            resp = await client.post(
+                "/vrgdg/music_builder/post_process/preview_adjust",
+                json={"input": media, "settings": {"contrast": 30}})
+            body = await resp.json()
+            assert body["ok"] and os.path.isfile(body["result"]["after"])
+            resp = await client.post(
+                "/vrgdg/music_builder/post_process/delete_preview",
+                json={"path": body["result"]["after"]})
+            body = await resp.json()
+            assert body["ok"] and body["result"]["deleted"]
+
+            # presets
+            resp = await client.post(
+                "/vrgdg/music_builder/post_process/save_adjust_preset",
+                json={"name": "srvlook", "settings": {"fade": 10}})
+            assert (await resp.json())["ok"]
+            resp = await client.get(
+                "/vrgdg/music_builder/post_process/adjust_presets")
+            body = await resp.json()
+            assert any(p["name"] == "srvlook" for p in body["presets"])
+
+            # enhancer render start -> poll -> complete
+            resp = await client.post(
+                "/vrgdg/video_enhancer/render/start",
+                json={"source_path": media,
+                      "settings": {"sharpen_strength": 1.0,
+                                   "output_name": "served.mp4"}})
+            body = await resp.json()
+            assert body["ok"], body
+            job_id = body["job"]["job_id"]
+            for _ in range(600):
+                resp = await client.get(
+                    "/vrgdg/video_enhancer/render/status",
+                    params={"job_id": job_id})
+                body = await resp.json()
+                if body["job"]["status"] in {"complete", "failed",
+                                             "canceled"}:
+                    break
+                await asyncio.sleep(0.1)
+            assert body["job"]["status"] == "complete", body["job"].get("error")
+
+            # unknown job -> 404
+            resp = await client.get("/vrgdg/video_enhancer/render/status",
+                                    params={"job_id": "nope"})
+            assert resp.status == 404
+
+            # bad path -> 404 json error
+            resp = await client.post("/vrgdg/video_enhancer/load",
+                                     json={"path": "/nonexistent.mp4"})
+            assert resp.status == 404
+            assert (await resp.json())["ok"] is False
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -1,0 +1,458 @@
+"""Library API: apply LUT / film grain / adjust / fused grade to media.
+
+These functions mirror the reference's HTTP-backed appliers
+(``VRGDG_LUTVideoTools.py:222-1386``): same parameter names, same
+result-dict fields (including ``elapsed_seconds`` and ``processed_fps``
+telemetry, codec fallback reporting and ffmpeg browser re-encode status),
+with the pixel math running as jitted TPU batches instead of per-effect
+torch hops.  ``grade_video`` is the new fused entry point: any combination
+of the five stages in one device pass per batch — the configuration the
+benchmark measures.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import subprocess
+import tempfile
+import time
+
+import jax
+import numpy as np
+
+from ..core.cube import GLOBAL_LUT_CACHE
+from ..core.params import (AdjustSettings, ColorMatchParams, GrainParams,
+                           LUTParams, SharpenParams)
+from ..ops.color_match import lab_statistics
+from ..ops.grade import GradeConfig, grade
+from ..runtime import video_io
+from . import paths
+
+
+def device_name() -> str:
+    return jax.default_backend()
+
+
+def _normalize_crf(value, default):
+    try:
+        return max(12, min(35, int(round(float(value)))))
+    except (TypeError, ValueError):
+        return default
+
+
+def _normalize_preset(value, default):
+    value = str(value or "").strip().lower()
+    return value if value in {"ultrafast", "superfast", "veryfast", "faster",
+                              "fast", "medium", "slow"} else default
+
+
+def _default_output_path(input_path: str, tag: str) -> str:
+    stem, ext = os.path.splitext(input_path)
+    safe_tag = os.path.splitext(os.path.basename(tag))[0] if tag else "graded"
+    return f"{stem}_{safe_tag}{ext}"
+
+
+def _write_thumbnail(video_path: str, thumbnail_path: str = "") -> str:
+    import cv2
+
+    if not thumbnail_path:
+        thumbnail_path = os.path.splitext(video_path)[0] + "_thumb.jpg"
+    capture = cv2.VideoCapture(video_path)
+    try:
+        ok, frame = capture.read()
+    finally:
+        capture.release()
+    if not ok:
+        return ""
+    height, width = frame.shape[:2]
+    scale = min(1.0, 320.0 / max(1, width))
+    if scale < 1.0:
+        frame = cv2.resize(frame, (int(width * scale), int(height * scale)))
+    return thumbnail_path if cv2.imwrite(thumbnail_path, frame) else ""
+
+
+def ffmpeg_browser_encode(video_path: str, audio_source: str = "",
+                          crf: int = 23, preset: str = "medium") -> dict:
+    """Re-encode in place to browser-friendly H.264 + remux audio when the
+    ffmpeg binary exists (``VRGDG_LUTVideoTools.py:859-916``); reports
+    rather than fails when it does not."""
+    ffmpeg = video_io.find_ffmpeg()
+    if not ffmpeg:
+        return {"ok": False, "error": "ffmpeg is not available",
+                "audio_preserved": False}
+    folder = os.path.dirname(os.path.abspath(video_path))
+    fd, temp_out = tempfile.mkstemp(prefix="vrgdg_enc_", suffix=".mp4",
+                                    dir=folder)
+    os.close(fd)
+    command = [ffmpeg, "-y", "-i", video_path]
+    if audio_source:
+        command += ["-i", audio_source, "-map", "0:v:0", "-map", "1:a?",
+                    "-c:a", "aac", "-b:a", "192k"]
+    else:
+        command += ["-an"]
+    command += ["-c:v", "libx264", "-preset",
+                _normalize_preset(preset, "medium"),
+                "-crf", str(_normalize_crf(crf, 23)), "-pix_fmt", "yuv420p",
+                "-movflags", "+faststart", temp_out]
+    result = subprocess.run(command, capture_output=True, text=True,
+                            errors="replace", check=False)
+    if result.returncode != 0 or not os.path.isfile(temp_out):
+        with contextlib.suppress(OSError):
+            os.remove(temp_out)
+        return {"ok": False, "error": (result.stderr or "ffmpeg failed")[-1000:],
+                "audio_preserved": False}
+    os.replace(temp_out, video_path)
+    return {"ok": True, "encoder": "ffmpeg:libx264",
+            "audio_preserved": bool(audio_source)}
+
+
+def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
+                           batch_size=8, replace_source=False,
+                           thumbnail_path="", preserve_audio=True,
+                           encode_crf=23, encode_preset="medium",
+                           extra_fields: dict | None = None) -> dict:
+    """Generic decode -> jitted effect -> encode loop with the reference's
+    codec fallback, browser re-encode and telemetry semantics."""
+    input_path = paths.resolve_media_path(input_path, "Input video")
+    if os.path.splitext(input_path)[1].lower() not in paths.SUPPORTED_VIDEO_EXTENSIONS:
+        raise ValueError("Input video type is not supported.")
+    output_path = os.path.abspath(
+        str(output_path or "").strip().strip('"')
+        or _default_output_path(input_path, tag))
+    if replace_source:
+        output_path = input_path
+
+    os.makedirs(os.path.dirname(output_path), exist_ok=True)
+    tmp_output = output_path
+    if replace_source:
+        fd, tmp_output = tempfile.mkstemp(
+            prefix="vrgdg_tpu_", suffix=".mp4",
+            dir=os.path.dirname(input_path))
+        os.close(fd)
+
+    metadata = video_io.probe_video(input_path)
+    fps, width, height = metadata["fps"], metadata["width"], metadata["height"]
+    started = time.perf_counter()
+    counters = {"frames": 0}
+
+    def producer():
+        counters["frames"] = 0
+        reader = video_io.VideoReader(input_path, batch_size=batch_size)
+        with reader:
+            for frame_index, batch in video_io.PrefetchingReader(reader):
+                out = effect(batch, frame_index)
+                counters["frames"] += out.shape[0]
+                yield np.asarray(out)
+
+    selected_codec = video_io.write_video_with_fallback(
+        tmp_output, fps, width, height, producer)
+    processed_frames = counters["frames"]
+
+    ffmpeg_result = ffmpeg_browser_encode(
+        tmp_output, input_path if preserve_audio else "",
+        encode_crf, encode_preset)
+    encoder = (ffmpeg_result.get("encoder") if ffmpeg_result.get("ok")
+               else f"cv2:{selected_codec}")
+    if replace_source:
+        os.replace(tmp_output, output_path)
+
+    thumbnail_path = _write_thumbnail(output_path, thumbnail_path)
+    elapsed = time.perf_counter() - started
+    result = {
+        "input": input_path,
+        "output": output_path,
+        "device": device_name(),
+        "replace_source": bool(replace_source),
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "reported_frames": metadata["frame_count"],
+        "processed_frames": processed_frames,
+        "elapsed_seconds": elapsed,
+        "processed_fps": processed_frames / elapsed if elapsed > 0 else 0.0,
+        "audio_preserved": bool(ffmpeg_result.get("audio_preserved")),
+        "source_had_audio": metadata["has_audio"],
+        "preserve_audio": bool(preserve_audio),
+        "encode_crf": _normalize_crf(encode_crf, 23),
+        "encode_preset": _normalize_preset(encode_preset, "medium"),
+        "thumbnail_path": thumbnail_path,
+        "encoder": encoder,
+        "browser_friendly": bool(ffmpeg_result.get("ok")),
+        "ffmpeg_encode": ffmpeg_result,
+    }
+    result.update(extra_fields or {})
+    return result
+
+
+def _apply_effect_to_image(input_path, effect, *, tag: str, output_path="",
+                           replace_source=False,
+                           extra_fields: dict | None = None) -> dict:
+    from PIL import Image
+
+    input_path = paths.resolve_media_path(input_path, "Input image")
+    if os.path.splitext(input_path)[1].lower() not in paths.SUPPORTED_IMAGE_EXTENSIONS:
+        raise ValueError("Input image type is not supported.")
+    output_path = os.path.abspath(
+        str(output_path or "").strip().strip('"')
+        or _default_output_path(input_path, tag))
+    if replace_source:
+        output_path = input_path
+    os.makedirs(os.path.dirname(output_path), exist_ok=True)
+    tmp_output = output_path
+    if replace_source:
+        fd, tmp_output = tempfile.mkstemp(
+            prefix="vrgdg_tpu_", suffix=os.path.splitext(input_path)[1],
+            dir=os.path.dirname(input_path))
+        os.close(fd)
+
+    started = time.perf_counter()
+    with Image.open(input_path) as source:
+        array = np.asarray(source.convert("RGB"), np.float32)[None] / 255.0
+    out = np.asarray(effect(array, 0))
+    u8 = np.clip(out[0] * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(u8, mode="RGB").save(tmp_output)
+    if replace_source:
+        os.replace(tmp_output, output_path)
+    elapsed = time.perf_counter() - started
+    result = {
+        "input": input_path,
+        "output": output_path,
+        "device": device_name(),
+        "replace_source": bool(replace_source),
+        "elapsed_seconds": elapsed,
+    }
+    result.update(extra_fields or {})
+    return result
+
+
+# --------------------------------------------------------------------------
+# Effect builders
+# --------------------------------------------------------------------------
+
+def _lut_effect(lut_name, strength, luts_dir=None):
+    lut = GLOBAL_LUT_CACHE.load(paths.safe_lut_path(lut_name, luts_dir))
+    config = GradeConfig(lut=LUTParams.normalize(strength))
+
+    def effect(batch, frame_index):
+        return grade(batch, config, lut=lut)
+
+    return effect, os.path.basename(str(lut_name))
+
+
+def _grain_effect(grain_intensity, saturation_mix, seed):
+    params = GrainParams.normalize(grain_intensity, saturation_mix, seed or 0)
+    config = GradeConfig(grain=params)
+
+    def effect(batch, frame_index):
+        return grade(batch, config, frame_start=frame_index)
+
+    return effect
+
+
+def _adjust_effect(settings):
+    config = GradeConfig(adjust=AdjustSettings.normalize(settings))
+
+    def effect(batch, frame_index):
+        return grade(batch, config)
+
+    return effect
+
+
+# --------------------------------------------------------------------------
+# Public appliers (reference-parity surface)
+# --------------------------------------------------------------------------
+
+def apply_lut_to_video(input_path, lut_name, output_path="", strength=10.0,
+                       batch_size=8, replace_source=False, thumbnail_path="",
+                       preserve_audio=True, encode_crf=23,
+                       encode_preset="medium", luts_dir=None) -> dict:
+    effect, lut_base = _lut_effect(lut_name, strength, luts_dir)
+    return _apply_effect_to_video(
+        input_path, effect, tag=lut_base, output_path=output_path,
+        batch_size=batch_size, replace_source=replace_source,
+        thumbnail_path=thumbnail_path, preserve_audio=preserve_audio,
+        encode_crf=encode_crf, encode_preset=encode_preset,
+        extra_fields={"lut": lut_base, "strength": float(strength)})
+
+
+def apply_lut_to_image(input_path, lut_name, output_path="", strength=10.0,
+                       replace_source=False, luts_dir=None) -> dict:
+    effect, lut_base = _lut_effect(lut_name, strength, luts_dir)
+    return _apply_effect_to_image(
+        input_path, effect, tag=lut_base, output_path=output_path,
+        replace_source=replace_source,
+        extra_fields={"lut": lut_base, "strength": float(strength)})
+
+
+def apply_film_grain_to_video(input_path, output_path="",
+                              grain_intensity=0.04, saturation_mix=0.5,
+                              seed=None, batch_size=8, replace_source=False,
+                              thumbnail_path="", preserve_audio=True,
+                              encode_crf=26, encode_preset="medium") -> dict:
+    effect = _grain_effect(grain_intensity, saturation_mix, seed)
+    return _apply_effect_to_video(
+        input_path, effect, tag="grain", output_path=output_path,
+        batch_size=batch_size, replace_source=replace_source,
+        thumbnail_path=thumbnail_path, preserve_audio=preserve_audio,
+        encode_crf=encode_crf, encode_preset=encode_preset,
+        extra_fields={"grain_intensity": float(grain_intensity),
+                      "saturation_mix": float(saturation_mix),
+                      "seed": seed})
+
+
+def apply_film_grain_to_image(input_path, output_path="",
+                              grain_intensity=0.04, saturation_mix=0.5,
+                              seed=None, replace_source=False) -> dict:
+    effect = _grain_effect(grain_intensity, saturation_mix, seed)
+    return _apply_effect_to_image(
+        input_path, effect, tag="grain", output_path=output_path,
+        replace_source=replace_source,
+        extra_fields={"grain_intensity": float(grain_intensity),
+                      "saturation_mix": float(saturation_mix),
+                      "seed": seed})
+
+
+def apply_adjust_to_video(input_path, output_path="", settings=None,
+                          batch_size=8, replace_source=False,
+                          thumbnail_path="", preserve_audio=True,
+                          encode_crf=23, encode_preset="medium") -> dict:
+    effect = _adjust_effect(settings)
+    normalized = AdjustSettings.normalize(settings)
+    return _apply_effect_to_video(
+        input_path, effect, tag="adjust", output_path=output_path,
+        batch_size=batch_size, replace_source=replace_source,
+        thumbnail_path=thumbnail_path, preserve_audio=preserve_audio,
+        encode_crf=encode_crf, encode_preset=encode_preset,
+        extra_fields={"settings": normalized.to_dict()})
+
+
+def apply_adjust_to_image(input_path, output_path="", settings=None,
+                          replace_source=False) -> dict:
+    effect = _adjust_effect(settings)
+    normalized = AdjustSettings.normalize(settings)
+    return _apply_effect_to_image(
+        input_path, effect, tag="adjust", output_path=output_path,
+        replace_source=replace_source,
+        extra_fields={"settings": normalized.to_dict()})
+
+
+def grade_video(input_path, output_path="", *, lut_name=None,
+                lut_strength=10.0, adjust=None, reference_image=None,
+                match_strength=1.0, sharpen_strength=0.0,
+                sharpen_kind="unsharp", sharpen_border="zero",
+                grain_intensity=0.0, saturation_mix=0.5, seed=0,
+                batch_size=8, replace_source=False, thumbnail_path="",
+                preserve_audio=True, encode_crf=23, encode_preset="medium",
+                luts_dir=None) -> dict:
+    """The fused full-stack video grade: every enabled stage runs in one
+    jitted device pass per frame batch (the framework's flagship path)."""
+    lut = None
+    lut_base = None
+    if lut_name:
+        lut = GLOBAL_LUT_CACHE.load(paths.safe_lut_path(lut_name, luts_dir))
+        lut_base = os.path.basename(str(lut_name))
+
+    ref_stats = None
+    if reference_image is not None:
+        if isinstance(reference_image, (str, os.PathLike)):
+            from PIL import Image
+
+            with Image.open(reference_image) as img:
+                ref = np.asarray(img.convert("RGB"), np.float32)[None] / 255.0
+        else:
+            ref = np.asarray(reference_image, np.float32)
+            if ref.ndim == 3:
+                ref = ref[None]
+        ref_stats = lab_statistics(ref)
+
+    config = GradeConfig(
+        lut=LUTParams.normalize(lut_strength) if lut is not None else None,
+        adjust=(AdjustSettings.normalize(adjust)
+                if adjust is not None else None),
+        color_match=(ColorMatchParams.normalize(match_strength)
+                     if ref_stats is not None else None),
+        sharpen=(SharpenParams.normalize(sharpen_strength,
+                                         border=sharpen_border,
+                                         kind=sharpen_kind)
+                 if sharpen_strength and sharpen_strength > 0 else None),
+        grain=(GrainParams.normalize(grain_intensity, saturation_mix, seed)
+               if grain_intensity and grain_intensity > 0 else None),
+    )
+
+    def effect(batch, frame_index):
+        return grade(batch, config, lut=lut, ref_stats=ref_stats,
+                     frame_start=frame_index)
+
+    return _apply_effect_to_video(
+        input_path, effect, tag="graded", output_path=output_path,
+        batch_size=batch_size, replace_source=replace_source,
+        thumbnail_path=thumbnail_path, preserve_audio=preserve_audio,
+        encode_crf=encode_crf, encode_preset=encode_preset,
+        extra_fields={"lut": lut_base,
+                      "stages": [name for name, on in [
+                          ("lut", config.lut), ("adjust", config.adjust),
+                          ("color_match", config.color_match),
+                          ("sharpen", config.sharpen),
+                          ("grain", config.grain)] if on is not None]})
+
+
+# --------------------------------------------------------------------------
+# Previews (first frame of a video, or the image itself -> JPEG pair)
+# --------------------------------------------------------------------------
+
+def _preview_media(input_path, effect, base=None) -> dict:
+    import cv2
+    from PIL import Image
+
+    input_path = paths.resolve_media_path(input_path, "Media")
+    ext = os.path.splitext(input_path)[1].lower()
+    if ext in paths.SUPPORTED_VIDEO_EXTENSIONS:
+        capture = cv2.VideoCapture(input_path)
+        try:
+            ok, frame = capture.read()
+        finally:
+            capture.release()
+        if not ok:
+            raise RuntimeError("Could not decode the first video frame.")
+        array = frame[..., ::-1].astype(np.float32)[None] / 255.0
+    elif ext in paths.SUPPORTED_IMAGE_EXTENSIONS:
+        with Image.open(input_path) as img:
+            array = np.asarray(img.convert("RGB"), np.float32)[None] / 255.0
+    else:
+        raise ValueError("Unsupported media type for preview.")
+
+    out = np.asarray(effect(array, 0))
+    token = f"preview_{int(time.time() * 1000)}"
+    folder = paths.preview_root(base)
+    before = os.path.join(folder, f"{token}_before.jpg")
+    after = os.path.join(folder, f"{token}_after.jpg")
+    Image.fromarray((np.clip(array[0], 0, 1) * 255).astype(np.uint8)).save(before)
+    Image.fromarray((np.clip(out[0], 0, 1) * 255).astype(np.uint8)).save(after)
+    return {"before": before, "after": after}
+
+
+def preview_lut_on_media(input_path, lut_name, strength=10.0, luts_dir=None,
+                         base=None) -> dict:
+    effect, _ = _lut_effect(lut_name, strength, luts_dir)
+    return _preview_media(input_path, effect, base)
+
+
+def preview_film_grain_on_media(input_path, grain_intensity=0.04,
+                                saturation_mix=0.5, seed=None, base=None) -> dict:
+    return _preview_media(input_path,
+                          _grain_effect(grain_intensity, saturation_mix, seed),
+                          base)
+
+
+def preview_adjust_on_media(input_path, settings=None, base=None) -> dict:
+    return _preview_media(input_path, _adjust_effect(settings), base)
+
+
+def delete_preview(path, base=None) -> bool:
+    folder = paths.preview_root(base)
+    path = os.path.abspath(str(path or ""))
+    if os.path.commonpath([folder, path]) != folder or not os.path.isfile(path):
+        return False
+    os.remove(path)
+    return True

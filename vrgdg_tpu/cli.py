@@ -1,0 +1,177 @@
+"""Command-line interface covering the BASELINE.json configurations.
+
+Subcommands:
+  grain    — seeded film grain on a video
+  lut      — 3D .cube LUT on a video or image
+  adjust   — 13-slider adjust stack on a video or image
+  grade    — the fused full stack (grain+LUT+colormatch+adjust+sharpen)
+  enhance  — the Standalone Video Enhancer job (segmented, resumable)
+  luts     — list bundled LUTs
+  make-lut — synthesize a palette .cube file
+  probe    — video metadata
+  serve    — run the HTTP API server
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _print(result):
+    print(json.dumps(result, indent=2, default=str))
+
+
+def _add_video_common(p):
+    p.add_argument("input")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--crf", type=int, default=23)
+    p.add_argument("--preset", default="medium")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="vrgdg-tpu", description="TPU-native video post-processing")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("grain", help="apply seeded film grain")
+    _add_video_common(p)
+    p.add_argument("--intensity", type=float, default=0.04)
+    p.add_argument("--saturation-mix", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=None)
+
+    p = sub.add_parser("lut", help="apply a .cube LUT")
+    _add_video_common(p)
+    p.add_argument("lut_name")
+    p.add_argument("--strength", type=float, default=10.0)
+    p.add_argument("--luts-dir", default=None)
+
+    p = sub.add_parser("adjust", help="apply the 13-slider adjust stack")
+    _add_video_common(p)
+    p.add_argument("--settings", default="{}",
+                   help='JSON, e.g. \'{"contrast": 20, "saturation": 10}\'')
+
+    p = sub.add_parser("grade", help="fused full-stack grade")
+    _add_video_common(p)
+    p.add_argument("--lut", default=None)
+    p.add_argument("--lut-strength", type=float, default=10.0)
+    p.add_argument("--adjust", default=None, help="JSON settings")
+    p.add_argument("--reference", default=None,
+                   help="reference image for color match")
+    p.add_argument("--match-strength", type=float, default=1.0)
+    p.add_argument("--sharpen", type=float, default=0.0)
+    p.add_argument("--grain", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--luts-dir", default=None)
+
+    p = sub.add_parser("enhance", help="segmented resumable enhancer job")
+    p.add_argument("input")
+    p.add_argument("--settings", default="{}", help="JSON enhancer settings")
+    p.add_argument("--resume", default="", help="job id to resume")
+    p.add_argument("--output-root", default=None)
+
+    sub.add_parser("luts", help="list bundled LUTs")
+
+    p = sub.add_parser("make-lut", help="synthesize a palette LUT")
+    p.add_argument("colors", help='comma list, e.g. "#0b1d51, #f3d27a"')
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--size", type=int, default=33)
+
+    p = sub.add_parser("probe", help="video metadata")
+    p.add_argument("input")
+
+    p = sub.add_parser("serve", help="run the HTTP API server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8431)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "grain":
+        from . import api
+        _print(api.apply_film_grain_to_video(
+            args.input, args.output, args.intensity, args.saturation_mix,
+            args.seed, batch_size=args.batch_size,
+            preserve_audio=not args.no_audio, encode_crf=args.crf,
+            encode_preset=args.preset))
+    elif args.command == "lut":
+        from . import api
+        ext = os.path.splitext(args.input)[1].lower()
+        if ext in {".png", ".jpg", ".jpeg", ".webp", ".bmp"}:
+            _print(api.apply_lut_to_image(
+                args.input, args.lut_name, args.output, args.strength,
+                luts_dir=args.luts_dir))
+        else:
+            _print(api.apply_lut_to_video(
+                args.input, args.lut_name, args.output, args.strength,
+                batch_size=args.batch_size,
+                preserve_audio=not args.no_audio, encode_crf=args.crf,
+                encode_preset=args.preset, luts_dir=args.luts_dir))
+    elif args.command == "adjust":
+        from . import api
+        settings = json.loads(args.settings)
+        ext = os.path.splitext(args.input)[1].lower()
+        if ext in {".png", ".jpg", ".jpeg", ".webp", ".bmp"}:
+            _print(api.apply_adjust_to_image(args.input, args.output,
+                                             settings))
+        else:
+            _print(api.apply_adjust_to_video(
+                args.input, args.output, settings,
+                batch_size=args.batch_size,
+                preserve_audio=not args.no_audio, encode_crf=args.crf,
+                encode_preset=args.preset))
+    elif args.command == "grade":
+        from . import api
+        _print(api.grade_video(
+            args.input, args.output, lut_name=args.lut,
+            lut_strength=args.lut_strength,
+            adjust=json.loads(args.adjust) if args.adjust else None,
+            reference_image=args.reference,
+            match_strength=args.match_strength,
+            sharpen_strength=args.sharpen, grain_intensity=args.grain,
+            seed=args.seed, batch_size=args.batch_size,
+            preserve_audio=not args.no_audio, encode_crf=args.crf,
+            encode_preset=args.preset, luts_dir=args.luts_dir))
+    elif args.command == "enhance":
+        from .jobs import enhancer as enh
+        payload = {"source_path": args.input,
+                   "settings": json.loads(args.settings)}
+        snap = enh.start_render(payload, args.resume,
+                                base_folder=args.output_root)
+        job_id = snap["job_id"]
+        while True:
+            snap = enh.JOBS.snapshot(job_id)
+            status = snap.get("status")
+            sys.stderr.write(
+                f"\r[{status}] {snap.get('progress', 0) * 100:5.1f}% "
+                f"{snap.get('message', '')[:60]:<60}")
+            sys.stderr.flush()
+            if status in {"complete", "failed", "canceled"}:
+                sys.stderr.write("\n")
+                break
+            time.sleep(0.5)
+        _print(snap)
+        if status != "complete":
+            sys.exit(1)
+    elif args.command == "luts":
+        from . import api
+        _print(api.list_luts())
+    elif args.command == "make-lut":
+        from .core.cube import build_palette_lut, write_cube
+        lut = build_palette_lut(args.colors, args.size)
+        path = write_cube(lut, args.output)
+        _print({"output": path, "size": args.size, "colors": args.colors})
+    elif args.command == "probe":
+        from .runtime import video_io
+        _print(video_io.probe_video(args.input))
+    elif args.command == "serve":
+        from .server import main as serve_main
+        serve_main(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,470 @@
+"""The Standalone Video Enhancer: a background-threaded, segment-checkpointed,
+resumable render engine over the TPU grade stack.
+
+This is the L3 job layer of SURVEY.md §1/§2.2 rebuilt around a jitted device
+pipeline.  Semantics reproduced from the reference:
+
+- settings schema + clamping (:class:`vrgdg_tpu.core.params.EnhancerSettings`,
+  ``VRGDG_StandaloneVideoEnhancerNodes.py:142-180``),
+- "fake upscale" output dimensions and auto batch size (``:183-210``),
+- sharpen -> seeded grain effects order (``:278-294``), with per-frame
+  seeding so output is invariant to batch boundaries (``:261-275``),
+- per-segment render loop with ``.partial.mp4`` -> ``os.replace`` commit,
+  manifest fingerprint + pruning, resume/cancel with ``can_resume``
+  (``:513-655``),
+- single-active-job guard, daemon worker thread, snapshot copies that strip
+  live handles (``:20-23, 327-340, 658-711``),
+- preview endpoint math (``:714-753``).
+
+TPU-first differences: the LANCZOS4 resize runs **on device** as part of the
+same jitted step as the effects (one host->device hop per batch instead of
+cv2 resize + two hops); batch shapes are padded to a stable size so the
+step compiles once per job; OOM adaptation keeps the reference's bisection
+as a host-side fallback for RESOURCE_EXHAUSTED.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import threading
+import time
+import uuid
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import EnhancerSettings, auto_batch_size, output_dimensions
+from ..ops.grain import film_grain
+from ..ops.resize import resample
+from ..ops.sharpen import unsharp
+from ..runtime import video_io
+
+_DEFAULT_ROOT = os.environ.get(
+    "VRGDG_TPU_OUTPUT", os.path.join(os.getcwd(), "vrgdg_output"))
+
+
+def root_folder(base: str | None = None) -> str:
+    path = os.path.join(base or _DEFAULT_ROOT, "VRGDG_VideoEnhancer")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def upload_folder(base: str | None = None) -> str:
+    path = os.path.join(root_folder(base), "uploads")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def preview_folder(base: str | None = None) -> str:
+    path = os.path.join(root_folder(base), "previews")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def jobs_folder(base: str | None = None) -> str:
+    path = os.path.join(root_folder(base), "jobs")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# --------------------------------------------------------------------------
+# Device pipeline
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("settings", "out_height", "out_width"))
+def _enhance_step(frames: jnp.ndarray, settings: EnhancerSettings,
+                  out_height: int, out_width: int,
+                  frame_start: jnp.ndarray) -> jnp.ndarray:
+    """Resize (device LANCZOS4) -> unsharp -> seeded grain, one fused pass."""
+    out = resample(frames, out_height, out_width, "lanczos4")
+    out = jnp.clip(out, 0.0, 1.0)
+    if settings.sharpen_enabled and settings.sharpen_strength > 0:
+        # use_accelerator maps to the reference's use_gpu border convention
+        # (zero-padded avg_pool on GPU, edge-replicate on CPU) so outputs
+        # are comparable for equal settings.
+        border = "zero" if settings.use_accelerator else "edge"
+        out = unsharp(out, settings.sharpen_strength, border)
+    if settings.grain_enabled and settings.grain_intensity > 0:
+        out = film_grain(out, settings.grain_intensity,
+                         settings.saturation_mix, settings.seed,
+                         frame_start=frame_start)
+    return out
+
+
+def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
+                        out_height: int | None = None,
+                        out_width: int | None = None,
+                        frame_start: int = 0) -> np.ndarray:
+    """Host wrapper: BHWC float32 in, enhanced BHWC float32 out."""
+    if out_height is None:
+        out_height = int(frames.shape[1])
+    if out_width is None:
+        out_width = int(frames.shape[2])
+    result = _enhance_step(jnp.asarray(frames), settings, int(out_height),
+                           int(out_width), jnp.asarray(frame_start, jnp.uint32))
+    return np.asarray(result)
+
+
+def _is_oom(exc: Exception) -> bool:
+    text = str(exc).lower()
+    return "resource_exhausted" in text or "out of memory" in text
+
+
+def process_with_retry(frames: np.ndarray, settings: EnhancerSettings,
+                       out_height: int, out_width: int,
+                       frame_start: int) -> tuple[np.ndarray, int]:
+    """Bisect the batch on device OOM, like the reference's CUDA retry
+    (``VRGDG_StandaloneVideoEnhancerNodes.py:297-308``); returns
+    ``(frames, smallest_successful_batch)``."""
+    try:
+        out = apply_effects_batch(frames, settings, out_height, out_width,
+                                  frame_start)
+        return out, len(frames)
+    except Exception as exc:
+        if not _is_oom(exc) or len(frames) <= 1:
+            raise
+        midpoint = max(1, len(frames) // 2)
+        left, left_n = process_with_retry(frames[:midpoint], settings,
+                                          out_height, out_width, frame_start)
+        right, right_n = process_with_retry(frames[midpoint:], settings,
+                                            out_height, out_width,
+                                            frame_start + midpoint)
+        return np.concatenate([left, right], axis=0), min(left_n, right_n)
+
+
+# --------------------------------------------------------------------------
+# Job registry
+# --------------------------------------------------------------------------
+
+class JobRegistry:
+    """Thread-safe job state store with cancel events
+    (``VRGDG_StandaloneVideoEnhancerNodes.py:20-23, 327-340``)."""
+
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._jobs: dict[str, dict] = {}
+        self._cancel: dict[str, threading.Event] = {}
+
+    def update(self, job_id: str, **values) -> None:
+        with self._lock:
+            job = self._jobs.setdefault(job_id, {"job_id": job_id})
+            job.update(values)
+            job["updated_at"] = time.time()
+
+    def snapshot(self, job_id: str) -> dict:
+        with self._lock:
+            job = dict(self._jobs.get(job_id) or {})
+        job.pop("thread", None)
+        job.pop("process", None)
+        return job
+
+    def all_snapshots(self) -> list[dict]:
+        with self._lock:
+            ids = list(self._jobs)
+        return [self.snapshot(job_id) for job_id in ids]
+
+    def cancel_event(self, job_id: str) -> threading.Event:
+        with self._lock:
+            return self._cancel.setdefault(job_id, threading.Event())
+
+    def get_cancel(self, job_id: str) -> threading.Event | None:
+        with self._lock:
+            return self._cancel.get(job_id)
+
+    def active_job(self, excluding: str = "") -> dict | None:
+        with self._lock:
+            for job in self._jobs.values():
+                if (job.get("job_id") != excluding
+                        and job.get("status") in {"queued", "running",
+                                                  "encoding"}):
+                    return dict(job)
+        return None
+
+    def attach(self, job_id: str, key: str, value) -> None:
+        with self._lock:
+            self._jobs.setdefault(job_id, {"job_id": job_id})[key] = value
+
+
+JOBS = JobRegistry()
+
+
+# --------------------------------------------------------------------------
+# Render engine
+# --------------------------------------------------------------------------
+
+from . import manifest as mf  # noqa: E402  (sibling import after defs)
+
+
+def _render_segment(source_path: str, segment_path: str, start_frame: int,
+                    end_frame: int, metadata: dict,
+                    settings: EnhancerSettings, job_id: str,
+                    cancel_event: threading.Event,
+                    registry: JobRegistry) -> tuple[int, int]:
+    out_w, out_h = output_dimensions(metadata["width"], metadata["height"],
+                                     settings.upscale_resolution)
+    batch = settings.batch_size or auto_batch_size(out_w, out_h)
+    frames_done = 0
+    smallest_batch = batch
+
+    writer = video_io.VideoWriter(segment_path, metadata["fps"], out_w, out_h)
+    try:
+        reader = video_io.VideoReader(source_path, batch_size=smallest_batch,
+                                      start_frame=start_frame,
+                                      end_frame=end_frame)
+        with reader:
+            for frame_index, frames in video_io.PrefetchingReader(reader):
+                if cancel_event.is_set():
+                    raise InterruptedError("Render canceled.")
+                count = frames.shape[0]
+                # Pad short tail batches to the stable shape so the device
+                # step compiles once, then trim.
+                padded = frames
+                if count < smallest_batch:
+                    filler = np.repeat(frames[-1:], smallest_batch - count,
+                                       axis=0)
+                    padded = np.concatenate([frames, filler], axis=0)
+                enhanced, ok_batch = process_with_retry(
+                    padded, settings, out_h, out_w, frame_index)
+                smallest_batch = max(1, min(smallest_batch, ok_batch))
+                writer.write_array(enhanced[:count])
+                frames_done += count
+                current = int(registry.snapshot(job_id).get(
+                    "frames_processed") or 0) + count
+                total = max(1, int(metadata["frame_count"]))
+                registry.update(
+                    job_id,
+                    frames_processed=current,
+                    progress=min(0.94, current / total * 0.94),
+                    batch_size=smallest_batch,
+                    message=(f"Upscaling and enhancing frames "
+                             f"{current:,}/{total:,}"),
+                )
+        if frames_done <= 0:
+            raise RuntimeError(
+                "The source video ended before this segment could be rendered.")
+    finally:
+        writer.close()
+    return frames_done, smallest_batch
+
+
+def render_job(job_id: str, payload: dict, resume: bool = False,
+               registry: JobRegistry = JOBS, base_folder: str | None = None):
+    """Full job flow (``VRGDG_StandaloneVideoEnhancerNodes.py:513-655``)."""
+    cancel_event = registry.cancel_event(job_id)
+    job_folder = os.path.join(jobs_folder(base_folder), job_id)
+    segments_folder = os.path.join(job_folder, "segments")
+    os.makedirs(segments_folder, exist_ok=True)
+    try:
+        source_path = video_io.normalize_video_path(payload.get("source_path"))
+        metadata = video_io.probe_video(source_path)
+        settings = EnhancerSettings.normalize(payload.get("settings"))
+        out_w, out_h = output_dimensions(metadata["width"],
+                                         metadata["height"],
+                                         settings.upscale_resolution)
+        fingerprint = mf.settings_fingerprint(source_path, settings.to_dict(),
+                                              metadata["frame_count"])
+        manifest = mf.read_manifest(job_folder) if resume else {}
+        if manifest and manifest.get("fingerprint") != fingerprint:
+            raise ValueError(
+                "The source video or enhancement settings changed, so this "
+                "job cannot resume.")
+
+        frames_per_segment = max(1, int(round(
+            float(metadata["fps"]) * settings.segment_seconds)))
+        total_segments = max(1, int(math.ceil(
+            metadata["frame_count"] / frames_per_segment)))
+        completed = mf.prune_completed(manifest.get("completed_segments"),
+                                       total_segments, segments_folder)
+        completed_frames = sum(
+            max(0, min(metadata["frame_count"],
+                       (i + 1) * frames_per_segment) - i * frames_per_segment)
+            for i in completed)
+
+        manifest = {
+            "version": 1,
+            "job_id": job_id,
+            "fingerprint": fingerprint,
+            "source_path": source_path,
+            "settings": settings.to_dict(),
+            "metadata": metadata,
+            "completed_segments": sorted(completed),
+        }
+        mf.write_manifest(job_folder, manifest)
+        registry.update(
+            job_id, status="running", stage="enhancing",
+            source_path=source_path, metadata=metadata,
+            settings=settings.to_dict(), output_width=out_w,
+            output_height=out_h, frames_processed=completed_frames,
+            total_frames=metadata["frame_count"],
+            segment_index=len(completed), total_segments=total_segments,
+            progress=(completed_frames / max(1, metadata["frame_count"])) * 0.94,
+            can_resume=False, error="",
+            message=f"Starting {out_w}×{out_h} batched enhancement…",
+        )
+
+        for segment_index in range(total_segments):
+            if segment_index in completed:
+                continue
+            if cancel_event.is_set():
+                raise InterruptedError("Render canceled.")
+            start = segment_index * frames_per_segment
+            end = min(metadata["frame_count"], start + frames_per_segment)
+            segment_path = os.path.join(
+                segments_folder, mf.segment_file_name(segment_index))
+            partial_path = segment_path + ".partial.mp4"
+            if os.path.isfile(partial_path):
+                os.remove(partial_path)
+            registry.update(
+                job_id, segment_index=segment_index + 1,
+                message=(f"Enhancing checkpoint {segment_index + 1}/"
+                         f"{total_segments}"))
+            frames_done, _ = _render_segment(
+                source_path, partial_path, start, end, metadata, settings,
+                job_id, cancel_event, registry)
+            os.replace(partial_path, segment_path)
+            completed.add(segment_index)
+            manifest["completed_segments"] = sorted(completed)
+            mf.write_manifest(job_folder, manifest)
+            registry.update(
+                job_id,
+                frames_processed=min(metadata["frame_count"],
+                                     start + frames_done),
+                segment_index=segment_index + 1)
+
+        segment_paths = [
+            os.path.join(segments_folder, mf.segment_file_name(i))
+            for i in range(total_segments)
+        ]
+        stem = os.path.splitext(settings.output_name)[0] or "enhanced_video"
+        output_name = f"{stem}_{time.strftime('%Y%m%d_%H%M%S')}.mp4"
+        output_path = os.path.join(root_folder(base_folder), output_name)
+        registry.update(job_id, stage="encoding", progress=0.95,
+                        message="Joining segments and restoring audio…")
+        concat_result = video_io.concat_videos(
+            segment_paths, output_path, metadata["fps"], out_w, out_h,
+            source_audio_path=source_path,
+            preserve_audio=settings.preserve_audio,
+            crf=settings.encode_crf, preset=settings.encode_preset,
+            cancel_event=cancel_event,
+            log_path=os.path.join(job_folder, "ffmpeg.log"))
+        output_metadata = video_io.probe_video(output_path)
+        manifest.update(output_path=output_path, status="complete",
+                        completed_segments=[], checkpoints_cleaned=True)
+        mf.write_manifest(job_folder, manifest)
+        shutil.rmtree(segments_folder, ignore_errors=True)
+        registry.update(
+            job_id, status="complete", stage="complete", progress=1.0,
+            frames_processed=metadata["frame_count"],
+            output_path=output_path, output_metadata=output_metadata,
+            encode_backend=concat_result["backend"],
+            audio_preserved=concat_result["audio"],
+            checkpoints_cleaned=True, can_resume=False,
+            message="Enhancement complete.")
+    except InterruptedError as exc:
+        registry.update(job_id, status="canceled", stage="canceled",
+                        can_resume=True, error="", message=str(exc))
+    except Exception as exc:
+        registry.update(job_id, status="failed", stage="failed",
+                        can_resume=True, error=str(exc),
+                        message=f"Render failed: {exc}")
+
+
+def start_render(payload: dict, resume_job_id: str = "",
+                 registry: JobRegistry = JOBS,
+                 base_folder: str | None = None) -> dict:
+    """Queue a render job on a daemon thread with the reference's
+    single-active-job and resume-rehydration semantics
+    (``VRGDG_StandaloneVideoEnhancerNodes.py:658-711``)."""
+    resume_job_id = str(resume_job_id or "").strip()
+    active = registry.active_job(excluding=resume_job_id)
+    if active:
+        raise ValueError(
+            f"Enhancement job {active.get('job_id')} is already running. "
+            "Wait for it to finish or cancel it first.")
+    if resume_job_id:
+        job_id = resume_job_id
+        existing = registry.snapshot(job_id)
+        if not existing:
+            job_folder = os.path.join(jobs_folder(base_folder), job_id)
+            manifest = mf.read_manifest(job_folder)
+            if not manifest:
+                raise ValueError(
+                    "The requested render checkpoint was not found.")
+            payload = {"source_path": manifest.get("source_path"),
+                       "settings": manifest.get("settings")}
+        elif existing.get("status") in {"running", "encoding"}:
+            raise ValueError("That enhancement job is already running.")
+    else:
+        job_id = (f"enhancer_{time.strftime('%Y%m%d_%H%M%S')}_"
+                  f"{uuid.uuid4().hex[:8]}")
+    cancel = registry.cancel_event(job_id)
+    cancel.clear()
+    registry.update(job_id, status="queued", stage="queued", progress=0.0,
+                    created_at=time.time(), can_resume=False,
+                    message="Queued…")
+    thread = threading.Thread(
+        target=render_job, args=(job_id, payload, bool(resume_job_id)),
+        kwargs={"registry": registry, "base_folder": base_folder},
+        daemon=True, name=f"VRGDGTPUEnhancer-{job_id}")
+    registry.attach(job_id, "thread", thread)
+    thread.start()
+    return registry.snapshot(job_id)
+
+
+def cancel_render(job_id: str, registry: JobRegistry = JOBS) -> dict:
+    event = registry.get_cancel(job_id)
+    if event is None:
+        raise ValueError("Enhancement job was not found.")
+    event.set()
+    return registry.snapshot(job_id)
+
+
+def preview_frame(source_path: str, timestamp: float, settings,
+                  base_folder: str | None = None) -> dict:
+    """Render a before/after PNG pair for one frame
+    (``VRGDG_StandaloneVideoEnhancerNodes.py:714-753``)."""
+    import cv2
+
+    settings = (settings if isinstance(settings, EnhancerSettings)
+                else EnhancerSettings.normalize(settings))
+    source_path = video_io.normalize_video_path(source_path)
+    metadata = video_io.probe_video(source_path)
+    capture = cv2.VideoCapture(source_path)
+    try:
+        capture.set(cv2.CAP_PROP_POS_MSEC, max(0.0, float(timestamp)) * 1000.0)
+        ok, frame = capture.read()
+        if not ok:
+            capture.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            ok, frame = capture.read()
+        if not ok:
+            raise RuntimeError("Could not decode the selected preview frame.")
+    finally:
+        capture.release()
+    frame_index = max(0, min(metadata["frame_count"] - 1,
+                             int(round(float(timestamp) * metadata["fps"]))))
+    out_w, out_h = output_dimensions(metadata["width"], metadata["height"],
+                                     settings.upscale_resolution)
+    batch = video_io.frames_to_array([frame])
+    enhanced = apply_effects_batch(batch, settings, out_h, out_w, frame_index)
+    after = video_io.array_to_frames(enhanced)[0]
+
+    token = f"preview_{uuid.uuid4().hex}"
+    before_path = os.path.join(preview_folder(base_folder),
+                               f"{token}_before.png")
+    after_path = os.path.join(preview_folder(base_folder),
+                              f"{token}_after.png")
+    if not cv2.imwrite(before_path, frame) or not cv2.imwrite(after_path, after):
+        raise RuntimeError("Could not save the preview images.")
+    return {
+        "before_path": before_path,
+        "after_path": after_path,
+        "timestamp": max(0.0, float(timestamp)),
+        "frame_index": frame_index,
+        "metadata": metadata,
+        "output_width": out_w,
+        "output_height": out_h,
+    }

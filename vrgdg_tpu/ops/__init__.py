@@ -3,8 +3,14 @@
 from .adjust import apply_adjust
 from .color_match import color_match, lab_statistics, transfer_lab_statistics
 from .grade import GradeConfig, grade
+from .face import (FaceCandidate, crop_face, dedup_candidates,
+                   padded_square_box, select_candidate, tile_regions)
 from .grain import film_grain, grain_field
 from .lut import apply_lut
+from .paste_back import (ellipse_composite, gaussian_blur,
+                         mean_shift_color_match, paste_back,
+                         radial_face_composite, soft_blend_mask,
+                         soft_ellipse_mask)
 from .resize import (FIT_CROP, FIT_LETTERBOX, FIT_STRETCH, resample,
                      resample_matrix, resize_batch, restore_batch)
 from .sharpen import box_blur_3x3, laplacian_sharpen, sobel_sharpen, unsharp
@@ -15,4 +21,8 @@ __all__ = [
     "grain_field", "apply_lut", "FIT_CROP", "FIT_LETTERBOX", "FIT_STRETCH",
     "resample", "resample_matrix", "resize_batch", "restore_batch",
     "box_blur_3x3", "laplacian_sharpen", "sobel_sharpen", "unsharp",
+    "FaceCandidate", "crop_face", "dedup_candidates", "padded_square_box",
+    "select_candidate", "tile_regions", "ellipse_composite", "gaussian_blur",
+    "mean_shift_color_match", "paste_back", "radial_face_composite",
+    "soft_blend_mask", "soft_ellipse_mask",
 ]

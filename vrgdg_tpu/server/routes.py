@@ -1,0 +1,303 @@
+"""Standalone HTTP API: the reference's ``/vrgdg/...`` route surface without
+the ComfyUI PromptServer host.
+
+Route parity targets:
+- enhancer routes ``/vrgdg/video_enhancer/{upload,load,preview,render/start,
+  render/status,render/cancel,media}``
+  (``VRGDG_StandaloneVideoEnhancerNodes.py:756-867``),
+- LUT/grain/adjust routes under ``/vrgdg/music_builder/...``
+  (``VRGDG_LUTVideoTools.py:1424-1619``): catalog, example images, image and
+  video appliers, previews, preset CRUD.
+
+Handlers are thin wrappers over :mod:`vrgdg_tpu.api` and
+:mod:`vrgdg_tpu.jobs`; all responses are ``{"ok": bool, ...}`` JSON like
+the reference.  Blocking media work runs in the default executor so the
+event loop stays responsive while a render is active.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import functools
+import os
+import time
+import uuid
+
+from aiohttp import web
+
+from .. import api
+from ..api import paths
+from ..jobs import enhancer as enh
+from ..runtime import video_io
+
+
+def _ok(**payload):
+    return web.json_response({"ok": True, **payload})
+
+
+def _err(exc, status=400):
+    return web.json_response({"ok": False, "error": str(exc)}, status=status)
+
+
+def _handler(fn):
+    """Wrap a sync handler body: run in executor, JSON-wrap errors."""
+
+    @functools.wraps(fn)
+    async def wrapper(request):
+        loop = asyncio.get_running_loop()
+        try:
+            if asyncio.iscoroutinefunction(fn):
+                return await fn(request)
+            return await loop.run_in_executor(None, fn, request)
+        except FileNotFoundError as exc:
+            return _err(exc, status=404)
+        except Exception as exc:  # noqa: BLE001 — boundary
+            return _err(exc)
+
+    return wrapper
+
+
+async def _json(request):
+    try:
+        return await request.json()
+    except Exception:
+        return {}
+
+
+def create_app(base_folder: str | None = None,
+               luts_dir: str | None = None) -> web.Application:
+    app = web.Application(client_max_size=1024 ** 3)
+    routes = web.RouteTableDef()
+    registry = enh.JOBS
+
+    # ---------------- video enhancer ----------------
+
+    @routes.post("/vrgdg/video_enhancer/upload")
+    @_handler
+    async def enhancer_upload(request):
+        reader = await request.multipart()
+        saved_path = ""
+        async for part in reader:
+            if part.name != "video" or not part.filename:
+                continue
+            safe = video_io.safe_name(part.filename, "uploaded_video")
+            if os.path.splitext(safe)[1].lower() not in video_io.VIDEO_EXTENSIONS:
+                raise ValueError("Unsupported video type.")
+            saved_path = os.path.join(
+                enh.upload_folder(base_folder),
+                f"{time.strftime('%Y%m%d_%H%M%S')}_{uuid.uuid4().hex[:8]}_{safe}")
+            with open(saved_path, "wb") as handle:
+                while True:
+                    chunk = await part.read_chunk(size=1024 * 1024)
+                    if not chunk:
+                        break
+                    handle.write(chunk)
+            break
+        if not saved_path:
+            raise ValueError("No video was uploaded.")
+        return _ok(video=video_io.probe_video(saved_path))
+
+    @routes.post("/vrgdg/video_enhancer/load")
+    @_handler
+    async def enhancer_load(request):
+        payload = await _json(request)
+        return _ok(video=video_io.probe_video(payload.get("path")))
+
+    @routes.post("/vrgdg/video_enhancer/preview")
+    @_handler
+    async def enhancer_preview(request):
+        payload = await _json(request)
+        loop = asyncio.get_running_loop()
+        result = await loop.run_in_executor(
+            None,
+            lambda: enh.preview_frame(
+                payload.get("source_path"),
+                float(payload.get("timestamp") or 0),
+                payload.get("settings"), base_folder=base_folder))
+        return _ok(**result)
+
+    @routes.post("/vrgdg/video_enhancer/render/start")
+    @_handler
+    async def enhancer_start(request):
+        payload = await _json(request)
+        job = enh.start_render(payload, payload.get("resume_job_id") or "",
+                               registry=registry, base_folder=base_folder)
+        return _ok(job=job)
+
+    @routes.get("/vrgdg/video_enhancer/render/status")
+    @_handler
+    def enhancer_status(request):
+        job_id = str(request.query.get("job_id") or "").strip()
+        job = registry.snapshot(job_id)
+        if not job:
+            raise FileNotFoundError("Enhancement job was not found.")
+        return _ok(job=job)
+
+    @routes.post("/vrgdg/video_enhancer/render/cancel")
+    @_handler
+    async def enhancer_cancel(request):
+        payload = await _json(request)
+        job = enh.cancel_render(str(payload.get("job_id") or "").strip(),
+                                registry=registry)
+        return _ok(job=job)
+
+    @routes.get("/vrgdg/video_enhancer/media")
+    @_handler
+    def enhancer_media(request):
+        path = os.path.normpath(os.path.abspath(
+            str(request.query.get("path") or "").strip()))
+        if not os.path.isfile(path):
+            raise FileNotFoundError("Media file was not found.")
+        allowed = video_io.VIDEO_EXTENSIONS | {".png", ".jpg", ".jpeg", ".webp"}
+        if os.path.splitext(path)[1].lower() not in allowed:
+            raise ValueError("Unsupported media type.")
+        return web.FileResponse(path)
+
+    # ---------------- LUT / grain / adjust ----------------
+
+    @routes.get("/vrgdg/music_builder/luts")
+    @_handler
+    def luts_list(request):
+        return _ok(**api.list_luts(luts_dir))
+
+    @routes.get("/vrgdg/music_builder/luts/example")
+    @_handler
+    def luts_example(request):
+        name = str(request.query.get("name") or "")
+        catalog = api.list_luts(luts_dir)
+        path = os.path.join(catalog["examples_dir"], os.path.basename(name))
+        if not os.path.isfile(path):
+            raise FileNotFoundError("Example image was not found.")
+        return web.FileResponse(path)
+
+    def _sync_json_route(route_path, fn):
+        @routes.post(route_path)
+        @_handler
+        async def handler(request, _fn=fn):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(None, lambda: _fn(payload))
+            return _ok(result=result)
+
+    _sync_json_route(
+        "/vrgdg/music_builder/luts/apply_image",
+        lambda p: api.apply_lut_to_image(
+            p.get("input"), p.get("lut"), p.get("output", ""),
+            float(p.get("strength", 10.0)),
+            replace_source=bool(p.get("replace_source")), luts_dir=luts_dir))
+    _sync_json_route(
+        "/vrgdg/music_builder/luts/apply_video",
+        lambda p: api.apply_lut_to_video(
+            p.get("input"), p.get("lut"), p.get("output", ""),
+            float(p.get("strength", 10.0)),
+            batch_size=int(p.get("batch_size", 8)),
+            replace_source=bool(p.get("replace_source")),
+            preserve_audio=bool(p.get("preserve_audio", True)),
+            encode_crf=p.get("encode_crf", 23),
+            encode_preset=p.get("encode_preset", "medium"),
+            luts_dir=luts_dir))
+    _sync_json_route(
+        "/vrgdg/music_builder/luts/preview",
+        lambda p: api.preview_lut_on_media(
+            p.get("input"), p.get("lut"), float(p.get("strength", 10.0)),
+            luts_dir=luts_dir, base=base_folder))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/apply_film_grain_image",
+        lambda p: api.apply_film_grain_to_image(
+            p.get("input"), p.get("output", ""),
+            float(p.get("grain_intensity", 0.04)),
+            float(p.get("saturation_mix", 0.5)), p.get("seed"),
+            replace_source=bool(p.get("replace_source"))))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/apply_film_grain_video",
+        lambda p: api.apply_film_grain_to_video(
+            p.get("input"), p.get("output", ""),
+            float(p.get("grain_intensity", 0.04)),
+            float(p.get("saturation_mix", 0.5)), p.get("seed"),
+            batch_size=int(p.get("batch_size", 8)),
+            replace_source=bool(p.get("replace_source")),
+            preserve_audio=bool(p.get("preserve_audio", True)),
+            encode_crf=p.get("encode_crf", 26),
+            encode_preset=p.get("encode_preset", "medium")))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/preview_film_grain",
+        lambda p: api.preview_film_grain_on_media(
+            p.get("input"), float(p.get("grain_intensity", 0.04)),
+            float(p.get("saturation_mix", 0.5)), p.get("seed"),
+            base=base_folder))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/apply_adjust_image",
+        lambda p: api.apply_adjust_to_image(
+            p.get("input"), p.get("output", ""), p.get("settings"),
+            replace_source=bool(p.get("replace_source"))))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/apply_adjust_video",
+        lambda p: api.apply_adjust_to_video(
+            p.get("input"), p.get("output", ""), p.get("settings"),
+            batch_size=int(p.get("batch_size", 8)),
+            replace_source=bool(p.get("replace_source")),
+            preserve_audio=bool(p.get("preserve_audio", True)),
+            encode_crf=p.get("encode_crf", 23),
+            encode_preset=p.get("encode_preset", "medium")))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/preview_adjust",
+        lambda p: api.preview_adjust_on_media(
+            p.get("input"), p.get("settings"), base=base_folder))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/grade_video",
+        lambda p: api.grade_video(
+            p.get("input"), p.get("output", ""),
+            lut_name=p.get("lut"), lut_strength=float(p.get("strength", 10.0)),
+            adjust=p.get("adjust"), reference_image=p.get("reference_image"),
+            match_strength=float(p.get("match_strength", 1.0)),
+            sharpen_strength=float(p.get("sharpen_strength", 0.0)),
+            grain_intensity=float(p.get("grain_intensity", 0.0)),
+            saturation_mix=float(p.get("saturation_mix", 0.5)),
+            seed=int(p.get("seed", 0)),
+            batch_size=int(p.get("batch_size", 8)),
+            preserve_audio=bool(p.get("preserve_audio", True)),
+            luts_dir=luts_dir))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/delete_preview",
+        lambda p: {"deleted": api.delete_preview(p.get("path"),
+                                                 base=base_folder)})
+
+    @routes.get("/vrgdg/music_builder/post_process/adjust_presets")
+    @_handler
+    def presets_list(request):
+        return _ok(presets=api.list_adjust_presets(base=base_folder))
+
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/save_adjust_preset",
+        lambda p: api.save_adjust_preset(p.get("name"), p.get("settings"),
+                                         base=base_folder))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/import_adjust_preset",
+        lambda p: api.import_adjust_preset(p.get("path"), base=base_folder))
+    _sync_json_route(
+        "/vrgdg/music_builder/post_process/delete_adjust_preset",
+        lambda p: {"deleted": api.delete_adjust_preset(p.get("name"),
+                                                       base=base_folder)})
+
+    @routes.get("/vrgdg/health")
+    @_handler
+    def health(request):
+        return _ok(version=_version(), backend=api.device_name())
+
+    app.add_routes(routes)
+    return app
+
+
+def _version():
+    from .. import __version__
+
+    return __version__
+
+
+def main(host: str = "127.0.0.1", port: int = 8431,
+         base_folder: str | None = None, luts_dir: str | None = None):
+    web.run_app(create_app(base_folder, luts_dir), host=host, port=port)
+
+
+if __name__ == "__main__":
+    main()
