@@ -37,45 +37,58 @@ def _is_oom(exc: Exception) -> bool:
 
 
 def bench_tpu(reference_np):
+    """Chained-scan timing: N dependent grade steps inside ONE jitted
+    program, so async dispatch through remote backends cannot inflate the
+    number (each step consumes the previous step's output), followed by a
+    scalar host fetch as the hard sync."""
     import jax
     import jax.numpy as jnp
 
-    from vrgdg_tpu.core.cube import build_palette_lut
+    from vrgdg_tpu.core.cube import build_palette_lut, dense_table
     from vrgdg_tpu.core.params import (ColorMatchParams, GrainParams,
                                        LUTParams, SharpenParams)
     from vrgdg_tpu.ops.color_match import lab_statistics
-    from vrgdg_tpu.ops.grade import GradeConfig, grade
+    from vrgdg_tpu.ops.grade import GradeConfig, _grade_impl
 
     config = GradeConfig(
         lut=LUTParams.normalize(8.0),
+        lut_mode="dense",  # video frames are 8-bit sourced: bit-exact
         color_match=ColorMatchParams.normalize(0.7),
         sharpen=SharpenParams.normalize(1.5, border="zero"),
         grain=GrainParams.normalize(0.05, 0.5, seed=42),
     )
-    lut = jnp.asarray(build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 33).table)
-    ref_stats = lab_statistics(jnp.asarray(reference_np))
-
-    def step(frames, start):
-        return grade(frames, config, lut=lut, ref_stats=ref_stats,
-                     frame_start=start)
+    lut = build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 33)
+    dense = jnp.asarray(dense_table(lut))
+    dmin = jnp.zeros(3, jnp.float32)
+    dmax = jnp.ones(3, jnp.float32)
+    ref_mean, ref_std = lab_statistics(jnp.asarray(reference_np))
 
     last_error = None
     for batch in BATCH_CANDIDATES:
         frames_np, _ = _inputs(batch)
         frames = jnp.asarray(frames_np)
+        iters = max(2, TIMED_FRAMES // batch)
+
+        @jax.jit
+        def chained(frames):
+            def body(carry, i):
+                out = _grade_impl(carry, config, dense, dmin, dmax,
+                                  ref_mean, ref_std,
+                                  (i * batch).astype(jnp.uint32))
+                return out, ()
+            out, _ = jax.lax.scan(body, frames,
+                                  jnp.arange(iters, dtype=jnp.int32))
+            return jnp.sum(out[0, 0, :2])
+
         try:
-            jax.block_until_ready(step(frames, 0))  # warmup/compile
+            float(chained(frames))  # warmup/compile + hard sync
         except Exception as exc:
             if _is_oom(exc):
                 last_error = exc
                 continue
             raise
-        iters = max(1, TIMED_FRAMES // batch)
         start = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = step(frames, i * batch)
-        jax.block_until_ready(out)
+        float(chained(frames))
         elapsed = time.perf_counter() - start
         return (iters * batch) / elapsed, jax.default_backend(), batch
     raise RuntimeError(f"All batch sizes OOMed: {last_error}")

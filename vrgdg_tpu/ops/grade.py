@@ -29,7 +29,7 @@ from ..core.params import (AdjustSettings, ColorMatchParams, GrainParams,
 from .adjust import apply_adjust
 from .color_match import lab_statistics, transfer_lab_statistics
 from .grain import film_grain
-from .lut import apply_lut
+from .lut import apply_lut, apply_lut_dense
 from .sharpen import laplacian_sharpen, sobel_sharpen, unsharp
 
 _SHARPEN_FNS = {
@@ -37,6 +37,27 @@ _SHARPEN_FNS = {
     "laplacian": laplacian_sharpen,
     "sobel": sobel_sharpen,
 }
+
+# Dense 256^3 tables are ~200 MB each; cache per LutData instance.
+_DENSE_CACHE: dict[int, object] = {}
+
+
+def _dense_for(lut):
+    from ..core.cube import LutData, dense_table
+
+    if not isinstance(lut, LutData):
+        import numpy as _np
+
+        lut = LutData(size=int(lut.shape[0]),
+                      table=_np.asarray(lut, _np.float32))
+    key = id(lut.table)
+    cached = _DENSE_CACHE.get(key)
+    if cached is None:
+        if len(_DENSE_CACHE) >= 4:
+            _DENSE_CACHE.pop(next(iter(_DENSE_CACHE)))
+        cached = dense_table(lut)
+        _DENSE_CACHE[key] = cached
+    return cached
 
 
 @dataclass(frozen=True)
@@ -53,6 +74,10 @@ class GradeConfig:
     color_match: ColorMatchParams | None = None
     sharpen: SharpenParams | None = None
     grain: GrainParams | None = None
+    # "trilinear" = exact interpolation (8 corner gathers); "dense" = one
+    # gather from a precomputed 256^3 table — bit-identical for 8-bit
+    # quantized frames (decoded video/images) and ~2x faster on TPU.
+    lut_mode: str = "trilinear"
 
     @property
     def any_enabled(self) -> bool:
@@ -65,8 +90,12 @@ def _grade_impl(frames, config: GradeConfig, lut_table, domain_min,
                 domain_max, ref_mean, ref_std, frame_start):
     out = frames
     if config.lut is not None:
-        out = apply_lut(out, lut_table, domain_min, domain_max,
-                        strength=config.lut.strength)
+        if config.lut_mode == "dense":
+            out = apply_lut_dense(out, lut_table,
+                                  strength=config.lut.strength)
+        else:
+            out = apply_lut(out, lut_table, domain_min, domain_max,
+                            strength=config.lut.strength)
     if config.adjust is not None:
         out = apply_adjust(out, config.adjust)
     if config.color_match is not None:
@@ -105,7 +134,11 @@ def grade(frames: jnp.ndarray, config: GradeConfig, *, lut=None,
     if config.lut is not None:
         if lut is None:
             raise ValueError("config.lut is set but no LUT was provided.")
-        if isinstance(lut, LutData):
+        if config.lut_mode == "dense":
+            table = jnp.asarray(_dense_for(lut))
+            dmin = jnp.zeros(3, jnp.float32)
+            dmax = jnp.ones(3, jnp.float32)
+        elif isinstance(lut, LutData):
             table = jnp.asarray(lut.table)
             dmin = jnp.asarray(lut.domain_min)
             dmax = jnp.asarray(lut.domain_max)

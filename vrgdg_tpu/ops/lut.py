@@ -80,6 +80,26 @@ def apply_lut(frames: jnp.ndarray, lut, domain_min=None, domain_max=None,
     return mixed
 
 
+def apply_lut_dense(frames: jnp.ndarray, dense_flat: jnp.ndarray,
+                    strength: float | jnp.ndarray = 10.0) -> jnp.ndarray:
+    """Apply a LUT via a precomputed dense 256^3 table
+    (:func:`vrgdg_tpu.core.cube.dense_table`) — one gather per pixel.
+
+    Bit-identical to :func:`apply_lut` when frame values are 8-bit
+    quantized (i.e. came from decoded video/images); inputs are rounded to
+    the nearest 8-bit level before lookup, so use only on such frames.
+    """
+    src = frames[..., :3].astype(jnp.float32)
+    q = jnp.clip(jnp.round(src * 255.0), 0, 255).astype(jnp.int32)
+    idx = ((q[..., 2] * 256 + q[..., 1]) * 256 + q[..., 0]).reshape(-1)
+    graded = jnp.take(dense_flat, idx, axis=0).reshape(src.shape)
+    blend = jnp.clip(jnp.asarray(strength, jnp.float32), 0.0, 10.0) / 10.0
+    mixed = (src * (1.0 - blend) + graded * blend).astype(frames.dtype)
+    if frames.shape[-1] > 3:
+        return frames.at[..., :3].set(mixed)
+    return mixed
+
+
 def lut_identity_error(lut, size_probe: int = 64) -> float:
     """Max abs error of a LUT applied to a dense identity probe — a cheap
     property check that an identity lattice grades to identity."""
