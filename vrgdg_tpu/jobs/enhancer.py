@@ -215,22 +215,33 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
         reader = video_io.VideoReader(source_path, batch_size=smallest_batch,
                                       start_frame=start_frame,
                                       end_frame=end_frame)
-        with reader:
-            for frame_index, frames in video_io.PrefetchingReader(reader):
+        # PrefetchingReader.close() stops and joins the pump thread before
+        # releasing the capture, so it owns reader shutdown on every path.
+        with video_io.PrefetchingReader(reader) as prefetch:
+            for frame_index, frames in prefetch:
                 if cancel_event.is_set():
                     raise InterruptedError("Render canceled.")
                 count = frames.shape[0]
-                # Pad short tail batches to the stable shape so the device
-                # step compiles once, then trim.
-                padded = frames
-                if count < smallest_batch:
-                    filler = np.repeat(frames[-1:], smallest_batch - count,
-                                       axis=0)
-                    padded = np.concatenate([frames, filler], axis=0)
-                enhanced, ok_batch = process_with_retry(
-                    padded, settings, out_h, out_w, frame_index)
-                smallest_batch = max(1, min(smallest_batch, ok_batch))
-                writer.write_array(enhanced[:count])
+                # Feed the device in chunks of the current OOM-proven batch
+                # size so each batch triggers at most one bisection per job
+                # (the reference reads min(smallest_batch, remaining) per
+                # step, VRGDG_StandaloneVideoEnhancerNodes.py:410-418).
+                # Short chunks are padded to the stable shape so the step
+                # compiles once per shape, then trimmed.
+                offset = 0
+                while offset < count:
+                    chunk = frames[offset:offset + smallest_batch]
+                    chunk_n = chunk.shape[0]
+                    padded = chunk
+                    if chunk_n < smallest_batch:
+                        filler = np.repeat(chunk[-1:],
+                                           smallest_batch - chunk_n, axis=0)
+                        padded = np.concatenate([chunk, filler], axis=0)
+                    enhanced, ok_batch = process_with_retry(
+                        padded, settings, out_h, out_w, frame_index + offset)
+                    smallest_batch = max(1, min(smallest_batch, ok_batch))
+                    writer.write_array(enhanced[:chunk_n])
+                    offset += chunk_n
                 frames_done += count
                 current = int(registry.snapshot(job_id).get(
                     "frames_processed") or 0) + count

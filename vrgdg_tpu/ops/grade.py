@@ -38,26 +38,32 @@ _SHARPEN_FNS = {
     "sobel": sobel_sharpen,
 }
 
-# Dense 256^3 tables are ~200 MB each; cache per LutData instance.
-_DENSE_CACHE: dict[int, object] = {}
+# Dense 256^3 tables are ~200 MB each; cache the *device-resident* table
+# per source table object so production calls neither rebuild nor
+# re-transfer it.  Entries hold the source object itself: as long as an
+# entry is alive its id() cannot be recycled by a different table, which
+# closes the stale-hit window id-only keying had after GC.
+_DENSE_CACHE: dict[int, tuple[object, object]] = {}
 
 
 def _dense_for(lut):
     from ..core.cube import LutData, dense_table
 
+    source = lut.table if isinstance(lut, LutData) else lut
+    key = id(source)
+    entry = _DENSE_CACHE.get(key)
+    if entry is not None and entry[0] is source:
+        return entry[1]
     if not isinstance(lut, LutData):
         import numpy as _np
 
         lut = LutData(size=int(lut.shape[0]),
                       table=_np.asarray(lut, _np.float32))
-    key = id(lut.table)
-    cached = _DENSE_CACHE.get(key)
-    if cached is None:
-        if len(_DENSE_CACHE) >= 4:
-            _DENSE_CACHE.pop(next(iter(_DENSE_CACHE)))
-        cached = dense_table(lut)
-        _DENSE_CACHE[key] = cached
-    return cached
+    if len(_DENSE_CACHE) >= 4:
+        _DENSE_CACHE.pop(next(iter(_DENSE_CACHE)))
+    device_dense = jnp.asarray(dense_table(lut))
+    _DENSE_CACHE[key] = (source, device_dense)
+    return device_dense
 
 
 @dataclass(frozen=True)
@@ -135,7 +141,7 @@ def grade(frames: jnp.ndarray, config: GradeConfig, *, lut=None,
         if lut is None:
             raise ValueError("config.lut is set but no LUT was provided.")
         if config.lut_mode == "dense":
-            table = jnp.asarray(_dense_for(lut))
+            table = _dense_for(lut)
             dmin = jnp.zeros(3, jnp.float32)
             dmax = jnp.ones(3, jnp.float32)
         elif isinstance(lut, LutData):

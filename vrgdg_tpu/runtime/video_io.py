@@ -379,17 +379,31 @@ class PrefetchingReader:
         self._reader = reader
         self._queue: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._error: BaseException | None = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Blocking put that aborts when :meth:`close` sets the stop flag
+        (so the pump never deadlocks against a departed consumer)."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _pump(self):
         try:
             for item in self._reader:
-                self._queue.put(item)
+                if not self._put(item):
+                    return
         except BaseException as exc:  # propagated on next __iter__ step
-            self._error = exc
+            if not self._stop.is_set():
+                self._error = exc
         finally:
-            self._queue.put(self._SENTINEL)
+            self._put(self._SENTINEL)
 
     def __iter__(self):
         while True:
@@ -401,4 +415,18 @@ class PrefetchingReader:
             yield item
 
     def close(self):
+        # cv2 capture release is not safe concurrent with capture.read(),
+        # so stop the pump, unblock any pending put, and join it before
+        # releasing the underlying reader.
+        self._stop.set()
+        with contextlib.suppress(queue.Empty):
+            while True:
+                self._queue.get_nowait()
+        self._thread.join(timeout=10)
         self._reader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -146,6 +146,14 @@ def create_app(base_folder: str | None = None,
     def enhancer_media(request):
         path = os.path.normpath(os.path.abspath(
             str(request.query.get("path") or "").strip()))
+        # The reference's route served any extension-matched path, but it
+        # ran inside ComfyUI; standalone, restrict to the roots this server
+        # itself writes media into (outputs/uploads/previews/presets).
+        roots = (enh.root_folder(base_folder),
+                 paths.preview_root(base_folder),
+                 os.path.abspath(base_folder or paths.DEFAULT_OUTPUT_ROOT))
+        if not any(paths._inside(root, path) for root in roots):
+            raise FileNotFoundError("Media file was not found.")
         if not os.path.isfile(path):
             raise FileNotFoundError("Media file was not found.")
         allowed = video_io.VIDEO_EXTENSIONS | {".png", ".jpg", ".jpeg", ".webp"}
