@@ -2,10 +2,11 @@
 
 The Pallas TPU interpreter stubs ``prng_random_bits`` to zeros, so on the
 CPU test mesh only the plumbing (shapes, blending, alpha passthrough,
-padding) is checked here; the noise-stream properties (distribution,
-determinism, batch-boundary invariance) run on real TPU hardware via
-``tests/tpu/test_tpu_smoke.py`` and were additionally validated manually on
-v5e (see kernels/grain_pallas.py docstring).
+padding) is checked here.  The noise-stream properties (distribution,
+determinism, batch-boundary invariance) are the ``@skipif`` tests below;
+the pytest conftest forces the CPU platform, so on a TPU host run them via
+``python tests/tpu_checks.py``, which executes the same checks on the real
+chip.
 """
 
 import jax

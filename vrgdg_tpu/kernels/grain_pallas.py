@@ -37,10 +37,16 @@ _TWO_PI = 6.283185307179586
 
 
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> float32 uniform in (0, 1): 24 mantissa bits, half-ulp
-    offset keeps the value strictly positive for the log()."""
-    return (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0) \
-        + (0.5 / 16777216.0)
+    """uint32 -> float32 uniform in (0, 1].
+
+    Mosaic has no uint32->float32 convert, so build the float bitwise: OR
+    the top 23 random bits into the mantissa of exponent 127 (0x3F800000),
+    bitcast to get a float in [1, 2), and map via ``2 - f`` to (0, 1] —
+    strictly positive, as the Box-Muller log() requires.
+    """
+    mantissa = jax.lax.shift_right_logical(bits, jnp.uint32(9))
+    f = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
+    return 2.0 - f
 
 
 def _grain_kernel(seed_ref, x_ref, out_ref, *, intensity: float,
