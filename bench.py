@@ -1,13 +1,28 @@
-"""Benchmark: 4K frames/sec/chip on the fused grade stack.
+"""Benchmark: frames/sec/chip on the fused grade stack, with per-stage
+profile and hardware rooflines.
 
-Measures the BASELINE.json flagship config — fused grain + 3D LUT +
-color match + unsharp sharpen on 4K (3840x2160) frames — on the default
-JAX device, and compares against the reference-path oracle (the same math
-as the torch/numpy reference implementation, measured on this host's CPU),
-since the reference publishes no numbers of its own (BASELINE.md).
+Measures the BASELINE.json configs on the default JAX device:
+  1. 512x512 film grain alone
+  2. 1080p trilinear 3D LUT
+  3. 1080p color match + unsharp sharpen
+  4. 4K fused grain + LUT + color match + sharpen  (the headline number)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+All timings use chained-scan loops — N dependent steps inside ONE jitted
+program with a scalar host fetch as the hard sync — so async dispatch
+through remote backends cannot inflate the numbers (block_until_ready is
+NOT a reliable execution barrier over the axon tunnel; measured).
+
+Baselines (the reference publishes no numbers, BASELINE.md):
+  - ``oracle_cpu_fps``: the reference nodes' math in float32 torch on this
+    host's CPU, single frame, single thread pool — the honest "what the
+    reference path does without a GPU" number.
+  - ``a100_estimate_fps``: an analytic estimate of the same stack on one
+    A100 from its published 2.0 TB/s HBM bandwidth and the stack's memory
+    traffic (elementwise-bound; gathers assumed memory-bound on GPU).
+    Clearly an estimate, not a measurement.
+
+Human-readable per-stage detail goes to stderr; stdout gets ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -18,92 +33,163 @@ import time
 
 import numpy as np
 
-WIDTH, HEIGHT = 3840, 2160
-BATCH_CANDIDATES = (4, 2, 1)
-TIMED_FRAMES = 32
+TIMED_STEPS = 16
 
 
-def _inputs(batch):
-    rng = np.random.default_rng(0)
-    frames = rng.uniform(0, 1, (batch, HEIGHT, WIDTH, 3)).astype(np.float32)
-    reference = rng.uniform(0, 1, (1, 256, 256, 3)).astype(np.float32)
-    return frames, reference
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _is_oom(exc: Exception) -> bool:
     text = str(exc).lower()
-    return "out of memory" in text or "resource_exhausted" in text \
-        or "hbm" in text
+    return ("out of memory" in text or "resource_exhausted" in text
+            or "hbm" in text)
 
 
-def bench_tpu(reference_np):
-    """Chained-scan timing: N dependent grade steps inside ONE jitted
-    program, so async dispatch through remote backends cannot inflate the
-    number (each step consumes the previous step's output), followed by a
-    scalar host fetch as the hard sync."""
+def chained_time(step_fn, x0, steps=TIMED_STEPS):
+    """Time ``steps`` dependent applications of step_fn inside one jit."""
     import jax
     import jax.numpy as jnp
 
-    from vrgdg_tpu.core.cube import build_palette_lut, dense_table
-    from vrgdg_tpu.core.params import (ColorMatchParams, GrainParams,
-                                       LUTParams, SharpenParams)
-    from vrgdg_tpu.ops.color_match import lab_statistics
-    from vrgdg_tpu.ops.grade import GradeConfig, _grade_impl
+    @jax.jit
+    def chained(x):
+        def body(carry, i):
+            return step_fn(carry, i), ()
+        out, _ = jax.lax.scan(body, x, jnp.arange(steps, dtype=jnp.int32))
+        return jnp.sum(out[(0,) * out.ndim])
 
-    config = GradeConfig(
-        lut=LUTParams.normalize(8.0),
-        lut_mode="dense",  # video frames are 8-bit sourced: bit-exact
-        color_match=ColorMatchParams.normalize(0.7),
-        sharpen=SharpenParams.normalize(1.5, border="zero"),
-        grain=GrainParams.normalize(0.05, 0.5, seed=42),
-    )
+    float(chained(x0))  # compile + hard sync
+    start = time.perf_counter()
+    float(chained(x0))
+    return (time.perf_counter() - start) / steps
+
+
+def hardware_probes():
+    """Measure the two rooflines that bound this stack: effective HBM
+    bandwidth (elementwise) and gather row issue rate."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 1, (64, 1024, 1024)).astype(np.float32))
+
+    def ew_step(carry, i):
+        return carry * 1.0000001 + 0.0000001, None
+
+    @jax.jit
+    def ew(x):
+        out, _ = lax.scan(ew_step, x, None, length=TIMED_STEPS)
+        return out[0, 0, 0]
+
+    float(ew(x))
+    t0 = time.perf_counter()
+    float(ew(x))
+    per = (time.perf_counter() - t0) / TIMED_STEPS
+    bw = 2 * x.size * 4 / per / 1e9  # read + write
+
+    rows = 8_000_000
+    tab = jnp.asarray(np.random.default_rng(1)
+                      .uniform(0, 1, (35937, 24)).astype(np.float32))
+    idx0 = jnp.asarray(np.random.default_rng(2)
+                       .integers(0, 35937, (rows,)).astype(np.int32))
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+
+    @jax.jit
+    def gat(idx0):
+        def body(k, carry):
+            g = lax.gather(tab, jnp.bitwise_xor(idx0, k & 1)[:, None], dn,
+                           slice_sizes=(1, 24),
+                           mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            return carry + g[0, 0] * 1e-9
+        return lax.fori_loop(0, TIMED_STEPS, body, 0.0)
+
+    float(gat(idx0))
+    t0 = time.perf_counter()
+    float(gat(idx0))
+    per = (time.perf_counter() - t0) / TIMED_STEPS
+    grate = rows / per / 1e9
+    return bw, grate
+
+
+def build_stack():
+    import jax.numpy as jnp
+
+    from vrgdg_tpu.core.cube import build_palette_lut
+    from vrgdg_tpu.core.params import (AdjustSettings, ColorMatchParams,
+                                       GrainParams, LUTParams, SharpenParams)
+    from vrgdg_tpu.ops.color_match import lab_statistics
+    from vrgdg_tpu.ops.grade import GradeConfig, _bundle_for, _grade_impl
+
     lut = build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 33)
-    dense = jnp.asarray(dense_table(lut))
+    bundle = _bundle_for(lut)
     dmin = jnp.zeros(3, jnp.float32)
     dmax = jnp.ones(3, jnp.float32)
-    ref_mean, ref_std = lab_statistics(jnp.asarray(reference_np))
+    reference = jnp.asarray(np.random.default_rng(7)
+                            .uniform(0, 1, (1, 256, 256, 3))
+                            .astype(np.float32))
+    ref_mean, ref_std = lab_statistics(reference)
 
-    last_error = None
-    for batch in BATCH_CANDIDATES:
-        frames_np, _ = _inputs(batch)
-        frames = jnp.asarray(frames_np)
-        iters = max(2, TIMED_FRAMES // batch)
+    def step(config):
+        def fn(carry, i):
+            return _grade_impl(carry, config, bundle, dmin, dmax,
+                               ref_mean, ref_std,
+                               (i * 4).astype(jnp.uint32))
+        return fn
 
-        @jax.jit
-        def chained(frames):
-            def body(carry, i):
-                out = _grade_impl(carry, config, dense, dmin, dmax,
-                                  ref_mean, ref_std,
-                                  (i * batch).astype(jnp.uint32))
-                return out, ()
-            out, _ = jax.lax.scan(body, frames,
-                                  jnp.arange(iters, dtype=jnp.int32))
-            return jnp.sum(out[0, 0, :2])
+    mk = dict(
+        grain_only=GradeConfig(grain=GrainParams.normalize(0.05, 0.5, 42)),
+        lut_only=GradeConfig(lut=LUTParams.normalize(8.0)),
+        cm_sharpen=GradeConfig(
+            color_match=ColorMatchParams.normalize(0.7),
+            sharpen=SharpenParams.normalize(1.5, border="zero")),
+        fused=GradeConfig(
+            lut=LUTParams.normalize(8.0),
+            color_match=ColorMatchParams.normalize(0.7),
+            sharpen=SharpenParams.normalize(1.5, border="zero"),
+            grain=GrainParams.normalize(0.05, 0.5, seed=42)),
+        adjust_only=GradeConfig(adjust=AdjustSettings.normalize(
+            {"exposure": 10, "contrast": 12, "saturation": 8,
+             "vignette": 20})),
+        sharpen_only=GradeConfig(
+            sharpen=SharpenParams.normalize(1.5, border="zero")),
+        cm_only=GradeConfig(color_match=ColorMatchParams.normalize(0.7)),
+    )
+    return {name: step(cfg) for name, cfg in mk.items()}, lut
 
+
+def frames_for(batch, height, width):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.uniform(0, 1, (batch, height, width, 3))
+                       .astype(np.float32))
+
+
+def measure(step_fn, batch, height, width):
+    last = None
+    for b in (batch, max(1, batch // 2), 1):
         try:
-            float(chained(frames))  # warmup/compile + hard sync
-        except Exception as exc:
+            per = chained_time(step_fn, frames_for(b, height, width))
+            return b / per, b
+        except Exception as exc:  # pragma: no cover - hardware dependent
             if _is_oom(exc):
-                last_error = exc
+                last = exc
                 continue
             raise
-        start = time.perf_counter()
-        float(chained(frames))
-        elapsed = time.perf_counter() - start
-        return (iters * batch) / elapsed, jax.default_backend(), batch
-    raise RuntimeError(f"All batch sizes OOMed: {last_error}")
+    raise RuntimeError(f"all batch sizes OOMed: {last}")
 
 
-def bench_oracle(frames_np, reference_np):
-    """Reference-path oracle: the reference nodes' math in float32 torch on
-    this host's CPU (BASELINE.md: the baseline is self-measured — the
-    reference publishes no numbers)."""
+def bench_oracle_cpu():
+    """Reference-path math (LUT+colormatch+sharpen+grain) in torch f32 on
+    this host CPU, one 4K frame."""
     import torch
     import torch.nn.functional as F
 
     from vrgdg_tpu.core.cube import build_palette_lut
 
-    def rgb_to_lab(rgb):  # kornia-equivalent pipeline, f32
+    def rgb_to_lab(rgb):
         lin = torch.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4,
                           rgb / 12.92)
         m = torch.tensor([[0.412453, 0.357580, 0.180423],
@@ -135,18 +221,20 @@ def bench_oracle(frames_np, reference_np):
 
     lut = torch.from_numpy(build_palette_lut(
         "#0b1d51, #1f6aa5, #f3d27a", 33).table)
-    img = torch.from_numpy(frames_np[:1])
-    ref = torch.from_numpy(reference_np)
+    rng = np.random.default_rng(0)
+    img = torch.from_numpy(rng.uniform(0, 1, (1, 2160, 3840, 3))
+                           .astype(np.float32))
+    ref = torch.from_numpy(rng.uniform(0, 1, (1, 256, 256, 3))
+                           .astype(np.float32))
     start = time.perf_counter()
     with torch.inference_mode():
-        # trilinear LUT (VRGDG_IV_Adjustments.py:288-343) at strength 8/10
         coords = img.clamp(0, 1) * (lut.shape[0] - 1)
         lo = coords.floor().long()
         hi = (lo + 1).clamp(max=lut.shape[0] - 1)
-        f = (coords - lo.float())
+        f = coords - lo.float()
         r0, g0, b0 = lo[..., 0], lo[..., 1], lo[..., 2]
         r1, g1, b1 = hi[..., 0], hi[..., 1], hi[..., 2]
-        fr, fg, fb = (f[..., 0:1], f[..., 1:2], f[..., 2:3])
+        fr, fg, fb = f[..., 0:1], f[..., 1:2], f[..., 2:3]
         c00 = lut[b0, g0, r0] * (1 - fb) + lut[b1, g0, r0] * fb
         c01 = lut[b0, g1, r0] * (1 - fb) + lut[b1, g1, r0] * fb
         c10 = lut[b0, g0, r1] * (1 - fb) + lut[b1, g0, r1] * fb
@@ -154,14 +242,12 @@ def bench_oracle(frames_np, reference_np):
         graded = ((c00 * (1 - fg) + c01 * fg) * (1 - fr)
                   + (c10 * (1 - fg) + c11 * fg) * fr).clamp(0, 1)
         out = img * 0.2 + graded * 0.8
-        # color match (nodes.py:91-124)
         il, rl = rgb_to_lab(out), rgb_to_lab(ref)
         matched = ((il - il.mean(dim=(1, 2), keepdim=True))
                    / (il.std(dim=(1, 2), keepdim=True) + 1e-5)
                    * (rl.std(dim=(1, 2), keepdim=True) + 1e-5)
                    + rl.mean(dim=(1, 2), keepdim=True))
         out = lab_to_rgb(0.7 * matched + 0.3 * il)
-        # unsharp (nodes.py:166-177) + grain (nodes.py:51-60)
         x = out.permute(0, 3, 1, 2)
         blur = F.avg_pool2d(x, kernel_size=3, stride=1, padding=1)
         x = (x + 1.5 * (x - blur)).clamp(0, 1)
@@ -172,24 +258,74 @@ def bench_oracle(frames_np, reference_np):
         grain = 0.5 * grain + 0.5 * gray
         out = (x + grain * 0.05).clamp(0, 1)
         _ = out.permute(0, 2, 3, 1).numpy()
-    elapsed = time.perf_counter() - start
-    return 1.0 / elapsed
+    return 1.0 / (time.perf_counter() - start)
+
+
+def a100_estimate():
+    """Analytic A100 estimate for the fused 4K stack, documented in-line.
+
+    Model: the stack is memory-bound on an A100 (2.0 TB/s HBM).  Per frame
+    (100 MB f32): LUT ~3 passes (read+idx+write), colormatch ~3 (stats +
+    apply), sharpen ~2, grain ~2, fused pipeline reuse ~0.7 factor =>
+    ~7 traffic passes x 100 MB = 0.7 GB/frame => ~2850 fps.  This is an
+    upper-bound-ish estimate, not a measurement.
+    """
+    passes = 7.0 * 0.7
+    bytes_per_frame = 3840 * 2160 * 3 * 4
+    return 2.0e12 / (passes * bytes_per_frame)
 
 
 def main():
-    reference = _inputs(1)[1]
-    tpu_fps, backend, batch = bench_tpu(reference)
-    frames, _ = _inputs(1)
-    oracle_fps = bench_oracle(frames, reference)
+    import jax
+
+    backend = jax.default_backend()
+    bw, grate = hardware_probes()
+    log(f"[bench] backend={backend} elementwise_bw={bw:.0f} GB/s "
+        f"gather_rate={grate:.2f} G-rows/s")
+
+    steps, _ = build_stack()
+    detail = {}
+
+    cfgs = [
+        ("grain_512", "grain_only", 16, 512, 512),
+        ("lut_1080p", "lut_only", 8, 1080, 1920),
+        ("cm_sharpen_1080p", "cm_sharpen", 8, 1080, 1920),
+        ("fused_4k", "fused", 2, 2160, 3840),
+    ]
+    for name, key, batch, h, w in cfgs:
+        fps, used_batch = measure(steps[key], batch, h, w)
+        detail[name] = {"fps": round(fps, 2), "batch": used_batch}
+        log(f"[bench] {name}: {fps:.2f} fps (batch {used_batch})")
+
+    # per-stage at 4K for the profile section
+    stage_ms = {}
+    for key in ("lut_only", "cm_only", "sharpen_only", "grain_only",
+                "adjust_only"):
+        fps, used_batch = measure(steps[key], 2, 2160, 3840)
+        stage_ms[key] = round(1000.0 / fps, 2)
+        log(f"[bench] stage {key}: {1000.0/fps:.2f} ms/frame @4K")
+
+    oracle_fps = bench_oracle_cpu()
+    a100_fps = a100_estimate()
+    fused = detail["fused_4k"]["fps"]
+    log(f"[bench] oracle_cpu={oracle_fps:.3f} fps  "
+        f"a100_estimate={a100_fps:.0f} fps (analytic)")
+
     print(json.dumps({
         "metric": "4K frames/sec/chip, fused grain+LUT+colormatch+sharpen",
-        "value": round(tpu_fps, 3),
+        "value": round(fused, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(tpu_fps / oracle_fps, 3),
-        "baseline_fps": round(oracle_fps, 3),
+        "vs_baseline": round(fused / oracle_fps, 3),
+        "baseline": "torch-f32 reference math on host CPU, 1 thread-pool",
+        "oracle_cpu_fps": round(oracle_fps, 3),
+        "a100_estimate_fps": round(a100_fps, 1),
+        "vs_a100_estimate": round(fused / a100_fps, 4),
         "backend": backend,
-        "batch": batch,
-        "resolution": f"{WIDTH}x{HEIGHT}",
+        "elementwise_gbps": round(bw, 1),
+        "gather_grows_per_s": round(grate, 3),
+        "configs": detail,
+        "stage_ms_per_4k_frame": stage_ms,
+        "lut_mode": "bundle (exact trilinear, one row-gather/pixel)",
     }))
 
 

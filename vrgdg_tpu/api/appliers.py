@@ -232,8 +232,7 @@ def _apply_effect_to_image(input_path, effect, *, tag: str, output_path="",
 
 def _lut_effect(lut_name, strength, luts_dir=None):
     lut = GLOBAL_LUT_CACHE.load(paths.safe_lut_path(lut_name, luts_dir))
-    # decoded media is 8-bit quantized, so the dense path is bit-exact
-    config = GradeConfig(lut=LUTParams.normalize(strength), lut_mode="dense")
+    config = GradeConfig(lut=LUTParams.normalize(strength))
 
     def effect(batch, frame_index):
         return grade(batch, config, lut=lut)
@@ -368,7 +367,6 @@ def grade_video(input_path, output_path="", *, lut_name=None,
         ref_stats = lab_statistics(ref)
 
     config = GradeConfig(
-        lut_mode="dense",  # inputs are decoded 8-bit media: bit-exact
         lut=LUTParams.normalize(lut_strength) if lut is not None else None,
         adjust=(AdjustSettings.normalize(adjust)
                 if adjust is not None else None),

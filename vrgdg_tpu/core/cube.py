@@ -212,41 +212,33 @@ def identity_lut(size: int = 33) -> LutData:
                    table=np.stack([red, green, blue], axis=-1).astype(np.float32))
 
 
-def dense_table(lut: LutData) -> np.ndarray:
-    """Precompute the LUT's trilinear output for every 8-bit RGB triple.
+def corner_bundle(lut: LutData | np.ndarray) -> np.ndarray:
+    """Precompute the 8-corner bundle table for fast trilinear application.
 
-    Returns a ``(256**3, 3)`` float32 array indexed
-    ``(b8 * 256 + g8) * 256 + r8``.  For frames whose values are 8-bit
-    quantized (every decoded video/image), a single gather from this table
-    is bit-identical to trilinear interpolation — and on TPU one gather is
-    ~2.6x faster than the eight corner gathers (XLA TPU gathers are
-    scalar-bound, ~1e8 rows/s; measured on v5e).
+    Returns a ``(N^3, 24)`` float32 array: row ``cell = (b0*N + g0)*N + r0``
+    holds the LUT's rgb values at the cell's eight lattice corners
+    (``hi = min(lo+1, N-1)``), corner-major then channel
+    (``[c000, c100, c010, c110, c001, c101, c011, c111] x rgb``, where the
+    corner digit order is blue/green/red lo->hi).
 
-    Build cost is ~1 s of vectorized numpy per LUT (cache via
-    :class:`LutCache`-style keying upstream); 201 MB on device.
+    Why: TPU gathers are issue-rate-bound per *row*, not per byte (measured
+    ~0.5 G rows/s on v5e regardless of row width 4..32), so fetching all
+    eight trilinear corners in ONE row-gather is ~8x cheaper than eight
+    separate corner gathers.  :func:`vrgdg_tpu.ops.lut.apply_lut_bundle`
+    consumes this table and is exact (bit-identical to
+    :func:`~vrgdg_tpu.ops.lut.apply_lut`) for arbitrary float inputs.
+    ~3.4 MB for N=33; build is vectorized numpy (~10 ms).
     """
-    table = lut.table  # [b, g, r, 3]
-    size = lut.size
-    span = np.maximum(lut.domain_max - lut.domain_min, 1e-6)
-    # Per-axis sample positions for the 256 quantized input levels.
-    levels = np.arange(256, dtype=np.float32) / 255.0
-    coords = np.clip((levels[:, None] - lut.domain_min) / span, 0.0, 1.0) \
-        * (size - 1)  # (256, 3) per-channel lattice coords
-    lo = np.minimum(np.floor(coords).astype(np.int32), size - 2)
-    fr = coords - lo
-
-    def lerp_axis(arr, axis_lo, axis_fr, axis):
-        take0 = np.take(arr, axis_lo, axis=axis)
-        take1 = np.take(arr, axis_lo + 1, axis=axis)
-        shape = [1] * take0.ndim
-        shape[axis] = 256
-        w1 = axis_fr.reshape(shape)
-        return take0 * (1.0 - w1) + take1 * w1
-
-    dense = lerp_axis(table, lo[:, 2], fr[:, 2], 0)   # blue axis
-    dense = lerp_axis(dense, lo[:, 1], fr[:, 1], 1)   # green axis
-    dense = lerp_axis(dense, lo[:, 0], fr[:, 0], 2)   # red axis
-    return np.clip(dense, 0.0, 1.0).reshape(-1, 3).astype(np.float32)
+    table = lut.table if isinstance(lut, LutData) else np.asarray(lut)
+    n = table.shape[0]
+    lo = np.arange(n)
+    hi = np.minimum(lo + 1, n - 1)
+    out = np.empty((n, n, n, 8, 3), np.float32)
+    combos = [(lo, lo, lo), (hi, lo, lo), (lo, hi, lo), (hi, hi, lo),
+              (lo, lo, hi), (hi, lo, hi), (lo, hi, hi), (hi, hi, hi)]
+    for k, (b, g, r) in enumerate(combos):
+        out[..., k, :] = table[b][:, g][:, :, r]
+    return out.reshape(n ** 3, 24)
 
 
 class LutCache:

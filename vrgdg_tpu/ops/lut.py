@@ -7,19 +7,36 @@ indexed ``[b, g, r]``, and a three-stage lerp over the blue, green, then red
 fractions.  Strength 0-10 maps to a 0-1 source/graded blend
 (``VRGDG_IV_Adjustments.py:345-361``); alpha channels pass through.
 
-TPU-first formulation: the ``(N, N, N, 3)`` table is flattened to
-``(N^3, 3)`` and the eight corner fetches become ``jnp.take`` gathers with
-precomputed flat indices.  XLA keeps the (431 KB for N=33) table resident
-and fuses the lerp chain with neighbouring elementwise ops; the whole op is
-vmappable/shardable over frames with zero collectives.
+Two implementations of the same math:
+
+- :func:`apply_lut` — the readable reference path: eight ``jnp.take``
+  corner gathers + three-stage lerp.  Used as the oracle in tests and for
+  small inputs.
+- :func:`apply_lut_bundle` — the production TPU path.  TPU gathers are
+  issue-rate-bound per row (~0.5 G rows/s on v5e, independent of row
+  width), so this fetches all eight corners in ONE row-gather from a
+  precomputed ``(N^3, 24)`` corner-bundle table
+  (:func:`vrgdg_tpu.core.cube.corner_bundle`), with
+  ``PROMISE_IN_BOUNDS`` (indices are in-bounds by construction from
+  clipped coordinates) and pixel-minor intermediate layouts throughout —
+  small-minor shapes like ``(P, 3)`` take a heavily padded TPU tiling, so
+  every intermediate here keeps pixels in the minor dimension.  Measured
+  ~6x faster than :func:`apply_lut` at 4K on v5e and bit-identical to it
+  for arbitrary float inputs (not just 8-bit-quantized ones).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core.cube import LutData
+
+# Gather one (1, 24) bundle row per pixel; offset dim FIRST so the output
+# is (24, ...pixels) — pixels stay minor, no padded small-minor layouts.
+_BUNDLE_DNUMS = lax.GatherDimensionNumbers(
+    offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,))
 
 
 def _as_table(lut) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -80,21 +97,60 @@ def apply_lut(frames: jnp.ndarray, lut, domain_min=None, domain_max=None,
     return mixed
 
 
-def apply_lut_dense(frames: jnp.ndarray, dense_flat: jnp.ndarray,
-                    strength: float | jnp.ndarray = 10.0) -> jnp.ndarray:
-    """Apply a LUT via a precomputed dense 256^3 table
-    (:func:`vrgdg_tpu.core.cube.dense_table`) — one gather per pixel.
+def apply_lut_bundle(frames: jnp.ndarray, bundle: jnp.ndarray,
+                     domain_min=None, domain_max=None,
+                     strength: float | jnp.ndarray = 10.0) -> jnp.ndarray:
+    """Apply a 3D LUT via its precomputed corner-bundle table — the
+    production TPU path (see module docstring).
 
-    Bit-identical to :func:`apply_lut` when frame values are 8-bit
-    quantized (i.e. came from decoded video/images); inputs are rounded to
-    the nearest 8-bit level before lookup, so use only on such frames.
+    Bit-identical to :func:`apply_lut` for arbitrary inputs.  ``bundle``
+    is ``(N^3, 24)`` from :func:`vrgdg_tpu.core.cube.corner_bundle`.
+
+    Shapes stay batch-leading (``(B, P)`` pixel arrays rather than one
+    flat axis) so a frame-axis ``NamedSharding`` on the input propagates
+    through the gather without collectives.
     """
-    src = frames[..., :3].astype(jnp.float32)
-    q = jnp.clip(jnp.round(src * 255.0), 0, 255).astype(jnp.int32)
-    idx = ((q[..., 2] * 256 + q[..., 1]) * 256 + q[..., 0]).reshape(-1)
-    graded = jnp.take(dense_flat, idx, axis=0).reshape(src.shape)
+    size = round(bundle.shape[0] ** (1.0 / 3.0))
+    max_index = size - 1
+    src = frames[..., :3]
+    lead = src.shape[:-1]
+    batch = lead[0] if len(lead) > 1 else 1
+    pixels = int(np.prod(lead[1:])) if len(lead) > 1 else int(lead[0])
+
+    dmin = (jnp.zeros(3, jnp.float32) if domain_min is None
+            else jnp.asarray(domain_min, jnp.float32))
+    dmax = (jnp.ones(3, jnp.float32) if domain_max is None
+            else jnp.asarray(domain_max, jnp.float32))
+    span = jnp.maximum(dmax - dmin, 1e-6)
+
+    # Pixel-minor planes (3, B, P): channel extraction via one transpose.
+    pm = jnp.transpose(src.astype(jnp.float32).reshape(batch, pixels, 3),
+                       (2, 0, 1))
+    coords = (jnp.clip((pm - dmin[:, None, None]) / span[:, None, None],
+                       0.0, 1.0) * max_index)
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo = lo.astype(jnp.int32)
+    cell = (lo[2] * size + lo[1]) * size + lo[0]          # (B, P)
+
+    g = lax.gather(bundle, cell[..., None], _BUNDLE_DNUMS,
+                   slice_sizes=(1, 24),
+                   mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # (24,B,P)
+    fr, fg, fb = frac[0], frac[1], frac[2]
+    out_ch = []
+    for c in range(3):
+        c00 = g[0 + c] * (1.0 - fb) + g[3 + c] * fb
+        c01 = g[6 + c] * (1.0 - fb) + g[9 + c] * fb
+        c10 = g[12 + c] * (1.0 - fb) + g[15 + c] * fb
+        c11 = g[18 + c] * (1.0 - fb) + g[21 + c] * fb
+        c0 = c00 * (1.0 - fg) + c01 * fg
+        c1 = c10 * (1.0 - fg) + c11 * fg
+        out_ch.append(jnp.clip(c0 * (1.0 - fr) + c1 * fr, 0.0, 1.0))
+
     blend = jnp.clip(jnp.asarray(strength, jnp.float32), 0.0, 10.0) / 10.0
-    mixed = (src * (1.0 - blend) + graded * blend).astype(frames.dtype)
+    planes = [(pm[c] * (1.0 - blend) + out_ch[c] * blend).reshape(lead)
+              for c in range(3)]
+    mixed = jnp.stack(planes, axis=-1).astype(frames.dtype)
     if frames.shape[-1] > 3:
         return frames.at[..., :3].set(mixed)
     return mixed
