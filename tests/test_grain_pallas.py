@@ -45,6 +45,25 @@ def test_output_clamped():
     assert out.min() >= 0.0 and out.max() <= 1.0
 
 
+def test_grade_grain_mode_pallas_plumbing():
+    """grain_mode="pallas" is selectable from GradeConfig; on the CPU
+    interpreter the PRNG is stubbed to zero bits (-> zero noise), so the
+    output must equal the grain-free grade — this checks the wiring and
+    blend math, not the noise."""
+    from vrgdg_tpu.core.params import GrainParams, SharpenParams
+    from vrgdg_tpu.ops.grade import GradeConfig, grade
+
+    frames = jnp.asarray(np.random.default_rng(0)
+                         .uniform(0, 1, (2, 16, 128, 3)).astype(np.float32))
+    with_grain = GradeConfig(sharpen=SharpenParams.normalize(1.0),
+                             grain=GrainParams.normalize(0.1, 0.5, seed=3),
+                             grain_mode="pallas")
+    without = GradeConfig(sharpen=SharpenParams.normalize(1.0))
+    a = grade(frames, with_grain)
+    b = grade(frames, without)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
 def test_tpu_batch_boundary_invariance():
     frames = jnp.full((6, 32, 128, 3), 0.5, jnp.float32)

@@ -86,11 +86,27 @@ def main() -> int:
         ])
         np.testing.assert_array_equal(whole, parts)
 
+    def grade_pallas_grain_mode():
+        # grain_mode="pallas" through the full grade stack on chip: noise
+        # statistics must survive the integration.
+        from vrgdg_tpu.core.params import GrainParams
+        from vrgdg_tpu.ops.grade import GradeConfig, grade
+
+        frames = jnp.full((2, 128, 128, 3), 0.5, jnp.float32)
+        cfg = GradeConfig(grain=GrainParams.normalize(0.01, 1.0, seed=9),
+                          grain_mode="pallas")
+        out = np.asarray(grade(frames, cfg))
+        noise = (out - 0.5) / 0.01
+        stds = noise.reshape(-1, 3).std(axis=0)
+        np.testing.assert_allclose(stds[0] / stds[1], 2.0, rtol=0.05)
+        np.testing.assert_allclose(stds[2] / stds[1], 3.0, rtol=0.05)
+
     check("pallas grain: compiles + noise", grain_compiles_and_makes_noise)
     check("pallas grain: channel statistics", grain_statistics)
     check("pallas grain: desaturation broadcast", grain_desaturation)
     check("pallas grain: determinism/batch invariance",
           grain_determinism_and_batch_invariance)
+    check("grade grain_mode=pallas on chip", grade_pallas_grain_mode)
 
     print("[tpu_checks] ALL OK")
     return 0

@@ -79,6 +79,11 @@ class GradeConfig:
     # per pixel (~6x faster on TPU, bit-identical for arbitrary inputs);
     # "reference" = the readable eight-corner-gather oracle path.
     lut_mode: str = "bundle"
+    # "threefry" (default) = counter-based JAX PRNG, bit-identical across
+    # any device/backend; "pallas" = the hardware-PRNG Pallas kernel
+    # (kernels/grain_pallas) — same determinism contract and noise
+    # statistics, different stream, TPU only (interpreted elsewhere).
+    grain_mode: str = "threefry"
 
     @property
     def any_enabled(self) -> bool:
@@ -106,9 +111,17 @@ def _grade_impl(frames, config: GradeConfig, lut_table, domain_min,
         fn = _SHARPEN_FNS[config.sharpen.kind]
         out = fn(out, config.sharpen.strength, config.sharpen.border)
     if config.grain is not None and config.grain.intensity > 0:
-        out = film_grain(out, config.grain.intensity,
-                         config.grain.saturation_mix, config.grain.seed,
-                         frame_start=frame_start)
+        if config.grain_mode == "pallas":
+            from ..kernels.grain_pallas import film_grain_pallas
+
+            out = film_grain_pallas(out, config.grain.intensity,
+                                    config.grain.saturation_mix,
+                                    config.grain.seed,
+                                    frame_start=frame_start)
+        else:
+            out = film_grain(out, config.grain.intensity,
+                             config.grain.saturation_mix, config.grain.seed,
+                             frame_start=frame_start)
     return out
 
 
