@@ -175,7 +175,8 @@ def test_oom_bisection(monkeypatch):
     calls = []
     real = enh.apply_effects_batch
 
-    def flaky(frames, settings, out_h=None, out_w=None, frame_start=0):
+    def flaky(frames, settings, out_h=None, out_w=None, frame_start=0,
+              mesh=None):
         calls.append(len(frames))
         if len(frames) > 2:
             raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")

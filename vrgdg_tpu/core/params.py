@@ -211,6 +211,10 @@ class EnhancerSettings:
     encode_preset: str = "medium"
     preserve_audio: bool = True
     output_name: str = "enhanced_video.mp4"
+    # TPU-native addition (no reference analog — the reference is
+    # single-GPU): number of mesh devices to shard frame batches over.
+    # 0 = all visible devices, 1 = single-device.
+    data_parallel: int = 0
 
     @classmethod
     def normalize(cls, payload: Mapping[str, Any] | None = None) -> "EnhancerSettings":
@@ -238,6 +242,7 @@ class EnhancerSettings:
             preserve_audio=bool(p.get("preserve_audio", True)),
             output_name=_safe_name(p.get("output_name") or "enhanced_video.mp4",
                                    "enhanced_video"),
+            data_parallel=_clampi(p.get("data_parallel", 0), 0, 4096, 0),
         )
 
     def to_dict(self) -> dict[str, Any]:

@@ -95,18 +95,55 @@ def _enhance_step(frames: jnp.ndarray, settings: EnhancerSettings,
     return out
 
 
+def mesh_for_settings(settings: EnhancerSettings):
+    """Build the frame-axis data-parallel mesh the job will run on, or
+    ``None`` for single-device (BASELINE config 5: "enhancer pipeline ...
+    sharded over a TPU mesh").
+
+    Every op in the enhance step is frame-local and grain is per-frame
+    seeded, so frame-axis sharding is embarrassingly parallel and output
+    is bit-identical to single-device by construction (locked by
+    ``tests/test_enhancer_mesh.py``).
+    """
+    want = int(getattr(settings, "data_parallel", 0))
+    if want == 1:
+        return None
+    n_visible = len(jax.devices())
+    n_use = n_visible if want == 0 else min(want, n_visible)
+    if n_use <= 1:
+        return None
+    from ..parallel import make_mesh
+
+    return make_mesh(n_use, spatial=1)
+
+
 def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
                         out_height: int | None = None,
                         out_width: int | None = None,
-                        frame_start: int = 0) -> np.ndarray:
-    """Host wrapper: BHWC float32 in, enhanced BHWC float32 out."""
+                        frame_start: int = 0, mesh=None) -> np.ndarray:
+    """Host wrapper: BHWC float32 in, enhanced BHWC float32 out.
+
+    With ``mesh`` set, the batch is padded to divide over the mesh's
+    "data" axis (repeating the last frame; the padding is trimmed after)
+    and sharded across chips; the same jitted step runs under GSPMD with
+    zero collectives.
+    """
     if out_height is None:
         out_height = int(frames.shape[1])
     if out_width is None:
         out_width = int(frames.shape[2])
-    result = _enhance_step(jnp.asarray(frames), settings, int(out_height),
+    count = int(frames.shape[0])
+    device_frames = jnp.asarray(frames)
+    if mesh is not None:
+        from ..parallel import frame_sharding, pad_to_multiple
+
+        device_frames, _ = pad_to_multiple(
+            device_frames, mesh.shape["data"], axis=0)
+        device_frames = jax.device_put(device_frames,
+                                       frame_sharding(mesh))
+    result = _enhance_step(device_frames, settings, int(out_height),
                            int(out_width), jnp.asarray(frame_start, jnp.uint32))
-    return np.asarray(result)
+    return np.asarray(result[:count])
 
 
 def _is_oom(exc: Exception) -> bool:
@@ -116,23 +153,24 @@ def _is_oom(exc: Exception) -> bool:
 
 def process_with_retry(frames: np.ndarray, settings: EnhancerSettings,
                        out_height: int, out_width: int,
-                       frame_start: int) -> tuple[np.ndarray, int]:
+                       frame_start: int, mesh=None) -> tuple[np.ndarray, int]:
     """Bisect the batch on device OOM, like the reference's CUDA retry
     (``VRGDG_StandaloneVideoEnhancerNodes.py:297-308``); returns
     ``(frames, smallest_successful_batch)``."""
     try:
         out = apply_effects_batch(frames, settings, out_height, out_width,
-                                  frame_start)
+                                  frame_start, mesh=mesh)
         return out, len(frames)
     except Exception as exc:
         if not _is_oom(exc) or len(frames) <= 1:
             raise
         midpoint = max(1, len(frames) // 2)
         left, left_n = process_with_retry(frames[:midpoint], settings,
-                                          out_height, out_width, frame_start)
+                                          out_height, out_width, frame_start,
+                                          mesh=mesh)
         right, right_n = process_with_retry(frames[midpoint:], settings,
                                             out_height, out_width,
-                                            frame_start + midpoint)
+                                            frame_start + midpoint, mesh=mesh)
         return np.concatenate([left, right], axis=0), min(left_n, right_n)
 
 
@@ -203,12 +241,17 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                     end_frame: int, metadata: dict,
                     settings: EnhancerSettings, job_id: str,
                     cancel_event: threading.Event,
-                    registry: JobRegistry) -> tuple[int, int]:
+                    registry: JobRegistry, mesh=None) -> tuple[int, int]:
     out_w, out_h = output_dimensions(metadata["width"], metadata["height"],
                                      settings.upscale_resolution)
     batch = settings.batch_size or auto_batch_size(out_w, out_h)
+    n_chips = 1 if mesh is None else mesh.devices.size
+    if mesh is not None:
+        # Keep whole device-batches busy: at least one frame per chip.
+        batch = max(batch, n_chips)
     frames_done = 0
     smallest_batch = batch
+    started = time.time()
 
     writer = video_io.VideoWriter(segment_path, metadata["fps"], out_w, out_h)
     try:
@@ -238,7 +281,8 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                                            smallest_batch - chunk_n, axis=0)
                         padded = np.concatenate([chunk, filler], axis=0)
                     enhanced, ok_batch = process_with_retry(
-                        padded, settings, out_h, out_w, frame_index + offset)
+                        padded, settings, out_h, out_w, frame_index + offset,
+                        mesh=mesh)
                     smallest_batch = max(1, min(smallest_batch, ok_batch))
                     writer.write_array(enhanced[:chunk_n])
                     offset += chunk_n
@@ -246,11 +290,14 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                 current = int(registry.snapshot(job_id).get(
                     "frames_processed") or 0) + count
                 total = max(1, int(metadata["frame_count"]))
+                elapsed = max(1e-6, time.time() - started)
                 registry.update(
                     job_id,
                     frames_processed=current,
                     progress=min(0.94, current / total * 0.94),
                     batch_size=smallest_batch,
+                    mesh_devices=n_chips,
+                    fps_per_chip=round(frames_done / elapsed / n_chips, 3),
                     message=(f"Upscaling and enhancing frames "
                              f"{current:,}/{total:,}"),
                 )
@@ -284,6 +331,7 @@ def render_job(job_id: str, payload: dict, resume: bool = False,
                 "The source video or enhancement settings changed, so this "
                 "job cannot resume.")
 
+        mesh = mesh_for_settings(settings)
         frames_per_segment = max(1, int(round(
             float(metadata["fps"]) * settings.segment_seconds)))
         total_segments = max(1, int(math.ceil(
@@ -335,7 +383,7 @@ def render_job(job_id: str, payload: dict, resume: bool = False,
                          f"{total_segments}"))
             frames_done, _ = _render_segment(
                 source_path, partial_path, start, end, metadata, settings,
-                job_id, cancel_event, registry)
+                job_id, cancel_event, registry, mesh=mesh)
             os.replace(partial_path, segment_path)
             completed.add(segment_index)
             manifest["completed_segments"] = sorted(completed)
