@@ -287,6 +287,35 @@ def create_app(base_folder: str | None = None,
         lambda p: {"deleted": api.delete_adjust_preset(p.get("name"),
                                                        base=base_folder)})
 
+    # ---------------- face fix ----------------
+    # Route surface parity: /root/reference/VRGDG_FaceFix.py:1029-1104.
+    # Responses are flat {"ok": true, **result} like the reference's.
+
+    from ..jobs import face_fix as ff
+
+    def _face_fix_route(route_path, fn):
+        @routes.post(route_path)
+        @_handler
+        async def handler(request, _fn=fn):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(None, lambda: _fn(payload))
+            return _ok(**result)
+
+    _face_fix_route("/vrgdg/face_fix/prepare", ff.prepare_face_fix)
+    _face_fix_route("/vrgdg/face_fix/estimate_anchors", ff.estimate_anchors)
+    _face_fix_route("/vrgdg/face_fix/accept_enhanced",
+                    ff.accept_enhanced_crop)
+    _face_fix_route("/vrgdg/face_fix/accept_enhanced_anchor",
+                    ff.accept_enhanced_anchor)
+    # the reference names this build_ltx_prompt; both names serve the same
+    # contract here (the ComfyUI workflow-JSON patching is out of scope)
+    _face_fix_route("/vrgdg/face_fix/build_ltx_prompt", ff.build_ltx_inputs)
+    _face_fix_route("/vrgdg/face_fix/build_ltx_inputs", ff.build_ltx_inputs)
+    _face_fix_route("/vrgdg/face_fix/accept_ltx_frames",
+                    ff.accept_ltx_frames)
+    _face_fix_route("/vrgdg/face_fix/finalize", ff.finalize_face_fix)
+
     @routes.get("/vrgdg/health")
     @_handler
     def health(request):
