@@ -6,6 +6,8 @@ Subcommands:
   adjust   — 13-slider adjust stack on a video or image
   grade    — the fused full stack (grain+LUT+colormatch+adjust+sharpen)
   enhance  — the Standalone Video Enhancer job (segmented, resumable)
+  compare  — A/B comparison renders (side_by_side/slider/overlay/
+             difference/blink)
   luts     — list bundled LUTs
   make-lut — synthesize a palette .cube file
   probe    — video metadata
@@ -74,6 +76,19 @@ def main(argv=None):
     p.add_argument("--settings", default="{}", help="JSON enhancer settings")
     p.add_argument("--resume", default="", help="job id to resume")
     p.add_argument("--output-root", default=None)
+
+    p = sub.add_parser("compare", help="render an A/B comparison")
+    p.add_argument("input_a")
+    p.add_argument("input_b")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("--mode", default="slider",
+                   choices=["side_by_side", "slider", "overlay",
+                            "difference", "blink"])
+    p.add_argument("--slider-position", type=float, default=0.5)
+    p.add_argument("--overlay-opacity", type=float, default=0.5)
+    p.add_argument("--difference-gain", type=float, default=1.0)
+    p.add_argument("--blink-speed", type=float, default=1.0)
+    p.add_argument("--batch-size", type=int, default=8)
 
     sub.add_parser("luts", help="list bundled LUTs")
 
@@ -157,6 +172,22 @@ def main(argv=None):
         _print(snap)
         if status != "complete":
             sys.exit(1)
+    elif args.command == "compare":
+        from . import api
+        ext = os.path.splitext(args.input_a)[1].lower()
+        if ext in {".png", ".jpg", ".jpeg", ".webp", ".bmp"}:
+            _print(api.compare_images(
+                args.input_a, args.input_b, args.mode, args.output,
+                slider_position=args.slider_position,
+                overlay_opacity=args.overlay_opacity,
+                difference_gain=args.difference_gain))
+        else:
+            _print(api.compare_videos(
+                args.input_a, args.input_b, args.mode, args.output,
+                slider_position=args.slider_position,
+                overlay_opacity=args.overlay_opacity,
+                difference_gain=args.difference_gain,
+                blink_speed=args.blink_speed, batch_size=args.batch_size))
     elif args.command == "luts":
         from . import api
         _print(api.list_luts())

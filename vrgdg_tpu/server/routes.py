@@ -287,6 +287,29 @@ def create_app(base_folder: str | None = None,
         lambda p: {"deleted": api.delete_adjust_preset(p.get("name"),
                                                        base=base_folder)})
 
+    # ---------------- compare ----------------
+    # The reference renders these five modes in a browser widget
+    # (VRGDG_ImageCompareNode.py:11-14); standalone they render to media.
+
+    _sync_json_route(
+        "/vrgdg/compare/image",
+        lambda p: api.compare_images(
+            p.get("input_a"), p.get("input_b"), p.get("mode", "slider"),
+            p.get("output", ""),
+            slider_position=float(p.get("slider_position", 0.5)),
+            overlay_opacity=float(p.get("overlay_opacity", 0.5)),
+            difference_gain=float(p.get("difference_gain", 1.0))))
+    _sync_json_route(
+        "/vrgdg/compare/video",
+        lambda p: api.compare_videos(
+            p.get("input_a"), p.get("input_b"), p.get("mode", "slider"),
+            p.get("output", ""),
+            slider_position=float(p.get("slider_position", 0.5)),
+            overlay_opacity=float(p.get("overlay_opacity", 0.5)),
+            difference_gain=float(p.get("difference_gain", 1.0)),
+            blink_speed=float(p.get("blink_speed", 1.0)),
+            batch_size=int(p.get("batch_size", 8))))
+
     # ---------------- face fix ----------------
     # Route surface parity: /root/reference/VRGDG_FaceFix.py:1029-1104.
     # Responses are flat {"ok": true, **result} like the reference's.
