@@ -150,3 +150,14 @@ def test_replace_source(media, tmp_path):
                                     replace_source=True)
     assert result["output"] == os.path.abspath(copy)
     assert os.path.isfile(copy)
+
+
+def test_lut_catalog_examples_paired():
+    """Every bundled LUT has a generated example image
+    (VERDICT #10; pairing logic from VRGDG_LUTVideoTools.py:188-219)."""
+    from vrgdg_tpu.api.paths import list_luts
+
+    catalog = list_luts()
+    assert len(catalog["luts"]) >= 12
+    for item in catalog["luts"]:
+        assert item["example_name"], f"{item['name']} has no example image"

@@ -76,6 +76,10 @@ def main(argv=None):
     p.add_argument("--settings", default="{}", help="JSON enhancer settings")
     p.add_argument("--resume", default="", help="job id to resume")
     p.add_argument("--output-root", default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed first (multi-host; see "
+                        "vrgdg_tpu.parallel.distributed for the env "
+                        "contract)")
 
     p = sub.add_parser("compare", help="render an A/B comparison")
     p.add_argument("input_a")
@@ -103,6 +107,8 @@ def main(argv=None):
     p = sub.add_parser("serve", help="run the HTTP API server")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8431)
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed first (multi-host)")
 
     args = parser.parse_args(argv)
 
@@ -152,6 +158,9 @@ def main(argv=None):
             preserve_audio=not args.no_audio, encode_crf=args.crf,
             encode_preset=args.preset, luts_dir=args.luts_dir))
     elif args.command == "enhance":
+        if args.distributed:
+            from .parallel import initialize_distributed
+            initialize_distributed()
         from .jobs import enhancer as enh
         payload = {"source_path": args.input,
                    "settings": json.loads(args.settings)}
@@ -200,6 +209,9 @@ def main(argv=None):
         from .runtime import video_io
         _print(video_io.probe_video(args.input))
     elif args.command == "serve":
+        if args.distributed:
+            from .parallel import initialize_distributed
+            initialize_distributed()
         from .server import main as serve_main
         serve_main(host=args.host, port=args.port)
 
