@@ -1,0 +1,93 @@
+"""Small video utilities + profiling telemetry."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vrgdg_tpu.runtime import profiling, video_io
+
+
+def test_pad_frames_array():
+    frames = np.arange(4 * 2 * 2 * 3, dtype=np.float32).reshape(4, 2, 2, 3)
+    tail = video_io.pad_frames_array(frames, 2)
+    assert tail.shape[0] == 6
+    np.testing.assert_array_equal(tail[4], frames[3])
+    np.testing.assert_array_equal(tail[5], frames[3])
+    front = video_io.pad_frames_array(frames, 3, pad_front=True)
+    assert front.shape[0] == 7
+    np.testing.assert_array_equal(front[0], frames[0])
+    np.testing.assert_array_equal(front[2], frames[0])
+    np.testing.assert_array_equal(front[3], frames[0])
+    same = video_io.pad_frames_array(frames, 0)
+    assert same.shape[0] == 4
+
+
+def test_add_preroll_frames():
+    assert video_io.add_preroll_frames(48, 0) == (48, 0)
+    assert video_io.add_preroll_frames(48, 1) == (54, 6)
+    assert video_io.add_preroll_frames(48, 3, preroll_frames=4) == (52, 4)
+
+
+def _write_clip(path, frames, fps=10.0, size=(64, 48)):
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             size)
+    rng = np.random.default_rng(0)
+    for _ in range(frames):
+        writer.write(rng.integers(0, 255, (size[1], size[0], 3), np.uint8))
+    writer.release()
+
+
+def test_trim_final_clip(tmp_path):
+    folder = str(tmp_path)
+    _write_clip(os.path.join(folder, "video_0000.mp4"), 20)
+    _write_clip(os.path.join(folder, "video_0001.mp4"), 20)  # 2s at 10fps
+
+    # not the last chunk -> no-op
+    assert video_io.trim_final_clip(folder, "video", 20, 3.0, 0, 2, 10) == ""
+
+    # last chunk: audio 3.0s total, chunk 1 starts at 2.0s -> keep 1.0s
+    final = video_io.trim_final_clip(folder, "video", 20, 3.0, 1, 2, 10)
+    assert final.endswith("video_0001.mp4")
+    meta = video_io.probe_video(final)
+    assert meta["frame_count"] <= 12  # ~1s of 10fps, container slack
+
+    # remaining <= 0 -> untouched path returned
+    _write_clip(os.path.join(folder, "clipb_0000.mp4"), 20)
+    out = video_io.trim_final_clip(folder, "clipb", 20, 0.0, 0, 1, 10)
+    assert out.endswith("clipb_0000.mp4")
+    assert video_io.probe_video(out)["frame_count"] == 20
+
+
+def test_stage_timer():
+    timer = profiling.StageTimer()
+    with timer.stage("a"):
+        pass
+    with timer.stage("a"):
+        pass
+    timer.add("b", 0.5)
+    seconds = timer.seconds()
+    assert set(seconds) == {"a", "b"}
+    assert seconds["b"] == 0.5
+    assert timer.counts() == {"a": 2, "b": 1}
+
+
+def test_maybe_trace_noop(monkeypatch):
+    monkeypatch.delenv(profiling.TRACE_ENV, raising=False)
+    with profiling.maybe_trace("x") as target:
+        assert target is None
+
+
+def test_applier_reports_stage_seconds(tmp_path):
+    from vrgdg_tpu import api
+
+    clip = str(tmp_path / "in.mp4")
+    _write_clip(clip, 8)
+    result = api.apply_film_grain_to_video(
+        clip, str(tmp_path / "out.mp4"), 0.05, 0.5, 7, batch_size=4,
+        preserve_audio=False)
+    stages = result["stage_seconds"]
+    assert {"decode", "device", "encode"} <= set(stages)
+    assert all(v >= 0 for v in stages.values())

@@ -26,7 +26,7 @@ from ..core.params import (AdjustSettings, ColorMatchParams, GrainParams,
                            LUTParams, SharpenParams)
 from ..ops.color_match import lab_statistics
 from ..ops.grade import GradeConfig, grade
-from ..runtime import video_io
+from ..runtime import profiling, video_io
 from . import paths
 
 
@@ -135,18 +135,28 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
     fps, width, height = metadata["fps"], metadata["width"], metadata["height"]
     started = time.perf_counter()
     counters = {"frames": 0}
+    timer = profiling.StageTimer()
 
     def producer():
         counters["frames"] = 0
         reader = video_io.VideoReader(input_path, batch_size=batch_size)
-        with reader:
-            for frame_index, batch in video_io.PrefetchingReader(reader):
-                out = effect(batch, frame_index)
+        with reader, video_io.PrefetchingReader(reader) as prefetch:
+            iterator = iter(prefetch)
+            while True:
+                with timer.stage("decode"):
+                    item = next(iterator, None)
+                if item is None:
+                    break
+                frame_index, batch = item
+                with timer.stage("device"):
+                    out = np.asarray(effect(batch, frame_index))
                 counters["frames"] += out.shape[0]
-                yield np.asarray(out)
+                with timer.stage("encode"):
+                    yield out
 
-    selected_codec = video_io.write_video_with_fallback(
-        tmp_output, fps, width, height, producer)
+    with profiling.maybe_trace(tag):
+        selected_codec = video_io.write_video_with_fallback(
+            tmp_output, fps, width, height, producer)
     processed_frames = counters["frames"]
 
     ffmpeg_result = ffmpeg_browser_encode(
@@ -180,6 +190,10 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
         "encoder": encoder,
         "browser_friendly": bool(ffmpeg_result.get("ok")),
         "ffmpeg_encode": ffmpeg_result,
+        # per-stage wall-clock breakdown (SURVEY section 5.1): decode =
+        # waiting on the prefetching reader, device = jitted effect incl.
+        # host<->device transfer, encode = cv2 write (downstream of yield)
+        "stage_seconds": timer.seconds(),
     }
     result.update(extra_fields or {})
     return result

@@ -368,6 +368,86 @@ def _concat_ffmpeg(ffmpeg, segment_paths, output_path, audio_source,
     return {"backend": "ffmpeg:libx264", "audio": bool(audio_source)}
 
 
+def pad_frames_array(frames: np.ndarray, pad_frames: int,
+                     pad_front: bool = False) -> np.ndarray:
+    """Repeat the first (preroll) or last (tail) frame ``pad_frames``
+    times (``GeneralVideoNodes.py:1945-1988``)."""
+    frames = np.asarray(frames)
+    pad_frames = int(pad_frames)
+    if frames.shape[0] == 0 or pad_frames <= 0:
+        return frames
+    edge = frames[:1] if pad_front else frames[-1:]
+    padding = np.repeat(edge, pad_frames, axis=0)
+    parts = [padding, frames] if pad_front else [frames, padding]
+    return np.concatenate(parts, axis=0)
+
+
+def add_preroll_frames(frames_per_scene: int, chunk_index: int,
+                       preroll_frames: int = 6) -> tuple[int, int]:
+    """Extra front frames for non-first chunks; returns
+    ``(total_frames_to_generate, preroll_frames_to_trim)``
+    (``video_preroll.py:1-11``)."""
+    if int(chunk_index) == 0:
+        return int(frames_per_scene), 0
+    return int(frames_per_scene) + int(preroll_frames), int(preroll_frames)
+
+
+def trim_final_clip(output_folder: str, base_name: str,
+                    frames_per_scene: int, audio_total_duration: float,
+                    index: int, total_sets: int, fps: float,
+                    overwrite: bool = True) -> str:
+    """Trim the final padded chunk of a chunked render to the audio's
+    remaining duration (``GeneralVideoNodes.py:1822-1893``): runs only for
+    the last chunk, finds the highest-numbered ``{base}_NNNN.mp4``, and
+    stream-copies the first ``remaining`` seconds (re-encoding through the
+    cv2 codec chain when ffmpeg is unavailable).  Returns the final path
+    ("" when not the last chunk or no chunk file exists)."""
+    if int(index) != int(total_sets) - 1:
+        return ""
+    pattern = re.compile(rf"{re.escape(base_name)}_(\d{{4}})")
+    files = [f for f in os.listdir(output_folder)
+             if f.startswith(base_name + "_") and f.endswith(".mp4")
+             and pattern.search(f)]
+    if not files:
+        return ""
+    last_clip = os.path.join(
+        output_folder, max(files, key=lambda f: int(pattern.search(f).group(1))))
+
+    scene_duration = float(frames_per_scene) / float(fps)
+    remaining = float(audio_total_duration) - float(index) * scene_duration
+    if remaining <= 0:
+        return last_clip
+
+    final_path = last_clip if overwrite else os.path.join(
+        output_folder, f"{base_name}_{int(index):04d}_trimmed.mp4")
+    temp_path = final_path + ".tmp.mp4"
+    ffmpeg = find_ffmpeg()
+    if ffmpeg is not None:
+        subprocess.run([ffmpeg, "-y", "-i", last_clip,
+                        "-t", f"{remaining:.6f}", "-c", "copy", temp_path],
+                       check=True, capture_output=True)
+    else:
+        import cv2
+
+        meta_capture = cv2.VideoCapture(last_clip)
+        clip_fps = float(meta_capture.get(cv2.CAP_PROP_FPS) or fps)
+        width = int(meta_capture.get(cv2.CAP_PROP_FRAME_WIDTH))
+        height = int(meta_capture.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        meta_capture.release()
+        keep = max(1, int(round(remaining * clip_fps)))
+
+        def produce():
+            reader = VideoReader(last_clip, batch_size=8, end_frame=keep)
+            with reader:
+                for _, batch in reader:
+                    yield batch
+
+        write_video_with_fallback(temp_path, clip_fps, width, height,
+                                  produce)
+    os.replace(temp_path, final_path)
+    return final_path
+
+
 class PrefetchingReader:
     """Decode-ahead wrapper: a background thread keeps ``depth`` decoded
     batches queued so device compute overlaps host decode — the streaming
