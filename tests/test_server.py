@@ -139,6 +139,13 @@ def test_routes_end_to_end(media, tmp_path):
                                      json={"path": "/nonexistent.mp4"})
             assert resp.status == 404
             assert (await resp.json())["ok"] is False
+
+            # web UI served; root redirects to it
+            resp = await client.get("/vrgdg/ui")
+            assert resp.status == 200
+            assert "vrgdg_tpu" in (await resp.text())
+            resp = await client.get("/", allow_redirects=False)
+            assert resp.status == 302
         finally:
             await client.close()
 

@@ -290,12 +290,23 @@ def create_app(base_folder: str | None = None,
     # ---------------- compare ----------------
     # The reference renders these five modes in a browser widget
     # (VRGDG_ImageCompareNode.py:11-14); standalone they render to media.
+    # Default outputs land under the served enhancer root so the web UI
+    # can play them back through the media route.
+
+    def _compare_output(payload, ext):
+        given = str(payload.get("output") or "").strip()
+        if given:
+            return given
+        return os.path.join(
+            enh.root_folder(base_folder),
+            f"compare_{payload.get('mode', 'slider')}_"
+            f"{int(time.time() * 1000)}{ext}")
 
     _sync_json_route(
         "/vrgdg/compare/image",
         lambda p: api.compare_images(
             p.get("input_a"), p.get("input_b"), p.get("mode", "slider"),
-            p.get("output", ""),
+            _compare_output(p, ".png"),
             slider_position=float(p.get("slider_position", 0.5)),
             overlay_opacity=float(p.get("overlay_opacity", 0.5)),
             difference_gain=float(p.get("difference_gain", 1.0))))
@@ -303,7 +314,7 @@ def create_app(base_folder: str | None = None,
         "/vrgdg/compare/video",
         lambda p: api.compare_videos(
             p.get("input_a"), p.get("input_b"), p.get("mode", "slider"),
-            p.get("output", ""),
+            _compare_output(p, ".mp4"),
             slider_position=float(p.get("slider_position", 0.5)),
             overlay_opacity=float(p.get("overlay_opacity", 0.5)),
             difference_gain=float(p.get("difference_gain", 1.0)),
@@ -343,6 +354,22 @@ def create_app(base_folder: str | None = None,
     @_handler
     def health(request):
         return _ok(version=_version(), backend=api.device_name())
+
+    # ---------------- web UI ----------------
+    # Thin control panel standing in for the reference's ComfyUI browser
+    # widgets (SURVEY.md L5 plan): enhancer, LUT catalog, compare.
+
+    _STATIC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "static")
+
+    @routes.get("/vrgdg/ui")
+    @_handler
+    def ui_index(request):
+        return web.FileResponse(os.path.join(_STATIC, "index.html"))
+
+    @routes.get("/")
+    async def root_redirect(request):
+        raise web.HTTPFound("/vrgdg/ui")
 
     app.add_routes(routes)
     return app
