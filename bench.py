@@ -149,6 +149,15 @@ def build_stack():
             color_match=ColorMatchParams.normalize(0.7),
             sharpen=SharpenParams.normalize(1.5, border="zero"),
             grain=GrainParams.normalize(0.05, 0.5, seed=42)),
+        # same stack with the hardware-PRNG Pallas grain kernel — an
+        # opt-in (grain_mode="pallas"): same determinism contract and
+        # noise statistics, different stream than the threefry default
+        fused_pallas_grain=GradeConfig(
+            lut=LUTParams.normalize(8.0),
+            color_match=ColorMatchParams.normalize(0.7),
+            sharpen=SharpenParams.normalize(1.5, border="zero"),
+            grain=GrainParams.normalize(0.05, 0.5, seed=42),
+            grain_mode="pallas"),
         adjust_only=GradeConfig(adjust=AdjustSettings.normalize(
             {"exposure": 10, "contrast": 12, "saturation": 8,
              "vignette": 20})),
@@ -292,6 +301,9 @@ def main():
         ("cm_sharpen_1080p", "cm_sharpen", 8, 1080, 1920),
         ("fused_4k", "fused", 2, 2160, 3840),
     ]
+    if jax.default_backend() == "tpu":
+        cfgs.append(("fused_4k_pallas_grain", "fused_pallas_grain",
+                     2, 2160, 3840))
     for name, key, batch, h, w in cfgs:
         fps, used_batch = measure(steps[key], batch, h, w)
         detail[name] = {"fps": round(fps, 2), "batch": used_batch}

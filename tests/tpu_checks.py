@@ -101,6 +101,26 @@ def main() -> int:
         np.testing.assert_allclose(stds[0] / stds[1], 2.0, rtol=0.05)
         np.testing.assert_allclose(stds[2] / stds[1], 3.0, rtol=0.05)
 
+    def bundle_lut_parity_on_chip():
+        # the production corner-bundle LUT path vs the reference
+        # eight-gather path, on real hardware
+        import jax.numpy as jnp
+
+        from vrgdg_tpu.core.cube import build_palette_lut, corner_bundle
+        from vrgdg_tpu.ops.lut import apply_lut, apply_lut_bundle
+
+        lut = build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 33)
+        bundle = jnp.asarray(corner_bundle(lut))
+        frames = jnp.asarray(np.random.default_rng(5)
+                             .uniform(0, 1, (2, 128, 256, 3))
+                             .astype(np.float32))
+        a = np.asarray(apply_lut(frames, lut, strength=7.0))
+        b = np.asarray(apply_lut_bundle(frames, bundle, strength=7.0))
+        err = np.abs(a - b).max()
+        assert err < 1e-6, f"bundle LUT diverges on chip: {err}"
+
+    check("bundle LUT: on-chip parity vs reference path",
+          bundle_lut_parity_on_chip)
     check("pallas grain: compiles + noise", grain_compiles_and_makes_noise)
     check("pallas grain: channel statistics", grain_statistics)
     check("pallas grain: desaturation broadcast", grain_desaturation)
