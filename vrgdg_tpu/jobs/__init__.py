@@ -6,6 +6,10 @@ from .enhancer import (JOBS, JobRegistry, apply_effects_batch, cancel_render,
 from .face_fix import (accept_enhanced_anchor, accept_enhanced_crop,
                        accept_ltx_frames, build_ltx_inputs, estimate_anchors,
                        finalize_face_fix, prepare_face_fix)
+from .face_fix_pipeline import (FaceFixContext, collect_ltx_inputs,
+                                composite_repaired, create_crop_video,
+                                prepare_face_pipeline,
+                                run_face_fix_pipeline)
 from .manifest import (manifest_path, prune_completed, read_manifest,
                        segment_file_name, settings_fingerprint,
                        write_manifest)
@@ -22,4 +26,6 @@ __all__ = [
     "safe_conditioning_indices", "accept_enhanced_anchor",
     "accept_enhanced_crop", "accept_ltx_frames", "build_ltx_inputs",
     "estimate_anchors", "finalize_face_fix", "prepare_face_fix",
+    "FaceFixContext", "collect_ltx_inputs", "composite_repaired",
+    "create_crop_video", "prepare_face_pipeline", "run_face_fix_pipeline",
 ]
