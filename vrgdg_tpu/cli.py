@@ -81,6 +81,17 @@ def main(argv=None):
                         "vrgdg_tpu.parallel.distributed for the env "
                         "contract)")
 
+    p = sub.add_parser("face-fix", help="distant-face repair job engine")
+    p.add_argument("action",
+                   choices=["estimate", "prepare", "accept-crop",
+                            "accept-anchor", "inputs", "accept-ltx",
+                            "finalize"])
+    p.add_argument("--payload", default="{}",
+                   help="JSON payload (fields per vrgdg_tpu.jobs.face_fix)")
+    p.add_argument("--video", default=None, help="shortcut: video_path")
+    p.add_argument("--manifest", default=None, help="shortcut: manifest_path")
+    p.add_argument("--whole-scene", action="store_true")
+
     p = sub.add_parser("compare", help="render an A/B comparison")
     p.add_argument("input_a")
     p.add_argument("input_b")
@@ -181,6 +192,25 @@ def main(argv=None):
         _print(snap)
         if status != "complete":
             sys.exit(1)
+    elif args.command == "face-fix":
+        from .jobs import face_fix as ff
+        payload = json.loads(args.payload)
+        if args.video:
+            payload.setdefault("video_path", args.video)
+        if args.manifest:
+            payload.setdefault("manifest_path", args.manifest)
+        if args.whole_scene:
+            payload.setdefault("whole_scene", True)
+        actions = {
+            "estimate": ff.estimate_anchors,
+            "prepare": ff.prepare_face_fix,
+            "accept-crop": ff.accept_enhanced_crop,
+            "accept-anchor": ff.accept_enhanced_anchor,
+            "inputs": ff.build_ltx_inputs,
+            "accept-ltx": ff.accept_ltx_frames,
+            "finalize": ff.finalize_face_fix,
+        }
+        _print(actions[args.action](payload))
     elif args.command == "compare":
         from . import api
         ext = os.path.splitext(args.input_a)[1].lower()

@@ -287,6 +287,21 @@ def create_app(base_folder: str | None = None,
         lambda p: {"deleted": api.delete_adjust_preset(p.get("name"),
                                                        base=base_folder)})
 
+    # ---------------- silent audio ----------------
+    # Silence generator (VRGDG_SilentAudioRoutes.py:98-104); the peak
+    # envelope comes from the stdlib-based reader in runtime/audio.
+
+    @routes.post("/vrgdg/music_builder/create_silent_audio")
+    @_handler
+    async def create_silent_audio(request):
+        from ..runtime import audio
+
+        payload = await _json(request)
+        loop = asyncio.get_running_loop()
+        result = await loop.run_in_executor(
+            None, lambda: audio.create_silent_audio(payload))
+        return _ok(**result)
+
     # ---------------- compare ----------------
     # The reference renders these five modes in a browser widget
     # (VRGDG_ImageCompareNode.py:11-14); standalone they render to media.
