@@ -75,6 +75,35 @@ def test_effects_batch_mesh_bit_identity():
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_effects_batch_spatial_sharding_tolerance():
+    """Height-axis spatial sharding (4 data x 2 space): stencil halos are
+    exact, resize matmuls reassociate -> float-tolerance equality."""
+    settings = EnhancerSettings.normalize({
+        "sharpen_strength": 1.2, "grain_enabled": True,
+        "grain_intensity": 0.05, "seed": 5, "spatial_parallel": 2})
+    mesh = enh.mesh_for_settings(settings)
+    assert mesh is not None
+    assert mesh.shape["space"] == 2 and mesh.devices.size == 8
+    rng = np.random.default_rng(2)
+    frames = rng.uniform(0, 1, (4, 16, 24, 3)).astype(np.float32)
+    single = enh.apply_effects_batch(frames, settings, 32, 48,
+                                     frame_start=0, mesh=None)
+    sharded = enh.apply_effects_batch(frames, settings, 32, 48,
+                                      frame_start=0, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_spatial_falls_back_when_height_indivisible():
+    settings = EnhancerSettings.normalize({"spatial_parallel": 2,
+                                           "sharpen_strength": 1.0})
+    mesh = enh.mesh_for_settings(settings)
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 1, (4, 15, 24, 3)).astype(np.float32)  # 15 % 2 != 0
+    single = enh.apply_effects_batch(frames, settings, 30, 48, mesh=None)
+    sharded = enh.apply_effects_batch(frames, settings, 30, 48, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_full_job_mesh_vs_single_bit_identity(source_video, tmp_path):
     outputs = {}
     for name, dp in (("mesh", 0), ("single", 1)):

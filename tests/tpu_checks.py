@@ -119,8 +119,67 @@ def main() -> int:
         err = np.abs(a - b).max()
         assert err < 1e-6, f"bundle LUT diverges on chip: {err}"
 
+    def grade_stack_on_chip_vs_cpu_reference():
+        # full fused grade (no grain: that is distributional) on chip vs
+        # the same math on CPU — guards against TPU-specific numeric
+        # drift in LUT/adjust/colormatch/sharpen
+        import subprocess
+        import sys as _sys
+
+        import jax.numpy as jnp
+
+        from vrgdg_tpu.core.cube import build_palette_lut
+        from vrgdg_tpu.core.params import (AdjustSettings, ColorMatchParams,
+                                           LUTParams, SharpenParams)
+        from vrgdg_tpu.ops.color_match import lab_statistics
+        from vrgdg_tpu.ops.grade import GradeConfig, grade
+
+        rng = np.random.default_rng(11)
+        frames_np = rng.uniform(0, 1, (2, 96, 160, 3)).astype(np.float32)
+        ref_np = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        config = GradeConfig(
+            lut=LUTParams.normalize(8.0),
+            adjust=AdjustSettings.normalize({"contrast": 15, "vignette": 20}),
+            color_match=ColorMatchParams.normalize(0.7),
+            sharpen=SharpenParams.normalize(1.5, border="zero"))
+        lut = build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 33)
+        on_chip = np.asarray(grade(jnp.asarray(frames_np), config,
+                                   lut=lut, reference=jnp.asarray(ref_np)))
+
+        # run the identical grade on the CPU backend in a subprocess
+        code = (
+            "import jax, numpy as np; "
+            "jax.config.update('jax_platforms', 'cpu'); "
+            "import jax.numpy as jnp; "
+            "from vrgdg_tpu.core.cube import build_palette_lut; "
+            "from vrgdg_tpu.core.params import (AdjustSettings, "
+            "ColorMatchParams, LUTParams, SharpenParams); "
+            "from vrgdg_tpu.ops.grade import GradeConfig, grade; "
+            "rng = np.random.default_rng(11); "
+            "frames = rng.uniform(0, 1, (2, 96, 160, 3)).astype(np.float32); "
+            "ref = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32); "
+            "config = GradeConfig(lut=LUTParams.normalize(8.0), "
+            "adjust=AdjustSettings.normalize({'contrast': 15, "
+            "'vignette': 20}), "
+            "color_match=ColorMatchParams.normalize(0.7), "
+            "sharpen=SharpenParams.normalize(1.5, border='zero')); "
+            "lut = build_palette_lut('#0b1d51, #1f6aa5, #f3d27a', 33); "
+            "out = grade(jnp.asarray(frames), config, lut=lut, "
+            "reference=jnp.asarray(ref)); "
+            "np.save('/tmp/vrgdg_cpu_grade.npy', np.asarray(out))"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run([_sys.executable, "-c", code], check=True, env=env,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+        on_cpu = np.load("/tmp/vrgdg_cpu_grade.npy")
+        err = np.abs(on_chip - on_cpu).max()
+        assert err < 1e-3, f"TPU grade diverges from CPU grade: {err}"
+
     check("bundle LUT: on-chip parity vs reference path",
           bundle_lut_parity_on_chip)
+    check("fused grade: on-chip vs CPU backend parity",
+          grade_stack_on_chip_vs_cpu_reference)
     check("pallas grain: compiles + noise", grain_compiles_and_makes_noise)
     check("pallas grain: channel statistics", grain_statistics)
     check("pallas grain: desaturation broadcast", grain_desaturation)

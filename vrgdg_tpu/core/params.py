@@ -211,10 +211,14 @@ class EnhancerSettings:
     encode_preset: str = "medium"
     preserve_audio: bool = True
     output_name: str = "enhanced_video.mp4"
-    # TPU-native addition (no reference analog — the reference is
-    # single-GPU): number of mesh devices to shard frame batches over.
-    # 0 = all visible devices, 1 = single-device.
+    # TPU-native additions (no reference analog — the reference is
+    # single-GPU): number of mesh devices to shard frame batches over
+    # (0 = all visible devices, 1 = single-device), and how many of them
+    # cooperate on each frame via height-axis spatial sharding (for
+    # frames too large per chip; output matches single-device to float
+    # tolerance — stencil halos are exact, resize matmuls reassociate).
     data_parallel: int = 0
+    spatial_parallel: int = 1
 
     @classmethod
     def normalize(cls, payload: Mapping[str, Any] | None = None) -> "EnhancerSettings":
@@ -243,6 +247,7 @@ class EnhancerSettings:
             output_name=_safe_name(p.get("output_name") or "enhanced_video.mp4",
                                    "enhanced_video"),
             data_parallel=_clampi(p.get("data_parallel", 0), 0, 4096, 0),
+            spatial_parallel=_clampi(p.get("spatial_parallel", 1), 1, 64, 1),
         )
 
     def to_dict(self) -> dict[str, Any]:

@@ -106,15 +106,17 @@ def mesh_for_settings(settings: EnhancerSettings):
     ``tests/test_enhancer_mesh.py``).
     """
     want = int(getattr(settings, "data_parallel", 0))
-    if want == 1:
+    spatial = max(1, int(getattr(settings, "spatial_parallel", 1)))
+    if want == 1 and spatial == 1:
         return None
     n_visible = len(jax.devices())
-    n_use = n_visible if want == 0 else min(want, n_visible)
+    n_use = n_visible if want == 0 else min(want * spatial, n_visible)
+    n_use = (n_use // spatial) * spatial
     if n_use <= 1:
         return None
     from ..parallel import make_mesh
 
-    return make_mesh(n_use, spatial=1)
+    return make_mesh(n_use, spatial=spatial)
 
 
 def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
@@ -139,8 +141,12 @@ def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
 
         device_frames, _ = pad_to_multiple(
             device_frames, mesh.shape["data"], axis=0)
+        # height-axis spatial sharding only when the frame divides the
+        # spatial axis evenly; otherwise frames stay whole per chip
+        spatial = (mesh.shape["space"] > 1
+                   and device_frames.shape[1] % mesh.shape["space"] == 0)
         device_frames = jax.device_put(device_frames,
-                                       frame_sharding(mesh))
+                                       frame_sharding(mesh, spatial=spatial))
     result = _enhance_step(device_frames, settings, int(out_height),
                            int(out_width), jnp.asarray(frame_start, jnp.uint32))
     return np.asarray(result[:count])
@@ -252,6 +258,9 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
     frames_done = 0
     smallest_batch = batch
     started = time.time()
+    from ..runtime.profiling import StageTimer
+
+    timer = StageTimer()
 
     writer = video_io.VideoWriter(segment_path, metadata["fps"], out_w, out_h)
     try:
@@ -261,7 +270,13 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
         # PrefetchingReader.close() stops and joins the pump thread before
         # releasing the capture, so it owns reader shutdown on every path.
         with video_io.PrefetchingReader(reader) as prefetch:
-            for frame_index, frames in prefetch:
+            iterator = iter(prefetch)
+            while True:
+                with timer.stage("decode"):
+                    item = next(iterator, None)
+                if item is None:
+                    break
+                frame_index, frames = item
                 if cancel_event.is_set():
                     raise InterruptedError("Render canceled.")
                 count = frames.shape[0]
@@ -280,11 +295,13 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                         filler = np.repeat(chunk[-1:],
                                            smallest_batch - chunk_n, axis=0)
                         padded = np.concatenate([chunk, filler], axis=0)
-                    enhanced, ok_batch = process_with_retry(
-                        padded, settings, out_h, out_w, frame_index + offset,
-                        mesh=mesh)
+                    with timer.stage("device"):
+                        enhanced, ok_batch = process_with_retry(
+                            padded, settings, out_h, out_w,
+                            frame_index + offset, mesh=mesh)
                     smallest_batch = max(1, min(smallest_batch, ok_batch))
-                    writer.write_array(enhanced[:chunk_n])
+                    with timer.stage("encode"):
+                        writer.write_array(enhanced[:chunk_n])
                     offset += chunk_n
                 frames_done += count
                 current = int(registry.snapshot(job_id).get(
@@ -298,6 +315,7 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                     batch_size=smallest_batch,
                     mesh_devices=n_chips,
                     fps_per_chip=round(frames_done / elapsed / n_chips, 3),
+                    stage_seconds=timer.seconds(),
                     message=(f"Upscaling and enhancing frames "
                              f"{current:,}/{total:,}"),
                 )
