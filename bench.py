@@ -317,6 +317,35 @@ def main():
         stage_ms[key] = round(1000.0 / fps, 2)
         log(f"[bench] stage {key}: {1000.0/fps:.2f} ms/frame @4K")
 
+    # BASELINE config 5's compute core: the enhancer device step
+    # (on-device LANCZOS4 1080p->4K upscale + unsharp + seeded grain)
+    import jax.numpy as jnp
+    from jax import lax
+
+    from vrgdg_tpu.core.params import EnhancerSettings
+    from vrgdg_tpu.jobs.enhancer import _enhance_step
+
+    enh_settings = EnhancerSettings.normalize({
+        "upscale_resolution": "4k", "sharpen_strength": 1.0,
+        "grain_enabled": True, "grain_intensity": 0.05, "seed": 42})
+    enh_frames = frames_for(1, 1080, 1920)
+
+    @__import__("jax").jit
+    def enh_loop(x):
+        def body(k, acc):
+            out = _enhance_step(x + acc * 1e-12, enh_settings, 2160, 3840,
+                                k.astype(jnp.uint32))
+            return out[0, 0, 0, 0]
+        return lax.fori_loop(0, TIMED_STEPS, body, 0.0)
+
+    float(enh_loop(enh_frames))
+    t0 = time.perf_counter()
+    float(enh_loop(enh_frames))
+    per = (time.perf_counter() - t0) / TIMED_STEPS
+    detail["enhance_step_1080p_to_4k"] = {"fps": round(1.0 / per, 2),
+                                          "batch": 1}
+    log(f"[bench] enhance_step_1080p_to_4k: {1.0/per:.2f} fps")
+
     oracle_fps = bench_oracle_cpu()
     a100_fps = a100_estimate()
     fused = detail["fused_4k"]["fps"]
