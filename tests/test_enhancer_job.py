@@ -117,6 +117,73 @@ def test_resume_after_cancel(registry, tmp_path):
     assert vio.probe_video(final["output_path"])["frame_count"] == 120
 
 
+def test_resumed_output_equals_uninterrupted(tmp_path):
+    """A resumed job must produce the same frames as an uninterrupted
+    run — the guarantee per-frame seeding + segment checkpoints exist
+    for (VERDICT round-1 checkpoint/resume semantics)."""
+    source_video = str(tmp_path / "src.mp4")
+    writer = cv2.VideoWriter(source_video, cv2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (64, 48))
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        writer.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+
+    def decode(path):
+        capture = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = capture.read()
+            if not ok:
+                break
+            frames.append(frame)
+        capture.release()
+        return np.stack(frames)
+
+    settings = {"segment_seconds": 5, "sharpen_strength": 1.0,
+                "grain_enabled": True, "grain_intensity": 0.05, "seed": 9,
+                "preserve_audio": False}
+
+    # uninterrupted run
+    reg_a = enh.JobRegistry()
+    base_a = str(tmp_path / "a")
+    snap = enh.start_render({"source_path": source_video,
+                             "settings": settings}, registry=reg_a,
+                            base_folder=base_a)
+    full = _wait(reg_a, snap["job_id"], {"complete", "failed"})
+    assert full["status"] == "complete", full.get("error")
+
+    # interrupted run: fabricate segment 0 done, resume the rest
+    base_b = str(tmp_path / "b")
+    job_id = "enhancer_resume_eq"
+    job_folder = os.path.join(enh.jobs_folder(base_b), job_id)
+    segments = os.path.join(job_folder, "segments")
+    os.makedirs(segments, exist_ok=True)
+    normalized = EnhancerSettings.normalize(settings)
+    metadata = vio.probe_video(source_video)
+    fingerprint = mf.settings_fingerprint(source_video,
+                                          normalized.to_dict(),
+                                          metadata["frame_count"])
+    import threading
+    reg_b = enh.JobRegistry()
+    enh._render_segment(source_video,
+                        os.path.join(segments, mf.segment_file_name(0)),
+                        0, 50, metadata, normalized, job_id,
+                        threading.Event(), reg_b)
+    mf.write_manifest(job_folder, {
+        "version": 1, "job_id": job_id, "fingerprint": fingerprint,
+        "source_path": source_video, "settings": normalized.to_dict(),
+        "metadata": metadata, "completed_segments": [0],
+    })
+    snap = enh.start_render({}, resume_job_id=job_id, registry=reg_b,
+                            base_folder=base_b)
+    resumed = _wait(reg_b, snap["job_id"], {"complete", "failed"})
+    assert resumed["status"] == "complete", resumed.get("error")
+
+    np.testing.assert_array_equal(decode(full["output_path"]),
+                                  decode(resumed["output_path"]))
+
+
 def test_resume_refuses_changed_fingerprint(source_video, registry, tmp_path):
     job_id = "enhancer_test_stale"
     job_folder = os.path.join(enh.jobs_folder(str(tmp_path)), job_id)

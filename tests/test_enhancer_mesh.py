@@ -124,3 +124,24 @@ def test_full_job_mesh_vs_single_bit_identity(source_video, tmp_path):
             assert snap.get("mesh_devices") == 8
             assert snap.get("fps_per_chip", 0) > 0
     np.testing.assert_array_equal(outputs["mesh"], outputs["single"])
+
+
+def test_parallel_decode_output_identical(source_video, tmp_path):
+    """decode_workers must not change the rendered frames."""
+    outputs = {}
+    for name, workers in (("par", 3), ("seq", 1)):
+        registry = enh.JobRegistry()
+        payload = {"source_path": source_video,
+                   "settings": {"segment_seconds": 5,
+                                "sharpen_strength": 1.0,
+                                "grain_enabled": True,
+                                "grain_intensity": 0.05, "seed": 11,
+                                "data_parallel": 1,
+                                "decode_workers": workers,
+                                "preserve_audio": False}}
+        base = str(tmp_path / f"dec_{name}")
+        job = enh.start_render(payload, registry=registry, base_folder=base)
+        snap = _wait(registry, job["job_id"])
+        assert snap["status"] == "complete", snap.get("error")
+        outputs[name] = _decode_all(snap["output_path"])
+    np.testing.assert_array_equal(outputs["par"], outputs["seq"])

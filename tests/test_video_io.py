@@ -104,3 +104,50 @@ def test_concat_cv2_fallback(tmp_path, sample_video, monkeypatch):
     assert result["backend"].startswith("cv2:")
     meta = vio.probe_video(out)
     assert meta["frame_count"] == 24
+
+
+def test_parallel_reader_matches_sequential(tmp_path):
+    import numpy as np
+
+    path = str(tmp_path / "par.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(5)
+    for _ in range(53):  # deliberately not a multiple of batch/chunk
+        writer.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+
+    def collect(reader):
+        out = []
+        with reader:
+            for start, batch in reader:
+                out.append((start, batch))
+        return out
+
+    for start_frame, end_frame in ((0, None), (7, 41), (0, 53)):
+        seq = collect(vio.VideoReader(path, batch_size=6,
+                                      start_frame=start_frame,
+                                      end_frame=end_frame))
+        for workers in (2, 4):
+            par = collect(vio.ParallelVideoReader(
+                path, batch_size=6, start_frame=start_frame,
+                end_frame=end_frame, workers=workers, chunk_batches=2))
+            assert [s for s, _ in par] == [s for s, _ in seq]
+            for (_, a), (_, b) in zip(par, seq):
+                np.testing.assert_array_equal(a, b)
+
+
+def test_parallel_reader_early_close(tmp_path):
+    import numpy as np
+
+    path = str(tmp_path / "parclose.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(6)
+    for _ in range(40):
+        writer.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+    reader = vio.ParallelVideoReader(path, batch_size=4, workers=3)
+    iterator = iter(reader)
+    next(iterator)
+    reader.close()  # must stop and join workers without hanging

@@ -219,6 +219,10 @@ class EnhancerSettings:
     # tolerance — stencil halos are exact, resize matmuls reassociate).
     data_parallel: int = 0
     spatial_parallel: int = 1
+    # parallel host decode threads per segment (SURVEY section 7: a single
+    # sequential cv2 read loop starves the accelerator at high device
+    # speed). 0 = auto (min(4, half the cores)), 1 = sequential.
+    decode_workers: int = 0
 
     @classmethod
     def normalize(cls, payload: Mapping[str, Any] | None = None) -> "EnhancerSettings":
@@ -248,6 +252,7 @@ class EnhancerSettings:
                                    "enhanced_video"),
             data_parallel=_clampi(p.get("data_parallel", 0), 0, 4096, 0),
             spatial_parallel=_clampi(p.get("spatial_parallel", 1), 1, 64, 1),
+            decode_workers=_clampi(p.get("decode_workers", 0), 0, 32, 0),
         )
 
     def to_dict(self) -> dict[str, Any]:

@@ -262,11 +262,22 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
 
     timer = StageTimer()
 
+    workers = int(getattr(settings, "decode_workers", 0))
+    if workers == 0:
+        workers = min(4, max(1, (os.cpu_count() or 2) // 2))
+
     writer = video_io.VideoWriter(segment_path, metadata["fps"], out_w, out_h)
     try:
-        reader = video_io.VideoReader(source_path, batch_size=smallest_batch,
-                                      start_frame=start_frame,
-                                      end_frame=end_frame)
+        if workers > 1:
+            reader = video_io.ParallelVideoReader(
+                source_path, batch_size=smallest_batch,
+                start_frame=start_frame, end_frame=end_frame,
+                workers=workers)
+        else:
+            reader = video_io.VideoReader(source_path,
+                                          batch_size=smallest_batch,
+                                          start_frame=start_frame,
+                                          end_frame=end_frame)
         # PrefetchingReader.close() stops and joins the pump thread before
         # releasing the capture, so it owns reader shutdown on every path.
         with video_io.PrefetchingReader(reader) as prefetch:
@@ -465,7 +476,11 @@ def start_render(payload: dict, resume_job_id: str = "",
     if resume_job_id:
         job_id = resume_job_id
         existing = registry.snapshot(job_id)
-        if not existing:
+        if existing.get("status") in {"running", "encoding"}:
+            raise ValueError("That enhancement job is already running.")
+        if not existing or not (payload or {}).get("source_path"):
+            # job lost from memory (process restart) or the caller sent no
+            # payload: rehydrate from the on-disk manifest
             job_folder = os.path.join(jobs_folder(base_folder), job_id)
             manifest = mf.read_manifest(job_folder)
             if not manifest:
@@ -473,8 +488,6 @@ def start_render(payload: dict, resume_job_id: str = "",
                     "The requested render checkpoint was not found.")
             payload = {"source_path": manifest.get("source_path"),
                        "settings": manifest.get("settings")}
-        elif existing.get("status") in {"running", "encoding"}:
-            raise ValueError("That enhancement job is already running.")
     else:
         job_id = (f"enhancer_{time.strftime('%Y%m%d_%H%M%S')}_"
                   f"{uuid.uuid4().hex[:8]}")
