@@ -91,3 +91,35 @@ def test_applier_reports_stage_seconds(tmp_path):
     stages = result["stage_seconds"]
     assert {"decode", "device", "encode"} <= set(stages)
     assert all(v >= 0 for v in stages.values())
+
+
+def test_trim_image_batch():
+    frames = np.arange(20)[:, None, None, None] * np.ones((1, 2, 2, 3))
+    # first chunk: no preroll/tail trimming, clamp to frames_per_scene
+    out = video_io.trim_image_batch(frames, 12, 6, 0)
+    assert out.shape[0] == 12 and out[0, 0, 0, 0] == 0
+    # later chunk: drop 6 preroll front + reserve 6 tail-loss at back
+    out = video_io.trim_image_batch(frames, 12, 6, 1)
+    assert out[0, 0, 0, 0] == 6
+    assert out.shape[0] == min(6 + 12, 20 - 6) - 6  # 8 frames survive
+    # degenerate: preroll beyond length
+    out = video_io.trim_image_batch(frames[:4], 12, 6, 2)
+    assert out.shape[0] == 0
+
+
+def test_build_chunk_output_path(tmp_path):
+    folder = str(tmp_path)
+    path = video_io.build_chunk_output_path(folder, 3, "video")
+    assert path.endswith("video_0003")
+    srt = video_io.build_chunk_output_path(folder, 3, "video_0002_0001",
+                                           srt_naming=True)
+    assert srt.endswith("video_0004_0003")  # trailing digits stripped
+
+    # backup mode moves existing chunk files aside
+    existing = os.path.join(folder, "video_0003.mp4")
+    open(existing, "wb").write(b"x")
+    video_io.build_chunk_output_path(folder, 3, "video",
+                                     overwrite_mode="backup")
+    assert not os.path.exists(existing)
+    backups = os.listdir(os.path.join(folder, "backup"))
+    assert len(backups) == 1 and backups[0].endswith(".bak")

@@ -23,6 +23,7 @@ import re
 import shutil
 import subprocess
 import threading
+import time
 from dataclasses import dataclass
 from typing import Callable, Iterator
 
@@ -390,6 +391,61 @@ def add_preroll_frames(frames_per_scene: int, chunk_index: int,
     if int(chunk_index) == 0:
         return int(frames_per_scene), 0
     return int(frames_per_scene) + int(preroll_frames), int(preroll_frames)
+
+
+def trim_image_batch(frames: np.ndarray, frames_per_scene: int,
+                     preroll_frames: int, chunk_index: int,
+                     tail_loss_frames: int = 6) -> np.ndarray:
+    """Trim a chunked render's frame batch to the exact scene length
+    (``GeneralVideoNodes.py:2047-2106``): drop the preroll at the front
+    and the generator's tail-loss frames at the back, both only for
+    non-first chunks, then clamp to ``frames_per_scene``."""
+    frames = np.asarray(frames)
+    total = frames.shape[0]
+    start = int(preroll_frames) if int(chunk_index) > 0 else 0
+    tail = int(tail_loss_frames) if int(chunk_index) > 0 else 0
+    end = min(start + int(frames_per_scene), max(0, total - tail))
+    start = max(0, min(start, total))
+    end = max(start, min(end, total))
+    return frames[start:end]
+
+
+def build_chunk_output_path(output_folder: str, chunk_index: int,
+                            base_name: str = "video",
+                            overwrite_mode: str = "overwrite",
+                            srt_naming: bool = False) -> str:
+    """Canonical output path for one chunk of a chunked render
+    (``GeneralVideoNodes.py:1668-1789``).
+
+    ``srt_naming=True`` uses the SRT pipeline's
+    ``{base}_{index+1:04d}_{index:04d}`` double-numbered scheme (after
+    stripping any trailing numeric groups from ``base_name``) and backs
+    existing chunks up under their own names; the plain scheme is
+    ``{base}_{index:04d}`` with timestamped ``.bak`` backups.  Returns
+    the extension-less path stem the encoder appends to.
+    """
+    os.makedirs(output_folder, exist_ok=True)
+    chunk_index = int(chunk_index)
+    if srt_naming:
+        base_name = re.sub(r"(?:_\d+)+$", "", base_name)
+        filename = f"{base_name}_{chunk_index + 1:04d}_{chunk_index:04d}"
+    else:
+        filename = f"{base_name}_{chunk_index:04d}"
+    output_path = os.path.join(output_folder, filename)
+    if str(overwrite_mode).lower() == "backup":
+        backup_dir = os.path.join(output_folder, "backup")
+        os.makedirs(backup_dir, exist_ok=True)
+        for name in os.listdir(output_folder):
+            if name.startswith(filename) and name.endswith(".mp4"):
+                source = os.path.join(output_folder, name)
+                if srt_naming:
+                    destination = os.path.join(backup_dir, name)
+                else:
+                    stamp = time.strftime("%Y%m%d_%H%M%S")
+                    destination = os.path.join(backup_dir,
+                                               f"{name}.{stamp}.bak")
+                os.replace(source, destination)
+    return output_path
 
 
 def trim_final_clip(output_folder: str, base_name: str,
