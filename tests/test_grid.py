@@ -1,0 +1,85 @@
+"""Reference-sheet grid compositor (VRGDG_LTXICIngredientsGrid.py)."""
+
+import numpy as np
+import pytest
+
+from vrgdg_tpu.ops import grid
+
+
+def _imgs(n, h=24, w=32):
+    rng = np.random.default_rng(0)
+    return [rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+            for _ in range(n)]
+
+
+def _check_rects(rects, count):
+    assert len(rects) == count
+    for x, y, w, h in rects:
+        assert -1e-6 <= x <= 1.0 and -1e-6 <= y <= 1.0
+        assert w > 0 and h > 0
+        assert x + w <= 1.0 + 1e-6 and y + h <= 1.0 + 1e-6
+
+
+def test_grid_rects_auto_columns():
+    rects = grid.grid_rects(6)
+    _check_rects(rects, 6)
+    # auto for 6 targets 16:9 -> ceil(sqrt(6*16/9)) = 4 columns
+    assert rects[0][2] == pytest.approx(1 / 4)
+
+
+def test_layout_presets_cover_counts():
+    for preset in grid.LAYOUTS:
+        if preset == "aspect_rows":
+            continue
+        for count in (1, 3, 5, 6, 7, 9):
+            _check_rects(grid.layout_rects(preset, count), count)
+
+
+def test_strip_layouts():
+    rects = grid.layout_rects("horizontal_strip", 4)
+    assert rects[1] == (0.25, 0.0, 0.25, 1.0)
+    rects = grid.layout_rects("vertical_strip", 4)
+    assert rects[2] == (0.0, 0.5, 1.0, 0.25)
+
+
+def test_aspect_rows_single_and_multi():
+    assert grid.aspect_row_rects([(24, 32)], 768, 448) == \
+        [(0.0, 0.0, 1.0, 1.0)]
+    shapes = [(24, 32), (24, 48), (48, 24), (24, 24), (30, 40)]
+    _check_rects(grid.aspect_row_rects(shapes, 768, 448), 5)
+
+
+def test_build_sheet_geometry_and_background():
+    images = _imgs(4)
+    sheet = grid.build_reference_sheet(
+        images, layout="uniform_grid", output_width=256, output_height=128,
+        columns=2, gutter=4, outer_padding=8, corner_radius=0,
+        background_color="#102030")
+    assert sheet.shape == (1, 128, 256, 3)
+    # outer padding stays background
+    np.testing.assert_allclose(sheet[0, 0, 0],
+                               [0x10 / 255, 0x20 / 255, 0x30 / 255],
+                               atol=1e-6)
+
+
+def test_build_sheet_cover_crop_fills_panel():
+    images = _imgs(1, h=10, w=40)  # very wide image into a square panel
+    sheet = grid.build_reference_sheet(
+        images, layout="uniform_grid", output_width=64, output_height=64,
+        gutter=0, outer_padding=0, corner_radius=0, fit_mode="cover_crop",
+        background_color="#000000")
+    # cover_crop leaves no background inside the panel
+    assert float(sheet.min()) > 0.0 or float(sheet[0, 32, 32].sum()) > 0
+
+
+def test_rounded_mask_corners():
+    mask = grid._rounded_mask(16, 16, 6)
+    assert mask[0, 0] == 0.0 and mask[8, 8] == 1.0
+    assert mask[0, 8] == 1.0
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="at least one"):
+        grid.build_reference_sheet([])
+    with pytest.raises(ValueError, match="Unknown layout"):
+        grid.build_reference_sheet(_imgs(2), layout="mosaic")

@@ -1,0 +1,281 @@
+"""Reference-sheet grid compositor (the IC-LoRA "Ingredients" sheet).
+
+Re-derivation of ``VRGDG_LTXICIngredientsGrid.py:67-262`` and the layout
+presets its node exposes: normalized-rect layout engines
+(uniform grid, strips, wide-bottom, six-panel story, three-row reference,
+aspect-packed rows with the partition-scoring search) plus the compositor
+(contain-pad / cover-crop panel fit, gutters, outer padding, analytic
+rounded-corner masks).  Panels are resized with this framework's device
+resampler (LANCZOS4) instead of PIL — a documented deviation; layout
+geometry is exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+LAYOUTS = ("auto_ltx", "uniform_grid", "horizontal_strip", "vertical_strip",
+           "wide_bottom", "six_panel_story", "three_row_reference",
+           "aspect_rows")
+FIT_MODES = ("contain_pad", "cover_crop")
+
+
+def parse_color(value, fallback="#000000") -> tuple[float, float, float]:
+    text = str(value or "").strip().lstrip("#")
+    if len(text) != 6:
+        text = str(fallback).lstrip("#")
+    try:
+        return tuple(int(text[i:i + 2], 16) / 255.0 for i in (0, 2, 4))
+    except ValueError:
+        return parse_color(fallback, "#000000")
+
+
+def grid_rects(count: int, columns: int | None = None) -> list[tuple]:
+    """Uniform grid in normalized coordinates; auto column count targets a
+    16:9 canvas (``:98-110``)."""
+    if count <= 0:
+        return []
+    if not columns or columns <= 0:
+        columns = int(math.ceil(math.sqrt(count * 16 / 9)))
+    columns = max(1, min(count, int(columns)))
+    rows = int(math.ceil(count / columns))
+    return [((i % columns) / columns, (i // columns) / rows,
+             1 / columns, 1 / rows) for i in range(count)]
+
+
+def _image_aspect(shape) -> float:
+    height, width = int(shape[0]), int(shape[1])
+    if width <= 0 or height <= 0:
+        return 1.0
+    return max(0.05, min(20.0, width / height))
+
+
+def _row_partitions(count: int, rows: int):
+    if rows <= 1:
+        yield [count]
+        return
+    if rows >= count:
+        yield [1] * count
+        return
+
+    def walk(remaining, row_count, prefix):
+        if row_count == 1:
+            if remaining >= 1:
+                yield prefix + [remaining]
+            return
+        for first in range(1, remaining - row_count + 2):
+            yield from walk(remaining - first, row_count - 1, prefix + [first])
+
+    yield from walk(count, rows, [])
+
+
+def aspect_row_rects(shapes, canvas_width: int,
+                     canvas_height: int) -> list[tuple]:
+    """Aspect-preserving row packing: search row partitions, score by
+    canvas coverage / row balance (``:140-202``)."""
+    count = len(shapes)
+    if count <= 0:
+        return []
+    if count == 1:
+        return [(0.0, 0.0, 1.0, 1.0)]
+    target_aspect = max(0.05, canvas_width / max(1, canvas_height))
+    aspects = [_image_aspect(s) for s in shapes]
+    best = None
+    for rows in range(1, min(count, 4) + 1):
+        for partition in _row_partitions(count, rows):
+            start = 0
+            raw_heights, row_sums = [], []
+            for row_count in partition:
+                row_sum = sum(aspects[start:start + row_count])
+                row_sums.append(row_sum)
+                raw_heights.append(target_aspect / max(0.05, row_sum))
+                start += row_count
+            raw_total = sum(raw_heights)
+            if raw_total > 1.02:
+                score = (raw_total - 1.0) * 10.0 + rows * 0.05
+            else:
+                score = (1.0 - raw_total) + rows * 0.035
+            score += (max(raw_heights) - min(raw_heights)) * 0.08
+            if best is None or score < best[0]:
+                best = (score, partition, raw_heights, row_sums, raw_total)
+    _, partition, raw_heights, row_sums, raw_total = best
+    row_gap = 0.0
+    y = max(0.0, (1.0 - raw_total) / 2.0) if raw_total <= 1.0 else 0.0
+    if raw_total < 0.98 and len(partition) > 1:
+        row_gap = (1.0 - raw_total) / (len(partition) + 1)
+        y = row_gap
+    rects = []
+    index = 0
+    for row_index, row_count in enumerate(partition):
+        row_height = raw_heights[row_index]
+        if raw_total > 1.0:
+            row_height = row_height / raw_total
+        row_width = row_height * row_sums[row_index] / target_aspect
+        x = max(0.0, (1.0 - row_width) / 2.0)
+        for _ in range(row_count):
+            panel_width = row_height * aspects[index] / target_aspect
+            rects.append((x, y, panel_width, row_height))
+            x += panel_width
+            index += 1
+        y += row_height + row_gap
+    return rects
+
+
+def layout_rects(preset: str, count: int, columns: int = 0) -> list[tuple]:
+    """The preset layout table (``:204-262``)."""
+    if count <= 0:
+        return []
+    if preset == "horizontal_strip":
+        return [(i / count, 0.0, 1 / count, 1.0) for i in range(count)]
+    if preset == "vertical_strip":
+        return [(0.0, i / count, 1.0, 1 / count) for i in range(count)]
+    if preset == "wide_bottom" and count >= 3:
+        top_count = count - 1
+        top_rows = 2 if top_count > 4 else 1
+        top_height = 0.68 if top_rows == 2 else 0.56
+        rects = [(x, y * top_height, w, h * top_height)
+                 for x, y, w, h in grid_rects(top_count,
+                                              columns if columns > 0
+                                              else None)]
+        rects.append((0.0, top_height, 1.0, 1.0 - top_height))
+        return rects[:count]
+    if preset == "six_panel_story" and count >= 6:
+        if count > 7:
+            return layout_rects("three_row_reference", count, columns)
+        rects = [
+            (0.0, 0.0, 0.235, 0.52), (0.235, 0.0, 0.385, 0.52),
+            (0.62, 0.0, 0.38, 0.52), (0.0, 0.52, 0.37, 0.23),
+            (0.37, 0.52, 0.63, 0.23), (0.0, 0.75, 0.37, 0.25),
+            (0.37, 0.75, 0.63, 0.25),
+        ]
+        return rects[:count]
+    if preset == "three_row_reference" and count >= 5:
+        if count <= 6:
+            top = count // 2
+            mid = count - top - 1
+            rects = [(i / top, 0.0, 1 / top, 0.42) for i in range(top)]
+            rects += [(i / mid, 0.42, 1 / mid, 0.28) for i in range(mid)]
+            rects.append((0.0, 0.70, 1.0, 0.30))
+            return rects
+        top = min(3, count)
+        mid = min(3, count - top)
+        bottom = count - top - mid
+        rects = [(i / top, 0.0, 1 / top, 0.40) for i in range(top)]
+        rects += [(i / mid, 0.40, 1 / mid, 0.28) for i in range(mid)]
+        rects += [(i / bottom, 0.68, 1 / bottom, 0.32)
+                  for i in range(bottom)]
+        return rects
+    if preset == "auto_ltx":
+        if 6 <= count <= 7:
+            return layout_rects("six_panel_story", count, columns)
+        if count >= 5:
+            return layout_rects("three_row_reference", count, columns)
+    return grid_rects(count, columns if columns > 0 else None)
+
+
+def _rounded_mask(height: int, width: int, radius: int) -> np.ndarray:
+    """Binary rounded-rectangle mask, analytic twin of PIL's
+    ``rounded_rectangle`` raster (``:91-95``)."""
+    radius = max(0, min(int(radius), width // 2, height // 2))
+    if radius == 0:
+        return np.ones((height, width), np.float32)
+    yy = np.arange(height, dtype=np.float32)[:, None]
+    xx = np.arange(width, dtype=np.float32)[None, :]
+    cx = np.clip(xx, radius, width - 1 - radius)
+    cy = np.clip(yy, radius, height - 1 - radius)
+    inside = ((xx - cx) ** 2 + (yy - cy) ** 2) <= radius ** 2
+    return inside.astype(np.float32)
+
+
+def _fit_panel(image: np.ndarray, width: int, height: int, fit_mode: str,
+               fill_color) -> np.ndarray:
+    """contain_pad / cover_crop panel fit (``:67-88``) using the device
+    LANCZOS4 resampler."""
+    import jax.numpy as jnp
+
+    from .resize import resample
+
+    source_h, source_w = image.shape[:2]
+    scale_x, scale_y = width / source_w, height / source_h
+    scale = max(scale_x, scale_y) if fit_mode == "cover_crop" \
+        else min(scale_x, scale_y)
+    new_w = max(1, int(round(source_w * scale)))
+    new_h = max(1, int(round(source_h * scale)))
+    resized = np.asarray(jnp.clip(
+        resample(jnp.asarray(image[None, ..., :3], jnp.float32),
+                 new_h, new_w, "lanczos4")[0], 0.0, 1.0))
+    if fit_mode == "cover_crop":
+        left = max(0, (new_w - width) // 2)
+        top = max(0, (new_h - height) // 2)
+        return resized[top:top + height, left:left + width]
+    panel = np.empty((height, width, 3), np.float32)
+    panel[:] = fill_color
+    left = (width - new_w) // 2
+    top = (height - new_h) // 2
+    panel[top:top + new_h, left:left + new_w] = resized
+    return panel
+
+
+def build_reference_sheet(images, layout: str = "auto_ltx",
+                          output_width: int = 768, output_height: int = 448,
+                          columns: int = 0, gutter: int = 4,
+                          outer_padding: int = 4, corner_radius: int = 3,
+                          fit_mode: str = "contain_pad",
+                          background_color="#000000",
+                          cell_background_color="#b8b8b8") -> np.ndarray:
+    """Compose a reference sheet from HWC/BHWC [0,1] images; returns a
+    ``(1, H, W, 3)`` float32 array (``:337-404``)."""
+    panels = []
+    for image in images:
+        array = np.asarray(image, np.float32)
+        if array.ndim == 4:
+            array = array[0]
+        if array.shape[-1] == 1:
+            array = np.repeat(array, 3, axis=-1)
+        panels.append(array[..., :3])
+    if not panels:
+        raise ValueError("The reference sheet needs at least one image.")
+    if layout not in LAYOUTS:
+        raise ValueError(f"Unknown layout '{layout}'. Use one of {LAYOUTS}.")
+    if fit_mode not in FIT_MODES:
+        raise ValueError(f"Unknown fit mode '{fit_mode}'.")
+
+    width = max(64, int(output_width))
+    height = max(64, int(output_height))
+    gutter = max(0, min(128, int(gutter)))
+    padding = max(0, min(128, int(outer_padding)))
+    radius = max(0, min(96, int(corner_radius)))
+    background = parse_color(background_color, "#000000")
+    cell_background = parse_color(cell_background_color, "#b8b8b8")
+
+    if layout == "aspect_rows":
+        rects = aspect_row_rects([p.shape for p in panels], width, height)
+    else:
+        rects = layout_rects(layout, len(panels), max(0, min(12, columns)))
+
+    canvas = np.empty((height, width, 3), np.float32)
+    canvas[:] = background
+    usable_w = max(1, width - 2 * padding)
+    usable_h = max(1, height - 2 * padding)
+    inset = gutter // 2
+    for panel, (x, y, w, h) in zip(panels, rects):
+        left = padding + int(round(x * usable_w)) + inset
+        top = padding + int(round(y * usable_h)) + inset
+        right = padding + int(round((x + w) * usable_w)) - inset
+        bottom = padding + int(round((y + h) * usable_h)) - inset
+        panel_w = max(1, right - left)
+        panel_h = max(1, bottom - top)
+        fitted = _fit_panel(panel, panel_w, panel_h, fit_mode,
+                            cell_background)
+        target = canvas[top:top + panel_h, left:left + panel_w]
+        if radius > 0:
+            mask = _rounded_mask(panel_h, panel_w,
+                                 min(radius, panel_w // 2,
+                                     panel_h // 2))[..., None]
+            canvas[top:top + panel_h, left:left + panel_w] = \
+                target * (1.0 - mask) + fitted * mask
+        else:
+            canvas[top:top + panel_h, left:left + panel_w] = fitted
+    return np.clip(canvas, 0.0, 1.0)[None]
