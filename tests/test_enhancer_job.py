@@ -243,7 +243,7 @@ def test_oom_bisection(monkeypatch):
     real = enh.apply_effects_batch
 
     def flaky(frames, settings, out_h=None, out_w=None, frame_start=0,
-              mesh=None):
+              mesh=None, as_uint8=False):
         calls.append(len(frames))
         if len(frames) > 2:
             raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")

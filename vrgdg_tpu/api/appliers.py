@@ -139,7 +139,8 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
 
     def producer():
         counters["frames"] = 0
-        reader = video_io.VideoReader(input_path, batch_size=batch_size)
+        reader = video_io.VideoReader(input_path, batch_size=batch_size,
+                                      as_float=False)
         with reader, video_io.PrefetchingReader(reader) as prefetch:
             iterator = iter(prefetch)
             while True:
@@ -149,7 +150,15 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
                     break
                 frame_index, batch = item
                 with timer.stage("device"):
-                    out = np.asarray(effect(batch, frame_index))
+                    # uint8 both ways across the host<->device hop (4x
+                    # fewer bytes each direction); the [0,1] float math
+                    # runs on device, bit-identical to the host paths
+                    import jax.numpy as jnp
+
+                    float_batch = video_io.dequantize_on_device(
+                        jnp.asarray(batch))
+                    out = np.asarray(video_io.quantize_on_device(
+                        effect(float_batch, frame_index)))
                 counters["frames"] += out.shape[0]
                 with timer.stage("encode"):
                     yield out

@@ -128,7 +128,7 @@ def compare_videos(input_a, input_b, mode: str = "slider", output_path="",
                     difference_gain=difference_gain, fps=fps,
                     blink_speed=blink_speed, frame_start=start_a)
                 counters["frames"] += count
-                yield np.asarray(out)
+                yield np.asarray(video_io.quantize_on_device(out))
 
     codec = video_io.write_video_with_fallback(output_path, fps, out_w,
                                                out_h, producer)

@@ -122,20 +122,28 @@ def mesh_for_settings(settings: EnhancerSettings):
 def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
                         out_height: int | None = None,
                         out_width: int | None = None,
-                        frame_start: int = 0, mesh=None) -> np.ndarray:
-    """Host wrapper: BHWC float32 in, enhanced BHWC float32 out.
+                        frame_start: int = 0, mesh=None,
+                        as_uint8: bool = False) -> np.ndarray:
+    """Host wrapper: BHWC float32 in, enhanced BHWC out.
 
     With ``mesh`` set, the batch is padded to divide over the mesh's
     "data" axis (repeating the last frame; the padding is trimmed after)
     and sharded across chips; the same jitted step runs under GSPMD with
     zero collectives.
+
+    ``as_uint8`` quantizes on device before the device->host transfer —
+    bit-identical to quantizing on the host (it is the encoder's own
+    math) and 4x less transfer, which dominates on remote-attached TPUs
+    (measured 7 MB/s device->host on this environment's tunnel).
     """
     if out_height is None:
         out_height = int(frames.shape[1])
     if out_width is None:
         out_width = int(frames.shape[2])
     count = int(frames.shape[0])
-    device_frames = jnp.asarray(frames)
+    # uint8 input ships 4x fewer bytes over the host->device hop and is
+    # normalized on device (bit-identical to the host /255 path)
+    device_frames = video_io.dequantize_on_device(jnp.asarray(frames))
     if mesh is not None:
         from ..parallel import frame_sharding, pad_to_multiple
 
@@ -149,6 +157,8 @@ def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
                                        frame_sharding(mesh, spatial=spatial))
     result = _enhance_step(device_frames, settings, int(out_height),
                            int(out_width), jnp.asarray(frame_start, jnp.uint32))
+    if as_uint8:
+        result = video_io.quantize_on_device(result)
     return np.asarray(result[:count])
 
 
@@ -159,13 +169,14 @@ def _is_oom(exc: Exception) -> bool:
 
 def process_with_retry(frames: np.ndarray, settings: EnhancerSettings,
                        out_height: int, out_width: int,
-                       frame_start: int, mesh=None) -> tuple[np.ndarray, int]:
+                       frame_start: int, mesh=None,
+                       as_uint8: bool = False) -> tuple[np.ndarray, int]:
     """Bisect the batch on device OOM, like the reference's CUDA retry
     (``VRGDG_StandaloneVideoEnhancerNodes.py:297-308``); returns
     ``(frames, smallest_successful_batch)``."""
     try:
         out = apply_effects_batch(frames, settings, out_height, out_width,
-                                  frame_start, mesh=mesh)
+                                  frame_start, mesh=mesh, as_uint8=as_uint8)
         return out, len(frames)
     except Exception as exc:
         if not _is_oom(exc) or len(frames) <= 1:
@@ -173,10 +184,11 @@ def process_with_retry(frames: np.ndarray, settings: EnhancerSettings,
         midpoint = max(1, len(frames) // 2)
         left, left_n = process_with_retry(frames[:midpoint], settings,
                                           out_height, out_width, frame_start,
-                                          mesh=mesh)
+                                          mesh=mesh, as_uint8=as_uint8)
         right, right_n = process_with_retry(frames[midpoint:], settings,
                                             out_height, out_width,
-                                            frame_start + midpoint, mesh=mesh)
+                                            frame_start + midpoint, mesh=mesh,
+                                            as_uint8=as_uint8)
         return np.concatenate([left, right], axis=0), min(left_n, right_n)
 
 
@@ -272,12 +284,13 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
             reader = video_io.ParallelVideoReader(
                 source_path, batch_size=smallest_batch,
                 start_frame=start_frame, end_frame=end_frame,
-                workers=workers)
+                workers=workers, as_float=False)
         else:
             reader = video_io.VideoReader(source_path,
                                           batch_size=smallest_batch,
                                           start_frame=start_frame,
-                                          end_frame=end_frame)
+                                          end_frame=end_frame,
+                                          as_float=False)
         # PrefetchingReader.close() stops and joins the pump thread before
         # releasing the capture, so it owns reader shutdown on every path.
         with video_io.PrefetchingReader(reader) as prefetch:
@@ -307,9 +320,11 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                                            smallest_batch - chunk_n, axis=0)
                         padded = np.concatenate([chunk, filler], axis=0)
                     with timer.stage("device"):
+                        # quantize on device: the device->host hop is the
+                        # bottleneck on remote-attached TPUs
                         enhanced, ok_batch = process_with_retry(
                             padded, settings, out_h, out_w,
-                            frame_index + offset, mesh=mesh)
+                            frame_index + offset, mesh=mesh, as_uint8=True)
                     smallest_batch = max(1, min(smallest_batch, ok_batch))
                     with timer.stage("encode"):
                         writer.write_array(enhanced[:chunk_n])
