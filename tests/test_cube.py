@@ -109,3 +109,40 @@ def test_list_lut_files(tmp_path):
     (tmp_path / "note.txt").write_text("x")
     assert cube.list_lut_files(str(tmp_path)) == ["A.cube", "b.cube"]
     assert cube.list_lut_files(str(tmp_path / "missing")) == []
+
+
+def test_parse_cube_fuzz_malformed(tmp_path):
+    """Malformed .cube inputs must raise CubeParseError (or parse), never
+    crash with an unrelated exception."""
+    from vrgdg_tpu.core.cube import CubeParseError, parse_cube
+
+    cases = [
+        "",                                     # empty
+        "LUT_3D_SIZE\n",                        # missing value
+        "LUT_3D_SIZE 2\n0 0 0\n",               # wrong count
+        "LUT_1D_SIZE 4\n",                      # 1D rejected
+        "TITLE \"x\"\n0 0 0\n",                 # no size
+        "LUT_3D_SIZE 2\n" + "0 0 0\n" * 9,      # too many
+        "LUT_3D_SIZE abc\n",                    # non-numeric size
+        "DOMAIN_MIN 0 0\nLUT_3D_SIZE 2\n" + "0 0 0\n" * 8,  # bad domain
+        "LUT_3D_SIZE 2\n" + "x y z\n" * 8,      # non-numeric rows
+    ]
+    for index, text in enumerate(cases):
+        path = tmp_path / f"fuzz_{index}.cube"
+        path.write_text(text)
+        try:
+            parse_cube(str(path))
+        except (CubeParseError, ValueError):
+            pass  # expected failure mode
+
+
+def test_parse_cube_tolerates_junk_metadata(tmp_path):
+    """Unknown metadata lines are skipped like the reference parser."""
+    from vrgdg_tpu.core.cube import parse_cube
+
+    text = ("# comment\nTITLE \"t\"\nLUT_3D_SIZE 2\n"
+            "SOME_FUTURE_KEY hello world\n" + "0.5 0.5 0.5\n" * 8)
+    path = tmp_path / "meta.cube"
+    path.write_text(text)
+    lut = parse_cube(str(path))
+    assert lut.size == 2 and lut.title == "t"
