@@ -151,3 +151,45 @@ def test_parallel_reader_early_close(tmp_path):
     iterator = iter(reader)
     next(iterator)
     reader.close()  # must stop and join workers without hanging
+
+
+def test_parallel_reader_worker_failure_raises(tmp_path, monkeypatch):
+    """A worker that cannot open its capture must surface an error to the
+    consumer promptly instead of hanging or silently truncating."""
+    import numpy as np
+
+    path = str(tmp_path / "parfail.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(8)
+    for _ in range(20):
+        writer.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+
+    real_capture = cv2.VideoCapture
+    created = {"count": 0}
+
+    class FailingCapture:
+        def __init__(self, *args):
+            created["count"] += 1
+            self._real = None
+
+        def isOpened(self):
+            return False
+
+        def release(self):
+            pass
+
+    # the constructor probe (frame count) must still work; fail only the
+    # worker-side captures created afterwards
+    def capture_factory(*args):
+        if created["count"] == 0:
+            created["count"] += 1
+            return real_capture(*args)
+        return FailingCapture(*args)
+
+    monkeypatch.setattr(cv2, "VideoCapture", capture_factory)
+    reader = vio.ParallelVideoReader(path, batch_size=4, workers=2)
+    with pytest.raises(RuntimeError, match="worker"):
+        list(iter(reader))
+    reader.close()

@@ -98,18 +98,11 @@ def compare_videos(input_a, input_b, mode: str = "slider", output_path="",
     started = time.perf_counter()
     counters = {"frames": 0}
 
-    # output geometry comes from one probe batch
-    probe_a = video_io.VideoReader(path_a, batch_size=1, end_frame=1)
-    probe_b = video_io.VideoReader(path_b, batch_size=1, end_frame=1)
-    with probe_a, probe_b:
-        first_a = next(iter(probe_a))[1]
-        first_b = next(iter(probe_b))[1]
-    probe_out = render_compare(jnp.asarray(first_a), jnp.asarray(first_b),
-                               mode, slider_position=slider_position,
-                               overlay_opacity=overlay_opacity,
-                               difference_gain=difference_gain, fps=fps,
-                               blink_speed=blink_speed)
-    out_h, out_w = int(probe_out.shape[1]), int(probe_out.shape[2])
+    # output geometry is analytic (B letterboxes onto A's geometry):
+    # side_by_side adds B's width plus the 2px separator
+    out_h = int(meta_a["height"])
+    out_w = int(meta_a["width"]) * 2 + 2 if mode == "side_by_side" \
+        else int(meta_a["width"])
 
     def producer():
         counters["frames"] = 0
@@ -121,14 +114,24 @@ def compare_videos(input_a, input_b, mode: str = "slider", output_path="",
             for (start_a, batch_a), (_, batch_b) in zip(iter(reader_a),
                                                         iter(reader_b)):
                 count = min(batch_a.shape[0], batch_b.shape[0])
+                # pad short tail batches to the stable shape (repeat the
+                # last frame; trimmed after) so the render compiles once
+                # per video instead of once per tail shape
+                pad = batch_size - count
+                a = batch_a[:count]
+                b = batch_b[:count]
+                if pad > 0:
+                    a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                    b = np.concatenate([b, np.repeat(b[-1:], pad, axis=0)])
                 out = render_compare(
-                    jnp.asarray(batch_a[:count]), jnp.asarray(batch_b[:count]),
+                    jnp.asarray(a), jnp.asarray(b),
                     mode, slider_position=slider_position,
                     overlay_opacity=overlay_opacity,
                     difference_gain=difference_gain, fps=fps,
                     blink_speed=blink_speed, frame_start=start_a)
                 counters["frames"] += count
-                yield np.asarray(video_io.quantize_on_device(out))
+                yield np.asarray(
+                    video_io.quantize_on_device(out))[:count]
 
     codec = video_io.write_video_with_fallback(output_path, fps, out_w,
                                                out_h, producer)

@@ -186,15 +186,12 @@ def prepare_face_pipeline(video_frames, detector: DetectorFn | None = None, *,
 def store_enhanced_anchors(enhanced_anchors, context: FaceFixContext,
                            job_folder: str) -> str:
     """Validate count and persist enhanced anchors in deterministic order
-    (``VRGDG_StandaloneFaceFixNodes.py:458-481``)."""
-    expected = len(context.anchor_indices)
-    if int(enhanced_anchors.shape[0]) != expected:
-        raise ValueError(f"The enhancer returned {enhanced_anchors.shape[0]} "
-                         f"anchors; expected {expected}.")
-    folder = os.path.join(job_folder, "enhanced_anchors_512")
-    save_image_batch(enhanced_anchors, folder, "anchor")
-    context.extras["enhanced_anchor_folder"] = folder
-    return folder
+    (``VRGDG_StandaloneFaceFixNodes.py:458-481``) — the shared
+    guided-enhance store with the face-fix folder name."""
+    from .prepare_restore import store_enhanced_anchors as _store
+
+    return _store(enhanced_anchors, context, job_folder,
+                  folder_name="enhanced_anchors_512")
 
 
 def create_crop_video(crop_batch, context: FaceFixContext, fps: float,

@@ -216,18 +216,23 @@ def load_anchor_batches(directory: str, batch_size: int):
         yield np.stack(chunk, axis=0)
 
 
-def store_enhanced_anchors(enhanced_anchors, context: EnhanceContext,
-                           job_folder: str) -> str:
+def store_enhanced_anchors(enhanced_anchors, context, job_folder: str,
+                           folder_name: str = "enhanced_anchors") -> str:
     """Validate and persist enhanced anchors in deterministic order
     (``VRGDG_VideoEnhanceNodes.py:310-319``): the count must match the
     prepared anchor indices exactly.  Returns the folder and records it in
-    ``context.extras["enhanced_anchor_folder"]``."""
+    ``context.extras["enhanced_anchor_folder"]``.
+
+    ``context`` is any object with ``anchor_indices`` and ``extras`` —
+    the guided-enhance :class:`EnhanceContext` or the standalone face-fix
+    pipeline's context (which stores under ``enhanced_anchors_512``).
+    """
     expected = len(context.anchor_indices)
     got = int(enhanced_anchors.shape[0])
     if got != expected:
         raise ValueError(
             f"The enhancer returned {got} anchors; expected {expected}.")
-    folder = os.path.join(job_folder, "enhanced_anchors")
+    folder = os.path.join(job_folder, folder_name)
     save_image_batch(enhanced_anchors, folder, "anchor")
     context.extras["enhanced_anchor_folder"] = folder
     return folder

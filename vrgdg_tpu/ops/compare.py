@@ -71,12 +71,11 @@ def difference(a: jnp.ndarray, b: jnp.ndarray,
     return jnp.clip(jnp.abs(a - b) * max(1.0, float(gain)), 0.0, 1.0)
 
 
-def blink_source(frame_index: int, fps: float, blink_speed: float) -> bool:
-    """Which input a blink frame shows: alternates A/B at ``blink_speed``
-    toggles per second (the widget's control, clamped 0.1..8.0)."""
+def blink_period(fps: float, blink_speed: float) -> int:
+    """Frames per blink toggle at ``blink_speed`` Hz (clamped 0.1..8.0,
+    the widget's control range)."""
     speed = max(0.1, min(8.0, float(blink_speed)))
-    period = max(1, int(round(float(fps) / speed)))
-    return (int(frame_index) // period) % 2 == 0
+    return max(1, int(round(float(fps) / speed)))
 
 
 def blink(a: jnp.ndarray, b: jnp.ndarray, fps: float = 24.0,
@@ -84,8 +83,7 @@ def blink(a: jnp.ndarray, b: jnp.ndarray, fps: float = 24.0,
     """Per-frame A/B alternation for a batch starting at absolute frame
     ``frame_start`` — batch-boundary invariant like every other op here."""
     a, b = align_pair(a, b)
-    speed = max(0.1, min(8.0, float(blink_speed)))
-    period = max(1, int(round(float(fps) / speed)))
+    period = blink_period(fps, blink_speed)
     index = frame_start + jnp.arange(a.shape[0])
     show_a = ((index // period) % 2 == 0)[:, None, None, None]
     return jnp.where(show_a, a, b)

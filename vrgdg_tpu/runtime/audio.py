@@ -64,15 +64,18 @@ def read_audio_peaks(path: str, target_peaks: int = 600) -> dict:
         raise ValueError("Only 16-bit PCM WAV files are supported.")
     duration = frame_count / float(sample_rate) if sample_rate else 0.0
     samples = np.frombuffer(raw, dtype="<i2")
+    # abs BEFORE the channel collapse: a loud negative excursion on one
+    # channel must register as a peak
+    magnitudes = np.abs(samples.astype(np.int32))
     if channels > 1:
-        samples = samples.reshape(-1, channels).max(axis=1)
+        magnitudes = magnitudes.reshape(-1, channels).max(axis=1)
     target_peaks = max(1, int(target_peaks))
-    if samples.size == 0:
+    if magnitudes.size == 0:
         peaks = [0.0] * target_peaks
     else:
-        bucket = max(1, samples.size // target_peaks)
-        usable = (samples.size // bucket) * bucket
-        blocks = np.abs(samples[:usable].astype(np.int32)).reshape(-1, bucket)
+        bucket = max(1, magnitudes.size // target_peaks)
+        usable = (magnitudes.size // bucket) * bucket
+        blocks = magnitudes[:usable].reshape(-1, bucket)
         peaks = (blocks.max(axis=1) / 32767.0).round(4).tolist()
     return {"duration": duration, "sample_rate": sample_rate,
             "peaks": peaks, "beats": []}

@@ -596,6 +596,7 @@ class ParallelVideoReader:
         self.chunk_frames = self.batch_size * max(1, int(chunk_batches))
         self._stop = threading.Event()
         self._results: dict[int, list | None] = {}
+        self._error: BaseException | None = None
         self._lock = threading.Lock()
         self._ready = threading.Condition(self._lock)
         self._chunks = list(range(self.start_frame, self.end_frame,
@@ -618,8 +619,12 @@ class ParallelVideoReader:
     def _worker(self):
         import cv2
 
-        capture = cv2.VideoCapture(self.path)
+        index = None
+        capture = None
         try:
+            capture = cv2.VideoCapture(self.path)
+            if not capture.isOpened():
+                raise RuntimeError(f"Could not open video: {self.path}")
             while not self._stop.is_set():
                 index = self._claim()
                 if index is None:
@@ -637,6 +642,7 @@ class ParallelVideoReader:
                 with self._ready:
                     self._results[index] = frames
                     self._ready.notify_all()
+                index = None
                 # simple backpressure: don't run more than ~2 chunks/worker
                 # ahead of the consumer
                 while not self._stop.is_set():
@@ -644,8 +650,17 @@ class ParallelVideoReader:
                         if len(self._results) <= 2 * len(self._threads):
                             break
                     self._stop.wait(0.02)
+        except BaseException as exc:
+            # publish the failure so the consumer raises instead of
+            # hanging on the never-delivered chunk
+            with self._ready:
+                self._error = exc
+                if index is not None:
+                    self._results[index] = None
+                self._ready.notify_all()
         finally:
-            capture.release()
+            if capture is not None:
+                capture.release()
 
     def __iter__(self) -> Iterator[tuple[int, np.ndarray]]:
         convert = frames_to_array if self.as_float else frames_to_rgb_u8
@@ -654,6 +669,10 @@ class ParallelVideoReader:
         for index in range(len(self._chunks)):
             with self._ready:
                 while index not in self._results:
+                    if self._error is not None:
+                        raise RuntimeError(
+                            "Parallel decoder worker failed") \
+                            from self._error
                     if not any(t.is_alive() for t in self._threads) \
                             and index not in self._results:
                         raise RuntimeError(
@@ -661,6 +680,9 @@ class ParallelVideoReader:
                     self._ready.wait(0.05)
                 frames = self._results.pop(index)
                 self._ready.notify_all()
+            if frames is None:
+                raise RuntimeError("Parallel decoder worker failed") \
+                    from self._error
             pending.extend(frames)
             while len(pending) >= self.batch_size:
                 batch = pending[:self.batch_size]
