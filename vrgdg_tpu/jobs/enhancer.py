@@ -141,9 +141,10 @@ def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
     if out_width is None:
         out_width = int(frames.shape[2])
     count = int(frames.shape[0])
-    # uint8 input ships 4x fewer bytes over the host->device hop and is
-    # normalized on device (bit-identical to the host /255 path)
-    device_frames = video_io.dequantize_on_device(jnp.asarray(frames))
+    # uint8 input ships 4x fewer bytes over the host->device hop; pad and
+    # place it on the mesh while still uint8 (4x cheaper resharding too),
+    # then normalize on device (bit-identical to the host /255 path)
+    device_frames = jnp.asarray(frames)
     if mesh is not None:
         from ..parallel import frame_sharding, pad_to_multiple
 
@@ -155,6 +156,7 @@ def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
                    and device_frames.shape[1] % mesh.shape["space"] == 0)
         device_frames = jax.device_put(device_frames,
                                        frame_sharding(mesh, spatial=spatial))
+    device_frames = video_io.dequantize_on_device(device_frames)
     result = _enhance_step(device_frames, settings, int(out_height),
                            int(out_width), jnp.asarray(frame_start, jnp.uint32))
     if as_uint8:
