@@ -114,3 +114,16 @@ def test_compare_appliers(tmp_path):
     assert ok
     # left half dark, right half bright
     assert frame[:, :30].mean() < 80 and frame[:, -30:].mean() > 170
+
+
+def test_overlay_and_slider_extremes():
+    a, b = _pair()
+    np.testing.assert_allclose(np.asarray(oc.overlay(a, b, 0.0)),
+                               np.asarray(a), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(oc.overlay(a, b, 1.0)),
+                               np.asarray(b), atol=1e-7)
+    # slider at 0 shows only B, at 1 only A (seam disabled)
+    np.testing.assert_allclose(np.asarray(oc.slider(a, b, 0.0, seam=0)),
+                               np.asarray(b), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(oc.slider(a, b, 1.0, seam=0)),
+                               np.asarray(a), atol=1e-7)

@@ -249,3 +249,17 @@ def test_manifest_path_guard(tmp_path):
     with pytest.raises(ValueError, match="not inside a Face Fix job"):
         ff.accept_enhanced_crop({"manifest_path": str(bogus), "index": 0,
                                  "image": str(bogus)})
+
+
+def test_rotation_assist_maps_back_to_frame_coords():
+    """Light rotation assist: detections from rotated scans must map back
+    near the upright box and dedup to one candidate
+    (VRGDG_FaceFix.py:116-157)."""
+    frame = np.full((480, 640, 3), 30, np.uint8)
+    frame[200:240, 300:340] = 220  # 40px bright square
+    found = ff.detect_with_rotation(synthetic_detector, frame, 0.5,
+                                    ff.initial_regions(640, 480), "light")
+    assert len(found) == 1  # rotated duplicates deduped at IoU 0.35
+    x, y, w, h, score = found[0]
+    assert abs(x - 300) < 8 and abs(y - 200) < 8
+    assert abs(w - 40) < 16 and abs(h - 16 - 24) < 40  # box inflates a bit

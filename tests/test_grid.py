@@ -83,3 +83,26 @@ def test_rejects_bad_inputs():
         grid.build_reference_sheet([])
     with pytest.raises(ValueError, match="Unknown layout"):
         grid.build_reference_sheet(_imgs(2), layout="mosaic")
+
+
+def _overlap_area(r1, r2):
+    x = max(0.0, min(r1[0] + r1[2], r2[0] + r2[2]) - max(r1[0], r2[0]))
+    y = max(0.0, min(r1[1] + r1[3], r2[1] + r2[3]) - max(r1[1], r2[1]))
+    return x * y
+
+
+def test_layouts_do_not_overlap():
+    for preset in ("uniform_grid", "horizontal_strip", "vertical_strip"):
+        for count in (2, 4, 7):
+            rects = grid.layout_rects(preset, count)
+            for i in range(len(rects)):
+                for j in range(i + 1, len(rects)):
+                    assert _overlap_area(rects[i], rects[j]) < 1e-9
+
+
+def test_aspect_rows_do_not_overlap():
+    shapes = [(24, 32), (24, 48), (48, 24), (24, 24), (30, 40), (20, 60)]
+    rects = grid.aspect_row_rects(shapes, 768, 448)
+    for i in range(len(rects)):
+        for j in range(i + 1, len(rects)):
+            assert _overlap_area(rects[i], rects[j]) < 1e-9
