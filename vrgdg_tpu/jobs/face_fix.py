@@ -142,45 +142,55 @@ ROTATION_MODES = {"off": (0,), "light": (0, -15, 15),
                   "strong": (0, -15, 15, -30, 30)}
 
 
+def _unrotate_box(box: tuple, inverse: np.ndarray,
+                  width: int, height: int) -> tuple | None:
+    """Map an axis-aligned box through an inverse affine: transform all
+    four corners, take their axis-aligned hull, clip to the frame.
+    Returns None when the clipped hull collapses."""
+    x, y, w, h = box
+    xs = np.array([x, x + w, x, x + w], np.float64)
+    ys = np.array([y, y, y + h, y + h], np.float64)
+    mx = inverse[0, 0] * xs + inverse[0, 1] * ys + inverse[0, 2]
+    my = inverse[1, 0] * xs + inverse[1, 1] * ys + inverse[1, 2]
+    left, right = np.clip([mx.min(), mx.max()], 0.0, float(width))
+    top, bottom = np.clip([my.min(), my.max()], 0.0, float(height))
+    if right <= left or bottom <= top:
+        return None
+    return (float(left), float(top), float(right - left),
+            float(bottom - top))
+
+
 def detect_with_rotation(detector: DetectorFn, frame: np.ndarray,
                          confidence: float, regions,
                          rotation_assist: str = "light") -> list[tuple]:
-    """Rotate-scan-unrotate assist for tilted faces (``:116-157``);
-    rotated passes re-scan the standard tiling and their scores carry a
-    tiny per-degree penalty so upright detections win ties."""
+    """Rotate-scan-unrotate assist for tilted faces (behavior of
+    ``:116-157``); rotated passes re-scan the standard tiling and their
+    scores carry a tiny per-degree penalty so upright detections win
+    ties."""
     angles = ROTATION_MODES.get(str(rotation_assist or "light").lower(),
                                 ROTATION_MODES["light"])
-    if tuple(angles) == (0,):
-        return detect_in_regions(detector, frame, confidence, regions)
+    found = list(detect_in_regions(detector, frame, confidence, regions))
+    tilted = [a for a in angles if a != 0]
+    if not tilted:
+        return found  # detect_in_regions output is already deduped
 
     import cv2
 
     height, width = frame.shape[:2]
-    center = (width / 2.0, height / 2.0)
-    found = []
-    for angle in angles:
-        if angle == 0:
-            for item in detect_in_regions(detector, frame, confidence,
-                                          regions):
-                found.append(item)
-            continue
-        matrix = cv2.getRotationMatrix2D(center, float(angle), 1.0)
+    full_scan = initial_regions(width, height)
+    for angle in tilted:
+        matrix = cv2.getRotationMatrix2D((width / 2.0, height / 2.0),
+                                         float(angle), 1.0)
         rotated = cv2.warpAffine(frame, matrix, (width, height),
                                  flags=cv2.INTER_LINEAR,
                                  borderMode=cv2.BORDER_REPLICATE)
         inverse = cv2.invertAffineTransform(matrix)
-        for x, y, w, h, score in detect_in_regions(
-                detector, rotated, confidence, initial_regions(width, height)):
-            corners = np.array([[x, y, 1.0], [x + w, y, 1.0],
-                                [x, y + h, 1.0], [x + w, y + h, 1.0]])
-            mapped = corners @ inverse.T
-            left = max(0.0, mapped[:, 0].min())
-            top = max(0.0, mapped[:, 1].min())
-            right = min(float(width), mapped[:, 0].max())
-            bottom = min(float(height), mapped[:, 1].max())
-            if right > left and bottom > top:
-                found.append((left, top, right - left, bottom - top,
-                              score - abs(angle) * 0.0001))
+        tilt_penalty = abs(angle) * 0.0001
+        for detection in detect_in_regions(detector, rotated, confidence,
+                                           full_scan):
+            hull = _unrotate_box(detection[:4], inverse, width, height)
+            if hull is not None:
+                found.append(hull + (detection[4] - tilt_penalty,))
     return dedup_detections(found)
 
 
@@ -243,29 +253,22 @@ def smooth_box(previous, current, alpha: float = SMOOTH_ALPHA):
 
 def square_crop_box(face_box, width: int, height: int,
                     padding: float) -> tuple[int, int, int, int]:
-    """Padded square crop shifted (never shrunk) back inside the frame,
-    capped at the frame's short edge (``:207-226``)."""
-    x, y, fw, fh = face_box
-    cx, cy = x + fw / 2.0, y + fh / 2.0
-    side = max(fw, fh) * (1.0 + 2.0 * max(0.0, padding))
-    side = min(side, width, height)
-    left = int(round(cx - side / 2.0))
-    top = int(round(cy - side / 2.0))
-    right = left + int(round(side))
-    bottom = top + int(round(side))
-    if left < 0:
-        right -= left
-        left = 0
-    if top < 0:
-        bottom -= top
-        top = 0
-    if right > width:
-        left -= right - width
-        right = width
-    if bottom > height:
-        top -= bottom - height
-        bottom = height
-    return (max(0, left), max(0, top), min(width, right), min(height, bottom))
+    """Padded square crop translated (never shrunk) to fit the frame.
+
+    Behavior of ``:207-226``: the square's side is the larger face edge
+    grown by ``padding`` per side, capped at the frame's short edge; the
+    square is centered on the face, then each axis is clamped into
+    ``[0, frame - side]`` — a translation, since the cap guarantees fit.
+    """
+    x, y, face_w, face_h = face_box
+    side = min(max(face_w, face_h) * (1.0 + 2.0 * max(0.0, padding)),
+               width, height)
+    edge = int(round(side))
+    left = int(round(x + face_w / 2.0 - side / 2.0))
+    top = int(round(y + face_h / 2.0 - side / 2.0))
+    left = min(max(left, 0), width - edge)
+    top = min(max(top, 0), height - edge)
+    return (left, top, left + edge, top + edge)
 
 
 def is_forbidden_ltx_index(index: int) -> bool:

@@ -12,6 +12,7 @@ geometry is exact.
 
 from __future__ import annotations
 
+import itertools
 import math
 
 import numpy as np
@@ -33,93 +34,119 @@ def parse_color(value, fallback="#000000") -> tuple[float, float, float]:
 
 
 def grid_rects(count: int, columns: int | None = None) -> list[tuple]:
-    """Uniform grid in normalized coordinates; auto column count targets a
-    16:9 canvas (``:98-110``)."""
+    """Uniform row-major grid in normalized coordinates.
+
+    Behavior spec (``VRGDG_LTXICIngredientsGrid.py:98-110``): without an
+    explicit column count, choose the count whose cell grid best fills a
+    16:9 canvas — ``ceil(sqrt(count*16/9))`` — clamped to ``[1, count]``;
+    rows follow as ``ceil(count/columns)`` and all cells share one size.
+    """
     if count <= 0:
         return []
     if not columns or columns <= 0:
-        columns = int(math.ceil(math.sqrt(count * 16 / 9)))
-    columns = max(1, min(count, int(columns)))
-    rows = int(math.ceil(count / columns))
-    return [((i % columns) / columns, (i // columns) / rows,
-             1 / columns, 1 / rows) for i in range(count)]
+        columns = math.ceil(math.sqrt(count * 16 / 9))
+    columns = min(count, max(1, int(columns)))
+    rows = -(-count // columns)
+    rr, cc = np.divmod(np.arange(count), columns)
+    return [(c / columns, r / rows, 1 / columns, 1 / rows)
+            for r, c in zip(rr.tolist(), cc.tolist())]
 
 
-def _image_aspect(shape) -> float:
+def _panel_aspect(shape) -> float:
+    """width/height of an (H, W, ...) array shape, clamped to [0.05, 20]."""
     height, width = int(shape[0]), int(shape[1])
     if width <= 0 or height <= 0:
         return 1.0
-    return max(0.05, min(20.0, width / height))
+    return float(np.clip(width / height, 0.05, 20.0))
 
 
-def _row_partitions(count: int, rows: int):
-    if rows <= 1:
-        yield [count]
-        return
-    if rows >= count:
-        yield [1] * count
-        return
-
-    def walk(remaining, row_count, prefix):
-        if row_count == 1:
-            if remaining >= 1:
-                yield prefix + [remaining]
-            return
-        for first in range(1, remaining - row_count + 2):
-            yield from walk(remaining - first, row_count - 1, prefix + [first])
-
-    yield from walk(count, rows, [])
+def _run_boundaries(count: int, rows: int) -> np.ndarray:
+    """Every ordered split of ``count`` panels into ``rows`` non-empty
+    runs, as a ``(K, rows+1)`` matrix of run boundary indices
+    ``[0, b1, .., count]`` in lexicographic cut order."""
+    if rows == 1:
+        cuts = np.empty((1, 0), np.int64)
+    else:
+        cuts = np.fromiter(
+            itertools.chain.from_iterable(
+                itertools.combinations(range(1, count), rows - 1)),
+            dtype=np.int64).reshape(-1, rows - 1)
+    bounds = np.empty((cuts.shape[0], rows + 1), np.int64)
+    bounds[:, 0], bounds[:, -1] = 0, count
+    bounds[:, 1:-1] = cuts
+    return bounds
 
 
 def aspect_row_rects(shapes, canvas_width: int,
                      canvas_height: int) -> list[tuple]:
-    """Aspect-preserving row packing: search row partitions, score by
-    canvas coverage / row balance (``:140-202``)."""
+    """Aspect-preserving row packing via vectorized composition search.
+
+    Behavior spec (matches ``VRGDG_LTXICIngredientsGrid.py:140-202``
+    layout output): pack the panels, in order, into 1..4 full-width rows
+    on a unit canvas of aspect ``A = W/H``.  A row whose panels' aspect
+    ratios sum to ``S`` gets normalized height ``A / max(S, 0.05)``.
+    Candidate packings are all ordered compositions; each is scored by a
+    cost model that is part of the layout behavior: total height ``T``
+    overflowing 1.02 costs ``10x`` the overflow plus ``0.05`` per row,
+    otherwise the unused vertical space ``1 - T`` plus ``0.035`` per row;
+    uneven row heights add ``0.08x`` their spread.  Lowest cost wins
+    (first in enumeration order on ties).  Placement: ``T > 1`` compresses
+    all heights by ``1/T``; ``T < 0.98`` with several rows spreads the
+    slack as ``(1-T)/(rows+1)`` gaps; otherwise the block is centered
+    vertically.  Rows are centered horizontally; panel width is
+    ``height * aspect / A``.
+    """
     count = len(shapes)
     if count <= 0:
         return []
     if count == 1:
         return [(0.0, 0.0, 1.0, 1.0)]
-    target_aspect = max(0.05, canvas_width / max(1, canvas_height))
-    aspects = [_image_aspect(s) for s in shapes]
-    best = None
+    canvas_aspect = max(0.05, canvas_width / max(1, canvas_height))
+    aspects = np.array([_panel_aspect(s) for s in shapes], np.float64)
+    prefix = np.concatenate([[0.0], np.cumsum(aspects)])
+
+    best_cost = math.inf
+    best_bounds = best_heights = None
     for rows in range(1, min(count, 4) + 1):
-        for partition in _row_partitions(count, rows):
-            start = 0
-            raw_heights, row_sums = [], []
-            for row_count in partition:
-                row_sum = sum(aspects[start:start + row_count])
-                row_sums.append(row_sum)
-                raw_heights.append(target_aspect / max(0.05, row_sum))
-                start += row_count
-            raw_total = sum(raw_heights)
-            if raw_total > 1.02:
-                score = (raw_total - 1.0) * 10.0 + rows * 0.05
-            else:
-                score = (1.0 - raw_total) + rows * 0.035
-            score += (max(raw_heights) - min(raw_heights)) * 0.08
-            if best is None or score < best[0]:
-                best = (score, partition, raw_heights, row_sums, raw_total)
-    _, partition, raw_heights, row_sums, raw_total = best
-    row_gap = 0.0
-    y = max(0.0, (1.0 - raw_total) / 2.0) if raw_total <= 1.0 else 0.0
-    if raw_total < 0.98 and len(partition) > 1:
-        row_gap = (1.0 - raw_total) / (len(partition) + 1)
-        y = row_gap
+        bounds = _run_boundaries(count, rows)
+        spans = np.maximum(
+            prefix[bounds[:, 1:]] - prefix[bounds[:, :-1]], 0.05)
+        heights = canvas_aspect / spans                       # (K, rows)
+        totals = heights.sum(axis=1)
+        cost = np.where(totals > 1.02,
+                        (totals - 1.0) * 10.0 + rows * 0.05,
+                        (1.0 - totals) + rows * 0.035)
+        cost = cost + (heights.max(axis=1) - heights.min(axis=1)) * 0.08
+        k = int(np.argmin(cost))
+        if cost[k] < best_cost:
+            best_cost = float(cost[k])
+            best_bounds, best_heights = bounds[k], heights[k]
+
+    heights = best_heights
+    total = float(heights.sum())
+    n_rows = heights.shape[0]
+    if total > 1.0:
+        heights = heights / total
+        gap, y_start = 0.0, 0.0
+    elif total < 0.98 and n_rows > 1:
+        gap = (1.0 - total) / (n_rows + 1)
+        y_start = gap
+    else:
+        gap, y_start = 0.0, (1.0 - total) / 2.0
+    row_tops = y_start + np.concatenate(
+        [[0.0], np.cumsum(heights + gap)[:-1]])
+
     rects = []
-    index = 0
-    for row_index, row_count in enumerate(partition):
-        row_height = raw_heights[row_index]
-        if raw_total > 1.0:
-            row_height = row_height / raw_total
-        row_width = row_height * row_sums[row_index] / target_aspect
-        x = max(0.0, (1.0 - row_width) / 2.0)
-        for _ in range(row_count):
-            panel_width = row_height * aspects[index] / target_aspect
-            rects.append((x, y, panel_width, row_height))
-            x += panel_width
-            index += 1
-        y += row_height + row_gap
+    unit_widths = aspects / canvas_aspect   # panel width at unit row height
+    for r in range(n_rows):
+        lo, hi = int(best_bounds[r]), int(best_bounds[r + 1])
+        row_h = float(heights[r])
+        panel_w = unit_widths[lo:hi] * row_h
+        x_start = max(0.0, (1.0 - float(panel_w.sum())) / 2.0)
+        lefts = x_start + np.concatenate([[0.0], np.cumsum(panel_w)[:-1]])
+        rects.extend(
+            (float(x), float(row_tops[r]), float(w), row_h)
+            for x, w in zip(lefts, panel_w))
     return rects
 
 
