@@ -79,3 +79,21 @@ def test_mesh_shapes():
     assert mesh.shape["data"] == 4 and mesh.shape["space"] == 2
     with pytest.raises(ValueError):
         make_mesh(6, spatial=4)
+
+
+def test_grade_on_mesh_rejects_pallas_grain():
+    """The Pallas grain kernel derives frame indices from pl.program_id,
+    so mesh-sharded grades must refuse it (determinism contract)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from vrgdg_tpu.core.params import GrainParams
+    from vrgdg_tpu.ops.grade import GradeConfig
+    from vrgdg_tpu.parallel import grade_on_mesh, make_mesh
+
+    config = GradeConfig(grain=GrainParams(intensity=0.05),
+                         grain_mode="pallas")
+    frames = jnp.zeros((8, 8, 8, 3), jnp.float32)
+    with pytest.raises(ValueError, match="pallas"):
+        grade_on_mesh(frames, config, make_mesh())

@@ -246,3 +246,56 @@ def test_route_error_paths(media, tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_mutation_guard(media, tmp_path, monkeypatch):
+    """Cross-origin POSTs are rejected (CSRF against 127.0.0.1), and an
+    optional VRGDG_TPU_TOKEN gates all mutating routes."""
+    base = str(tmp_path)
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            host = f"{client.host}:{client.port}"
+
+            # cross-origin POST -> 403, nothing executed
+            resp = await client.post(
+                "/vrgdg/video_enhancer/load", json={"path": media},
+                headers={"Origin": "http://evil.example"})
+            assert resp.status == 403
+            assert (await resp.json())["ok"] is False
+
+            # same-origin POST (what the bundled panel sends) -> allowed
+            resp = await client.post(
+                "/vrgdg/video_enhancer/load", json={"path": media},
+                headers={"Origin": f"http://{host}"})
+            assert (await resp.json())["ok"] is True
+
+            # header-less local tools (curl/CLI) -> allowed
+            resp = await client.post("/vrgdg/video_enhancer/load",
+                                     json={"path": media})
+            assert (await resp.json())["ok"] is True
+
+            # GETs are never origin-gated
+            resp = await client.get(
+                "/vrgdg/health", headers={"Origin": "http://evil.example"})
+            assert resp.status == 200
+
+            # token mode: mutations require the header, reads don't
+            monkeypatch.setenv("VRGDG_TPU_TOKEN", "sekrit")
+            resp = await client.post("/vrgdg/video_enhancer/load",
+                                     json={"path": media})
+            assert resp.status == 403
+            resp = await client.post("/vrgdg/video_enhancer/load",
+                                     json={"path": media},
+                                     headers={"X-VRGDG-Token": "sekrit"})
+            assert (await resp.json())["ok"] is True
+            resp = await client.get("/vrgdg/health")
+            assert resp.status == 200
+        finally:
+            monkeypatch.delenv("VRGDG_TPU_TOKEN", raising=False)
+            await client.close()
+
+    _run(scenario())

@@ -123,3 +123,18 @@ def test_build_chunk_output_path(tmp_path):
     assert not os.path.exists(existing)
     backups = os.listdir(os.path.join(folder, "backup"))
     assert len(backups) == 1 and backups[0].endswith(".bak")
+
+
+def test_build_chunk_backup_exact_stem(tmp_path):
+    """Backup mode must only sweep the exact chunk file: 'video_0001'
+    must not move SRT-named 'video_0001_0000.mp4' or 'video_00010.mp4'."""
+    folder = str(tmp_path)
+    target = os.path.join(folder, "video_0001.mp4")
+    srt_sibling = os.path.join(folder, "video_0001_0000.mp4")
+    digit_sibling = os.path.join(folder, "video_00010.mp4")
+    for p in (target, srt_sibling, digit_sibling):
+        open(p, "wb").write(b"x")
+    video_io.build_chunk_output_path(folder, 1, "video",
+                                     overwrite_mode="backup")
+    assert not os.path.exists(target)
+    assert os.path.exists(srt_sibling) and os.path.exists(digit_sibling)

@@ -276,9 +276,14 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
 
     timer = StageTimer()
 
+    # Parallel chunked decode is opt-in (decode_workers > 1): its
+    # CAP_PROP_POS_FRAMES chunk seeks are frame-accurate on the codecs we
+    # generate, but open-GOP/B-frame/VFR sources can land off-by-one on
+    # some OpenCV backends, silently misaligning output — the sequential
+    # reader has no such failure mode, so "auto" (0) stays sequential.
     workers = int(getattr(settings, "decode_workers", 0))
     if workers == 0:
-        workers = min(4, max(1, (os.cpu_count() or 2) // 2))
+        workers = 1
 
     writer = video_io.VideoWriter(segment_path, metadata["fps"], out_w, out_h)
     try:

@@ -104,6 +104,16 @@ def grade_on_mesh(frames: jnp.ndarray, config, mesh: Mesh, *, lut=None,
     """
     from ..ops.grade import grade
 
+    if getattr(config, "grain_mode", "threefry") == "pallas" and \
+            getattr(config, "grain", None) is not None:
+        # The Pallas kernel derives absolute frame indices from
+        # pl.program_id, which would break the (seed + absolute frame
+        # index) determinism contract if XLA ever partitioned the opaque
+        # call across the frame axis; threefry grain is sharding-exact.
+        raise ValueError(
+            "grain_mode='pallas' is not supported on mesh-sharded grades; "
+            "use the default 'threefry' mode (bit-identical across "
+            "shard boundaries).")
     placed, count = shard_clip(frames, mesh, spatial)
     out = grade(placed, config, lut=lut, reference=reference,
                 ref_stats=ref_stats, frame_start=frame_start)

@@ -483,7 +483,9 @@ def build_chunk_output_path(output_folder: str, chunk_index: int,
         backup_dir = os.path.join(output_folder, "backup")
         os.makedirs(backup_dir, exist_ok=True)
         for name in os.listdir(output_folder):
-            if name.startswith(filename) and name.endswith(".mp4"):
+            # exact-stem match: "video_0001" must not sweep the SRT-named
+            # "video_0001_0000.mp4" (or "video_00010.mp4") into backup
+            if name == filename + ".mp4":
                 source = os.path.join(output_folder, name)
                 if srt_naming:
                     destination = os.path.join(backup_dir, name)
@@ -568,9 +570,11 @@ class ParallelVideoReader:
     previous keyframe, so chunks should span several GOPs, and on hosts
     with few cores the seek redundancy loses to a single sequential
     reader (on this repo's 1-core CI/TPU container, 2-8 workers measured
-    0.5-0.8x sequential).  The enhancer's ``decode_workers=0`` auto
-    setting therefore uses half the visible cores and stays sequential
-    below two.
+    0.5-0.8x sequential).  Chunk seeks are frame-accurate on the codecs
+    this framework writes, but open-GOP/B-frame/VFR sources can seek
+    off-by-one on some OpenCV backends — which is why the enhancer keeps
+    this reader opt-in (``decode_workers > 1``) and its ``auto`` setting
+    sequential.
 
     Iterating yields ``(first_frame_index, batch)`` exactly like
     :class:`VideoReader`.
@@ -761,13 +765,21 @@ class PrefetchingReader:
     def close(self):
         # cv2 capture release is not safe concurrent with capture.read(),
         # so stop the pump, unblock any pending put, and join it before
-        # releasing the underlying reader.
+        # releasing the underlying reader.  If the pump refuses to exit
+        # (a wedged decoder read), leak the capture rather than release
+        # it under a live reader.
         self._stop.set()
-        with contextlib.suppress(queue.Empty):
-            while True:
-                self._queue.get_nowait()
-        self._thread.join(timeout=10)
-        self._reader.close()
+        deadline = time.time() + 60.0
+        while True:
+            with contextlib.suppress(queue.Empty):
+                while True:
+                    self._queue.get_nowait()
+            self._thread.join(timeout=2)
+            if not self._thread.is_alive():
+                self._reader.close()
+                return
+            if time.time() >= deadline:
+                return
 
     def __enter__(self):
         return self

@@ -64,9 +64,40 @@ async def _json(request):
         return {}
 
 
+@web.middleware
+async def _mutation_guard(request, handler):
+    """Reject cross-site mutations.
+
+    Every non-GET route can write user-supplied filesystem paths, so a
+    hostile web page must not be able to drive them via CSRF against
+    127.0.0.1: browsers attach an ``Origin`` header to cross-origin
+    POSTs, which same-host requests (the bundled panel) and header-less
+    local tools (curl, the CLI) never trip.  Setting ``VRGDG_TPU_TOKEN``
+    additionally requires ``X-VRGDG-Token`` on all mutating requests.
+    """
+    if request.method not in ("GET", "HEAD", "OPTIONS"):
+        origin = request.headers.get("Origin")
+        if origin:
+            from urllib.parse import urlparse
+
+            if urlparse(origin).netloc != request.headers.get("Host", ""):
+                return web.json_response(
+                    {"ok": False,
+                     "error": "Cross-origin mutation rejected."},
+                    status=403)
+        token = os.environ.get("VRGDG_TPU_TOKEN", "")
+        if token and request.headers.get("X-VRGDG-Token") != token:
+            return web.json_response(
+                {"ok": False,
+                 "error": "Missing or invalid X-VRGDG-Token header."},
+                status=403)
+    return await handler(request)
+
+
 def create_app(base_folder: str | None = None,
                luts_dir: str | None = None) -> web.Application:
-    app = web.Application(client_max_size=1024 ** 3)
+    app = web.Application(client_max_size=1024 ** 3,
+                          middlewares=[_mutation_guard])
     routes = web.RouteTableDef()
     registry = enh.JOBS
 
