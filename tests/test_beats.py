@@ -1,0 +1,180 @@
+"""Beat analysis + beat-aligned scene durations (GeneralVideoNodes.py
+2160-2753 behavior) on synthetic click tracks at known BPM."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vrgdg_tpu.runtime import beats
+
+SR = 22050
+
+
+def click_track(bpm: float, seconds: float, sr: int = SR,
+                amplitude: float = 0.9, offset: float = 0.0) -> np.ndarray:
+    """Decaying noise bursts every beat over a quiet noise floor."""
+    rng = np.random.default_rng(7)
+    n = int(seconds * sr)
+    y = rng.normal(0.0, 0.003, n).astype(np.float32)
+    burst_len = int(0.02 * sr)
+    envelope = np.exp(-np.linspace(0.0, 6.0, burst_len)).astype(np.float32)
+    t = offset
+    while t < seconds:
+        start = int(t * sr)
+        end = min(n, start + burst_len)
+        y[start:end] += amplitude * envelope[:end - start] \
+            * rng.normal(0.0, 1.0, end - start).astype(np.float32)
+        t += 60.0 / bpm
+    return y
+
+
+@pytest.mark.parametrize("bpm", [90.0, 120.0, 132.0])
+def test_tempo_and_beats_on_click_track(bpm):
+    y = click_track(bpm, 20.0)
+    found_bpm, times = beats.track_beats(y, SR)
+    assert abs(found_bpm - bpm) / bpm < 0.05
+    assert len(times) >= 0.7 * (20.0 * bpm / 60.0)
+    period = 60.0 / bpm
+    # every reported beat sits within 70 ms of a true click
+    offsets = np.abs((times - 0.0) % period)
+    offsets = np.minimum(offsets, period - offsets)
+    assert float(np.median(offsets)) < 0.05
+    assert float(offsets.max()) < 0.12
+
+
+def test_analyze_beats_schema_and_impact():
+    y = click_track(120.0, 12.0)
+    data = beats.analyze_beats((y, SR))
+    assert set(data) == {"bpm", "source_used_for_beats", "duration", "beats"}
+    assert data["source_used_for_beats"] == "final_mix"
+    assert abs(data["duration"] - 12.0) < 0.01
+    assert abs(data["bpm"] - 120.0) < 6.0
+    for i, beat in enumerate(data["beats"]):
+        assert beat["beat_index"] == i
+        assert beat["downbeat"] == (i % 4 == 0)
+        assert 0.0 <= beat["impact"] <= 1.0
+    # clicks are strong onsets: median impact should be well above zero
+    impacts = [b["impact"] for b in data["beats"]]
+    assert float(np.median(impacts)) > 0.2
+
+
+def test_stem_preference_and_gating():
+    mix = click_track(120.0, 12.0)
+    drums = click_track(120.0, 12.0, amplitude=1.0)
+    # usable drums win
+    data = beats.analyze_beats((mix, SR), drums=(drums, SR))
+    assert data["source_used_for_beats"] == "drums"
+    # a stem >1s shorter than the mix is rejected
+    data = beats.analyze_beats((mix, SR), drums=(drums[: int(9.0 * SR)], SR))
+    assert data["source_used_for_beats"] == "final_mix"
+    # a silence-trimmed tail is rejected (last 10 s quiet)
+    quiet_tail = drums.copy()
+    quiet_tail[int(2.0 * SR):] = 0.0
+    data = beats.analyze_beats((mix, SR), drums=(quiet_tail, SR))
+    assert data["source_used_for_beats"] == "final_mix"
+    # "other" is the second preference
+    data = beats.analyze_beats((mix, SR), other=(drums, SR))
+    assert data["source_used_for_beats"] == "other"
+
+
+def test_extract_mono_forms():
+    y = np.ones((2, 3, 100), np.float32)  # (B, C, T) dict form
+    wave, sr = beats.extract_mono({"waveform": y, "sample_rate": 44100})
+    assert wave.shape == (100,) and sr == 44100
+    wave, sr = beats.extract_mono((np.zeros(10, np.float32), 8000))
+    assert wave.shape == (10,) and sr == 8000
+    assert beats.extract_mono(None) == (None, None)
+
+
+def _fake_beat_data(times, song_end, impacts=None):
+    impacts = impacts or [0.5] * len(times)
+    return {"bpm": 120.0, "source_used_for_beats": "final_mix",
+            "duration": song_end,
+            "beats": [{"time": float(t), "beat_index": i,
+                       "downbeat": i % 4 == 0,
+                       "impact": float(impacts[i])}
+                      for i, t in enumerate(times)]}
+
+
+def _parse_srt(text):
+    blocks = []
+    for block in text.strip().split("\n\n"):
+        lines = [l for l in block.splitlines() if l.strip()]
+        start, end = lines[1].split(" --> ")
+
+        def sec(ts):
+            h, m, rest = ts.split(":")
+            s, ms = rest.split(",")
+            return int(h) * 3600 + int(m) * 60 + int(s) + int(ms) / 1000.0
+
+        blocks.append((sec(start), sec(end)))
+    return blocks
+
+
+def test_scene_srt_covers_song_and_respects_bounds(tmp_path):
+    times = [round(0.5 * i, 2) for i in range(1, 120)]  # beats at 0.5s grid
+    data = _fake_beat_data(times, 65.0)
+    result = beats.generate_scene_srt(
+        data, min_duration=2.0, max_duration=6.0, seed=3,
+        output_dir=str(tmp_path), output_filename="scenes")
+    blocks = _parse_srt(result["srt_text"])
+    assert result["srt_path"].endswith("scenes.srt")
+    with open(result["srt_path"]) as fh:
+        assert fh.read() == result["srt_text"]
+    assert blocks[0][0] == 0.0
+    assert abs(blocks[-1][1] - 65.0) < 0.01
+    for (s0, e0), (s1, e1) in zip(blocks, blocks[1:]):
+        assert abs(e0 - s1) < 0.002  # contiguous
+    for s, e in blocks[:-1]:
+        assert 1.5 <= e - s <= 6.0 + 0.01
+
+
+def test_scene_srt_seeded_and_preset_variation():
+    times = [round(0.45 * i, 2) for i in range(1, 200)]
+    rng = np.random.default_rng(5)
+    impacts = rng.uniform(0.1, 1.0, len(times)).tolist()
+    data = json.dumps(_fake_beat_data(times, 90.0, impacts))
+    a = beats.generate_scene_srt(data, seed=11)
+    b = beats.generate_scene_srt(data, seed=11)
+    c = beats.generate_scene_srt(data, seed=12)
+    assert a["srt_text"] == b["srt_text"]
+    assert a["srt_text"] != c["srt_text"]
+    assert a["srt_path"] == ""  # no output location given
+    for preset in beats.SCENE_PRESETS:
+        out = beats.generate_scene_srt(data, duration_preset=preset, seed=1)
+        blocks = _parse_srt(out["srt_text"])
+        assert abs(blocks[-1][1] - 90.0) < 0.01
+        # no near-identical consecutive durations (0.2 s constraint)
+        durations = [e - s for s, e in blocks[:-2]]
+        repeats = sum(abs(d1 - d0) < 0.2 - 1e-9
+                      for d0, d1 in zip(durations, durations[1:]))
+        assert repeats <= len(durations) // 4
+    with pytest.raises(ValueError, match="preset"):
+        beats.generate_scene_srt(data, duration_preset="nope")
+
+
+def test_scene_srt_intro_merge_and_tail():
+    # first beat late -> intro scenes; beats end early -> tail chunks
+    times = [8.0 + 0.5 * i for i in range(20)]
+    data = _fake_beat_data(times, 60.0)
+    result = beats.generate_scene_srt(data, min_duration=2.0,
+                                      max_duration=5.0, seed=0)
+    blocks = _parse_srt(result["srt_text"])
+    assert result["intro_scenes"] >= 1
+    assert result["tail_chunks"] >= 1
+    assert blocks[0][0] == 0.0 and blocks[0][1] <= 8.0 + 1e-6
+    assert abs(blocks[-1][1] - 60.0) < 0.01
+    # short first scene merged into the second
+    times = [0.8] + [0.8 + 2.5 * i for i in range(1, 10)]
+    data = _fake_beat_data(times, 25.0)
+    result = beats.generate_scene_srt(data, seed=0)
+    blocks = _parse_srt(result["srt_text"])
+    assert result["merged_short_first"]
+    assert blocks[0][0] == 0.0 and blocks[0][1] - blocks[0][0] >= 1.5
+
+
+def test_format_srt_time():
+    assert beats.format_srt_time(0.0) == "00:00:00,000"
+    assert beats.format_srt_time(3661.25) == "01:01:01,250"
+    assert beats.format_srt_time(59.9995) == "00:00:59,999"

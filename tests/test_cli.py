@@ -71,3 +71,71 @@ def test_enhance_job(video, tmp_path, capsys):
     result = _last_json(capsys)
     assert result["status"] == "complete"
     assert os.path.isfile(result["output_path"])
+
+
+@pytest.fixture(scope="module")
+def click_wav(tmp_path_factory):
+    """2-minute-equivalent synthetic click track WAV (12 s, 120 BPM)."""
+    from vrgdg_tpu.runtime import audio_toolkit as at
+
+    sr = 22050
+    rng = np.random.default_rng(3)
+    n = 12 * sr
+    y = rng.normal(0, 0.003, n).astype(np.float32)
+    burst = np.exp(-np.linspace(0, 6, int(0.02 * sr))).astype(np.float32)
+    for start in range(0, n, sr // 2):
+        end = min(n, start + burst.size)
+        y[start:end] += 0.9 * burst[:end - start] * rng.normal(
+            0, 1, end - start).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("beats") / "click.wav")
+    at.save_wav(path, at.make_audio(np.tile(y, (1, 2, 1)), sr))
+    return path
+
+
+def test_beats_and_scene_srt(click_wav, tmp_path, capsys):
+    data_path = str(tmp_path / "beat_data.json")
+    cli.main(["beats", click_wav, "-o", data_path])
+    summary = _last_json(capsys)
+    assert abs(summary["bpm"] - 120.0) < 6.0
+    assert summary["source_used_for_beats"] == "final_mix"
+    with open(data_path) as fh:
+        data = json.load(fh)
+    assert len(data["beats"]) > 10
+
+    srt_path = str(tmp_path / "scenes.srt")
+    cli.main(["scene-srt", data_path, "-o", srt_path, "--seed", "4",
+              "--min-duration", "1.5", "--max-duration", "4"])
+    result = _last_json(capsys)
+    assert result["srt_path"] == srt_path and result["scenes"] >= 2
+    with open(srt_path) as fh:
+        assert "-->" in fh.read()
+
+
+def test_audio_cli(click_wav, tmp_path, capsys):
+    out_dir = str(tmp_path / "segs")
+    cli.main(["audio", "split", click_wav, "-o", out_dir,
+              "--durations", "3,4,5"])
+    meta = _last_json(capsys)
+    assert meta["scene_count"] == 3 and len(meta["outputs"]) == 3
+    assert all(os.path.isfile(p) for p in meta["outputs"])
+
+    srt = ("1\n00:00:00,000 --> 00:00:04,000\nA\n\n"
+           "2\n00:00:04,000 --> 00:00:08,000\nB\n")
+    srt_file = str(tmp_path / "cues.srt")
+    with open(srt_file, "w") as fh:
+        fh.write(srt)
+    seg_out = str(tmp_path / "chunk1.wav")
+    cli.main(["audio", "srt-split", click_wav, "--srt", srt_file,
+              "--chunk-index", "1", "-o", seg_out])
+    result = _last_json(capsys)
+    assert result["frames_for_ltx"] % 8 == 1
+    assert os.path.isfile(seg_out)
+
+    cli.main(["audio", "delay", click_wav, "--chunk-index", "2",
+              "--delay-ms", "50", "-o", str(tmp_path / "d.wav")])
+    delayed = _last_json(capsys)
+    assert delayed["samples"] == 12 * 22050 + int(0.05 * 22050)
+
+    cli.main(["audio", "peaks", click_wav])
+    peaks = _last_json(capsys)
+    assert peaks["sample_rate"] == 22050 and len(peaks["peaks"]) >= 500

@@ -299,3 +299,47 @@ def test_mutation_guard(media, tmp_path, monkeypatch):
             await client.close()
 
     _run(scenario())
+
+
+def test_beats_routes(tmp_path):
+    from vrgdg_tpu.runtime import audio_toolkit as at
+
+    sr = 22050
+    rng = np.random.default_rng(3)
+    n = 10 * sr
+    y = rng.normal(0, 0.003, n).astype(np.float32)
+    burst = np.exp(-np.linspace(0, 6, int(0.02 * sr))).astype(np.float32)
+    for start in range(0, n, sr // 2):
+        end = min(n, start + burst.size)
+        y[start:end] += 0.9 * burst[:end - start] * rng.normal(
+            0, 1, end - start).astype(np.float32)
+    wav = str(tmp_path / "mix.wav")
+    at.save_wav(wav, at.make_audio(np.tile(y, (1, 2, 1)), sr))
+
+    async def scenario():
+        app = create_app(base_folder=str(tmp_path))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post("/vrgdg/music_builder/beats/analyze",
+                                     json={"mix_path": wav})
+            body = await resp.json()
+            assert body["ok"]
+            data = body["result"]
+            assert abs(data["bpm"] - 120.0) < 6.0 and data["beats"]
+
+            resp = await client.post(
+                "/vrgdg/music_builder/beats/scene_srt",
+                json={"beat_data": data, "min_duration": 1.5,
+                      "max_duration": 4.0, "seed": 2})
+            body = await resp.json()
+            assert body["ok"] and "-->" in body["result"]["srt_text"]
+
+            resp = await client.post("/vrgdg/music_builder/audio/peaks",
+                                     json={"path": wav})
+            body = await resp.json()
+            assert body["ok"] and len(body["result"]["peaks"]) >= 500
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -136,6 +136,11 @@ def apply_lut_bundle(frames: jnp.ndarray, bundle: jnp.ndarray,
     g = lax.gather(bundle, cell[..., None], _BUNDLE_DNUMS,
                    slice_sizes=(1, 24),
                    mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # (24,B,P)
+    # Gathers are row-issue-bound, but the gather *output* relayout and
+    # trilerp reads are byte-bound — a float16 bundle halves that traffic
+    # for <=2.5e-4 abs corner error (trilerp is a convex combination, so
+    # the output error is bounded by the corner error).  Lerp in f32.
+    g = g.astype(jnp.float32)
     fr, fg, fb = frac[0], frac[1], frac[2]
     out_ch = []
     for c in range(3):

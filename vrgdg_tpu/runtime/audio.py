@@ -52,23 +52,37 @@ def write_silent_wav(path: str, duration: float, sample_rate: int = 44100,
 
 
 def read_audio_peaks(path: str, target_peaks: int = 600) -> dict:
-    """Downsampled absolute-peak envelope of a 16-bit PCM WAV, normalized
-    to [0, 1]; the payload shape the builder UI draws waveforms from."""
-    with wave.open(path, "rb") as handle:
-        channels = handle.getnchannels()
-        sample_rate = handle.getframerate()
-        sample_width = handle.getsampwidth()
-        frame_count = handle.getnframes()
-        raw = handle.readframes(frame_count)
-    if sample_width != 2:
-        raise ValueError("Only 16-bit PCM WAV files are supported.")
+    """Downsampled absolute-peak envelope normalized to [0, 1]; the
+    payload shape the builder UI draws waveforms from.
+
+    16-bit PCM WAV takes the original fast stdlib path; anything else
+    (24-bit/float WAV, mp3/m4a/... when ffmpeg exists) decodes through
+    :mod:`vrgdg_tpu.runtime.audio_toolkit` — the reference computes
+    peaks from arbitrary media, not just 16-bit WAV."""
+    magnitudes, sample_rate, frame_count = None, 0, 0
+    try:
+        with wave.open(path, "rb") as handle:
+            if handle.getsampwidth() == 2:
+                channels = handle.getnchannels()
+                sample_rate = handle.getframerate()
+                frame_count = handle.getnframes()
+                raw = handle.readframes(frame_count)
+                samples = np.frombuffer(raw, dtype="<i2")
+                # abs BEFORE the channel collapse: a loud negative
+                # excursion on one channel must register as a peak
+                magnitudes = np.abs(samples.astype(np.int32)) / 32767.0
+                if channels > 1:
+                    magnitudes = magnitudes.reshape(-1, channels).max(axis=1)
+    except wave.Error:
+        pass
+    if magnitudes is None:
+        from .audio_toolkit import decode_audio_file
+
+        channels_t, sample_rate = decode_audio_file(path)
+        frame_count = channels_t.shape[-1]
+        magnitudes = np.abs(channels_t).max(axis=0)
+
     duration = frame_count / float(sample_rate) if sample_rate else 0.0
-    samples = np.frombuffer(raw, dtype="<i2")
-    # abs BEFORE the channel collapse: a loud negative excursion on one
-    # channel must register as a peak
-    magnitudes = np.abs(samples.astype(np.int32))
-    if channels > 1:
-        magnitudes = magnitudes.reshape(-1, channels).max(axis=1)
     target_peaks = max(1, int(target_peaks))
     if magnitudes.size == 0:
         peaks = [0.0] * target_peaks
@@ -76,7 +90,7 @@ def read_audio_peaks(path: str, target_peaks: int = 600) -> dict:
         bucket = max(1, magnitudes.size // target_peaks)
         usable = (magnitudes.size // bucket) * bucket
         blocks = magnitudes[:usable].reshape(-1, bucket)
-        peaks = (blocks.max(axis=1) / 32767.0).round(4).tolist()
+        peaks = np.round(blocks.max(axis=1), 4).tolist()
     return {"duration": duration, "sample_rate": sample_rate,
             "peaks": peaks, "beats": []}
 

@@ -333,6 +333,48 @@ def create_app(base_folder: str | None = None,
             None, lambda: audio.create_silent_audio(payload))
         return _ok(**result)
 
+    # ---------------- beats + audio toolkit ----------------
+    # Beat analysis / scene durations (GeneralVideoNodes.py:2160-2753) and
+    # the waveform splitters (nodes.py:426-964, GeneralVideoNodes2.py).
+
+    def _beats_analyze(payload):
+        from ..runtime import audio_toolkit as at
+        from ..runtime import beats as beats_rt
+
+        stems = {name: at.load_audio(payload[key])
+                 for name, key in (("drums", "drums_path"),
+                                   ("bass", "bass_path"),
+                                   ("vocals", "vocals_path"),
+                                   ("other", "other_path"))
+                 if payload.get(key)}
+        return beats_rt.analyze_beats(
+            at.load_audio(payload["mix_path"]), **stems)
+
+    def _beats_scene_srt(payload):
+        from ..runtime import beats as beats_rt
+
+        return beats_rt.generate_scene_srt(
+            payload.get("beat_data"),
+            float(payload.get("min_duration", 2.0)),
+            float(payload.get("max_duration", 10.0)),
+            float(payload.get("bias", 0.7)),
+            str(payload.get("duration_preset", "impact_weighted")),
+            int(payload.get("seed", 0)),
+            output_path=payload.get("output_path") or None)
+
+    def _audio_peaks(payload):
+        from ..runtime import audio as audio_rt
+
+        return audio_rt.read_audio_peaks(
+            payload["path"], int(payload.get("target_peaks", 600)))
+
+    _sync_json_route("/vrgdg/music_builder/beats/analyze",
+                     lambda p: _beats_analyze(p))
+    _sync_json_route("/vrgdg/music_builder/beats/scene_srt",
+                     lambda p: _beats_scene_srt(p))
+    _sync_json_route("/vrgdg/music_builder/audio/peaks",
+                     lambda p: _audio_peaks(p))
+
     # ---------------- compare ----------------
     # The reference renders these five modes in a browser widget
     # (VRGDG_ImageCompareNode.py:11-14); standalone they render to media.
