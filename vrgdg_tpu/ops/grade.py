@@ -83,6 +83,13 @@ class GradeConfig:
     # any device/backend; "pallas" = the hardware-PRNG Pallas kernel
     # (kernels/grain_pallas) — same determinism contract and noise
     # statistics, different stream, TPU only (interpreted elsewhere).
+    # threefry is RECOMMENDED at all production sizes: benched at 4K the
+    # pallas_call boundary costs more than the hardware PRNG saves
+    # (bench fused_4k_pallas_grain 30.3 vs 31.3 fps, r2; the gap does
+    # not close at smaller frames because XLA fuses threefry grain into
+    # the surrounding stack for free).  The kernel stays as the Mosaic
+    # reference implementation and is rejected on mesh paths
+    # (parallel/mesh.py) because its frame indexing uses pl.program_id.
     grain_mode: str = "threefry"
 
     @property
