@@ -67,6 +67,11 @@ def test_full_render_job(source_video, registry, tmp_path):
     final = _wait(registry, job_id, {"complete", "failed", "canceled"})
     assert final["status"] == "complete", final.get("error")
     assert final["progress"] == 1.0
+    # whole-job stage accumulation: every segment's decode/device/encode
+    # plus the final concat, all > 0
+    totals = final["stage_seconds_total"]
+    assert set(totals) == {"decode", "device", "encode", "concat"}
+    assert all(v > 0 for v in totals.values())
     meta = vio.probe_video(final["output_path"])
     assert meta["frame_count"] == 35
     assert meta["width"] == 64 and meta["height"] == 48

@@ -1,0 +1,102 @@
+"""Prompt chunking / run-index state vs the reference contracts.
+
+Reference: /root/reference/nodes.py:1381-1560 (chunkers, index stepper),
+GeneralVideoNodes.py:2848-2915 (prompt splitter),
+GeneralVideoNodes2.py:1082-1136 (run-state logger).
+"""
+
+import json
+
+import pytest
+
+from vrgdg_tpu.runtime import text_tools as tt
+
+
+class TestChunkPipePrompts:
+    def test_basic_window(self):
+        text = " | ".join(f"p{i}" for i in range(20))
+        out = tt.chunk_pipe_prompts(text, scene_count=4, index=0,
+                                    total_sets=2)
+        assert out == ["p0", "p1", "p2", "p3"]
+
+    def test_stride_is_fixed_sixteen(self):
+        # The reference advances by 16 per index regardless of
+        # scene_count (nodes.py:1417) — workflow parity quirk.
+        text = " | ".join(f"p{i}" for i in range(40))
+        out = tt.chunk_pipe_prompts(text, scene_count=4, index=1,
+                                    total_sets=3)
+        assert out == ["p16", "p17", "p18", "p19"]
+
+    def test_padding_and_exhausted_sets(self):
+        out = tt.chunk_pipe_prompts("a|b", scene_count=4, index=0,
+                                    total_sets=1)
+        assert out == ["a", "b", "", ""]
+        assert tt.chunk_pipe_prompts("a|b", 3, index=5,
+                                     total_sets=2) == ["", "", ""]
+
+
+class TestChunkQuotedPrompts:
+    def test_extracts_quoted_and_strides_by_scene_count(self):
+        text = " ".join(f'prompt {i}: "text {i}" |' for i in range(8))
+        assert tt.chunk_quoted_prompts(text, 3, 0) == [
+            "text 0", "text 1", "text 2"]
+        assert tt.chunk_quoted_prompts(text, 3, 1) == [
+            "text 3", "text 4", "text 5"]
+
+    def test_shortfall_raises(self):
+        with pytest.raises(ValueError):
+            tt.chunk_quoted_prompts('"only one"', scene_count=3, index=0)
+
+
+class TestSelectPrompt:
+    def test_list_wraps_and_stringifies(self):
+        assert tt.select_prompt('["a", "b"]', 3) == ("b", "0")
+
+    def test_dict_digit_key_order(self):
+        src = json.dumps({"scene10": "ten", "scene2": "two",
+                          "scene1": "one"})
+        assert tt.select_prompt(src, 1) == ("two", "0")
+        assert tt.select_prompt(src, 2) == ("ten", "0")
+
+    def test_new_format_image_index(self):
+        src = json.dumps([{"text": "hello", "imageIndex": [3, 5]}])
+        assert tt.select_prompt(src, 0) == ("hello", "3,5")
+        src = json.dumps([{"text": "x", "imageIndex": None}])
+        assert tt.select_prompt(src, 0) == ("x", "0")
+
+    def test_malformed_degrades(self):
+        assert tt.select_prompt("{not json", 0) == ("", "0")
+        assert tt.select_prompt("[]", 0) == ("", "0")
+
+
+class TestRunIndexState:
+    def test_step_and_read(self, tmp_path):
+        path = str(tmp_path / "state.json")
+        assert tt.read_run_index(path) == 0
+        assert tt.step_run_index(path) == (0, 1)
+        assert tt.step_run_index(path) == (1, 2)
+        assert tt.read_run_index(path) == 2
+        # no-increment holds the value; reset zeroes both
+        assert tt.step_run_index(path, increment=False) == (2, 2)
+        assert tt.step_run_index(path, reset=True) == (0, 0)
+        assert tt.read_run_index(path) == 0
+
+    def test_corrupt_state_recovers(self, tmp_path):
+        path = tmp_path / "state.json"
+        path.write_text("{broken")
+        assert tt.read_run_index(str(path)) == 0
+        assert tt.step_run_index(str(path)) == (0, 1)
+
+
+def test_log_run_state(tmp_path):
+    log = tt.log_run_state(str(tmp_path), index=2, total_sets=5,
+                           trigger={"files": ["a.mp4"]}, note="n",
+                           timestamp="2026-01-01 00:00:00")
+    assert log.endswith("vrgdg_temp/srt_run_state.jsonl")
+    tt.log_run_state(str(tmp_path), index=3, total_sets=5,
+                     trigger=object())  # non-serializable -> repr
+    lines = [json.loads(line) for line in
+             open(log, encoding="utf-8").read().splitlines()]
+    assert lines[0]["index"] == 2 and lines[0]["note"] == "n"
+    assert lines[0]["timestamp"] == "2026-01-01 00:00:00"
+    assert isinstance(lines[1]["trigger"], str)  # repr fallback

@@ -92,7 +92,10 @@ def test_writer_fallback_and_validation(tmp_path):
     assert meta["frame_count"] == 5
 
 
-def test_concat_cv2_fallback(tmp_path, sample_video, monkeypatch):
+def test_concat_without_ffmpeg(tmp_path, sample_video, monkeypatch):
+    # ffmpeg absent: compatible mp4 segments take the lossless native
+    # stream-copy path (cv2 re-encode only when that refuses or can't
+    # build — forced-degradation cases live in tests/test_native_concat).
     seg2 = str(tmp_path / "seg2.mp4")
     rng = np.random.default_rng(3)
     vio.write_video_with_fallback(
@@ -101,7 +104,7 @@ def test_concat_cv2_fallback(tmp_path, sample_video, monkeypatch):
     out = str(tmp_path / "final.mp4")
     monkeypatch.setattr(vio, "find_ffmpeg", lambda: None)
     result = vio.concat_videos([sample_video, seg2], out, 12.0, 64, 48)
-    assert result["backend"].startswith("cv2:")
+    assert result["backend"] in {"native:mp4concat", "cv2:mp4v"}
     meta = vio.probe_video(out)
     assert meta["frame_count"] == 24
 

@@ -357,7 +357,7 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                 "The source video ended before this segment could be rendered.")
     finally:
         writer.close()
-    return frames_done, smallest_batch
+    return frames_done, smallest_batch, timer.seconds()
 
 
 def render_job(job_id: str, payload: dict, resume: bool = False,
@@ -416,6 +416,11 @@ def render_job(job_id: str, payload: dict, resume: bool = False,
             message=f"Starting {out_w}×{out_h} batched enhancement…",
         )
 
+        # ``stage_seconds`` in the live status is the current segment's
+        # split (reset per checkpoint); ``stage_seconds_total`` accumulates
+        # across the whole job so the final snapshot carries the full
+        # decode/device/encode breakdown.
+        stage_totals: dict[str, float] = {}
         for segment_index in range(total_segments):
             if segment_index in completed:
                 continue
@@ -432,17 +437,21 @@ def render_job(job_id: str, payload: dict, resume: bool = False,
                 job_id, segment_index=segment_index + 1,
                 message=(f"Enhancing checkpoint {segment_index + 1}/"
                          f"{total_segments}"))
-            frames_done, _ = _render_segment(
+            frames_done, _, segment_stages = _render_segment(
                 source_path, partial_path, start, end, metadata, settings,
                 job_id, cancel_event, registry, mesh=mesh)
             os.replace(partial_path, segment_path)
             completed.add(segment_index)
             manifest["completed_segments"] = sorted(completed)
             mf.write_manifest(job_folder, manifest)
+            for stage, seconds in segment_stages.items():
+                stage_totals[stage] = round(
+                    stage_totals.get(stage, 0.0) + seconds, 6)
             registry.update(
                 job_id,
                 frames_processed=min(metadata["frame_count"],
                                      start + frames_done),
+                stage_seconds_total=dict(stage_totals),
                 segment_index=segment_index + 1)
 
         segment_paths = [
@@ -454,6 +463,7 @@ def render_job(job_id: str, payload: dict, resume: bool = False,
         output_path = os.path.join(root_folder(base_folder), output_name)
         registry.update(job_id, stage="encoding", progress=0.95,
                         message="Joining segments and restoring audio…")
+        concat_started = time.time()
         concat_result = video_io.concat_videos(
             segment_paths, output_path, metadata["fps"], out_w, out_h,
             source_audio_path=source_path,
@@ -461,6 +471,7 @@ def render_job(job_id: str, payload: dict, resume: bool = False,
             crf=settings.encode_crf, preset=settings.encode_preset,
             cancel_event=cancel_event,
             log_path=os.path.join(job_folder, "ffmpeg.log"))
+        stage_totals["concat"] = round(time.time() - concat_started, 6)
         output_metadata = video_io.probe_video(output_path)
         manifest.update(output_path=output_path, status="complete",
                         completed_segments=[], checkpoints_cleaned=True)
@@ -472,6 +483,7 @@ def render_job(job_id: str, payload: dict, resume: bool = False,
             output_path=output_path, output_metadata=output_metadata,
             encode_backend=concat_result["backend"],
             audio_preserved=concat_result["audio"],
+            stage_seconds_total=dict(stage_totals),
             checkpoints_cleaned=True, can_resume=False,
             message="Enhancement complete.")
     except InterruptedError as exc:

@@ -1,0 +1,177 @@
+"""Prompt chunking, indexed prompt selection, and run-index state.
+
+The reference drives multi-scene renders by slicing a big prompt string
+into per-scene chunks and by persisting a run index between queue
+submissions. These are the pure-function equivalents:
+
+- pipe-separated chunking with the reference's fixed stride of 16
+  (/root/reference/nodes.py:1381-1423, VRGDG_IndexedPromptChunker)
+- quoted-prompt chunking that strides by ``scene_count`` and errors on
+  shortfall (/root/reference/nodes.py:1431-1489, ...ChunkerV2)
+- JSON prompt-list selection returning (text, image_index)
+  (/root/reference/GeneralVideoNodes.py:2848-2915,
+  VRGDG_PromptSplitterWithIndex)
+- JSON-file run-index state with reset/increment semantics
+  (/root/reference/nodes.py:1494-1560, VRGDG_PostRunIndexStepper)
+- append-only JSONL run-state log
+  (/root/reference/GeneralVideoNodes2.py:1082-1136,
+  VRGDG_RunStateLogger_SRT)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from datetime import datetime
+
+
+def chunk_pipe_prompts(prompt_text: str, scene_count: int = 16,
+                       index: int = 0, total_sets: int = 1) -> list[str]:
+    """Slice a ``|``-separated prompt string into one scene chunk.
+
+    The window starts at ``index * 16`` regardless of ``scene_count`` —
+    a reference quirk preserved for workflow parity (nodes.py:1417) —
+    and spans ``scene_count`` entries, padding with "" past the end.
+    ``index >= total_sets`` yields an all-empty chunk.
+    """
+    scene_count = max(1, min(50, int(scene_count)))
+    if index >= total_sets:
+        return [""] * scene_count
+    parts = [p.strip() for p in prompt_text.strip().split("|") if p.strip()]
+    start = index * 16
+    return [parts[i] if i < len(parts) else ""
+            for i in range(start, start + scene_count)]
+
+
+def chunk_quoted_prompts(prompt_text: str, scene_count: int = 16,
+                         index: int = 0) -> list[str]:
+    """Slice double-quoted prompts (``prompt 3: "..."`` style) by chunks
+    of ``scene_count``, raising when the window is not fully covered —
+    the V2 contract (nodes.py:1466-1485).
+    """
+    scene_count = max(1, min(50, int(scene_count)))
+    parts = re.findall(r'"(.*?)"', prompt_text, re.DOTALL)
+    start = index * scene_count
+    end = start + scene_count
+    if len(parts) < end:
+        raise ValueError(
+            f"Not enough prompts for index={index} with "
+            f"scene_count={scene_count}: need {end}, have {len(parts)}")
+    return parts[start:end]
+
+
+def _digit_sort_keys(data: dict) -> list:
+    """Dict keys ordered by their embedded digits (non-numeric first)."""
+    def key(name: str) -> int:
+        digits = "".join(ch for ch in str(name) if ch.isdigit())
+        return int(digits) if digits else 0
+
+    return sorted(data.keys(), key=key)
+
+
+def _image_index_str(value) -> str:
+    """Normalize an imageIndex payload (int, str, or list) to a
+    comma-separated string, defaulting to "0"
+    (GeneralVideoNodes.py:2866-2880)."""
+    if value is None:
+        return "0"
+    if isinstance(value, list):
+        parts = []
+        for item in value:
+            try:
+                parts.append(str(int(item)))
+            except (TypeError, ValueError):
+                continue
+        return ",".join(parts) if parts else "0"
+    try:
+        return str(int(value))
+    except (TypeError, ValueError):
+        text = str(value).strip()
+        return text if text else "0"
+
+
+def select_prompt(json_source: str | list | dict, index: int
+                  ) -> tuple[str, str]:
+    """Pick prompt ``index`` (wrapping) from a JSON list/dict of prompts.
+
+    Supports the new ``{"text": ..., "imageIndex": [...]}`` entry format
+    and plain strings; malformed JSON degrades to ``("", "0")`` like the
+    reference (GeneralVideoNodes.py:2882-2915).
+    """
+    try:
+        data = (json.loads(json_source) if isinstance(json_source, str)
+                else json_source)
+        if isinstance(data, dict):
+            prompts = [data[k] for k in _digit_sort_keys(data)]
+        elif isinstance(data, list):
+            prompts = list(data)
+        else:
+            prompts = []
+        if not prompts:
+            return "", "0"
+        picked = prompts[index % len(prompts)]
+        if isinstance(picked, dict):
+            return (str(picked.get("text", "")),
+                    _image_index_str(picked.get("imageIndex")))
+        return str(picked), "0"
+    except (json.JSONDecodeError, TypeError, ValueError):
+        return "", "0"
+
+
+def read_run_index(state_path: str) -> int:
+    """Current persisted run index, 0 when the file is absent/invalid."""
+    try:
+        with open(state_path, encoding="utf-8") as fh:
+            return int(json.load(fh).get("index", 0))
+    except (OSError, ValueError, json.JSONDecodeError, AttributeError):
+        return 0
+
+
+def step_run_index(state_path: str, reset: bool = False,
+                   increment: bool = True) -> tuple[int, int]:
+    """Advance the persisted run index.
+
+    Returns ``(current_index, next_index)`` where ``current_index`` is
+    what this run should use (0 after a reset) and ``next_index`` is what
+    was persisted for the following run (nodes.py:1514-1552).
+    """
+    index = read_run_index(state_path)
+    current = 0 if reset else index
+    nxt = 0 if reset else (index + 1 if increment else index)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"index": nxt}, fh)
+    os.replace(tmp, state_path)
+    return current, nxt
+
+
+def log_run_state(output_folder: str, index: int, total_sets: int,
+                  trigger=None, note: str = "",
+                  timestamp: str | None = None) -> str:
+    """Append one JSONL record to ``<folder>/vrgdg_temp/srt_run_state.jsonl``
+    and return the log path (GeneralVideoNodes2.py:1110-1136).
+
+    ``timestamp`` is injectable for deterministic tests; non-serializable
+    triggers are recorded via ``repr``.
+    """
+    state_dir = os.path.join(output_folder, "vrgdg_temp")
+    os.makedirs(state_dir, exist_ok=True)
+    log_path = os.path.join(state_dir, "srt_run_state.jsonl")
+    try:
+        json.dumps(trigger)
+    except (TypeError, ValueError):
+        trigger = repr(trigger)
+    entry = {
+        "timestamp": timestamp or datetime.now().strftime(
+            "%Y-%m-%d %H:%M:%S"),
+        "index": int(index),
+        "total_sets": int(total_sets),
+        "output_folder": output_folder,
+        "trigger": trigger,
+    }
+    if note:
+        entry["note"] = note
+    with open(log_path, "a", encoding="utf-8") as fh:
+        fh.write(json.dumps(entry, ensure_ascii=True) + "\n")
+    return log_path

@@ -340,14 +340,34 @@ def concat_videos(segment_paths: list[str], output_path: str, fps: float,
 
     With ffmpeg available this is the reference's concat-demuxer + libx264 +
     audio-remux command (``VRGDG_StandaloneVideoEnhancerNodes.py:444-510``);
-    without it, segments are re-encoded through the cv2 codec chain and
-    audio is skipped.  Returns ``{"backend", "audio"}``.
+    without it, the native MP4 stream-copy concatenator joins the segments
+    losslessly in seconds (no audio), and only if that is unavailable or
+    refuses the inputs are segments re-encoded through the cv2 codec
+    chain.  Returns ``{"backend", "audio"}``.
     """
     ffmpeg = find_ffmpeg()
     if ffmpeg is not None:
         return _concat_ffmpeg(ffmpeg, segment_paths, output_path,
                               source_audio_path if preserve_audio else None,
                               crf, preset, cancel_event, log_path)
+
+    if cancel_event is not None and cancel_event.is_set():
+        raise InterruptedError("Render canceled.")
+    if all(os.path.splitext(p)[1].lower() in {".mp4", ".m4v", ".mov"}
+           for p in segment_paths):
+        try:
+            from ..native import concat_mp4_stream_copy
+
+            concat_mp4_stream_copy([os.path.abspath(p)
+                                    for p in segment_paths],
+                                   os.path.abspath(output_path))
+            if validate_video_readable(output_path):
+                return {"backend": "native:mp4concat", "audio": False}
+            with contextlib.suppress(OSError):
+                os.remove(output_path)
+        except Exception as exc:  # noqa: BLE001 — any refusal -> re-encode
+            print(f"[vrgdg_tpu] native mp4 concat unavailable "
+                  f"({exc}); re-encoding segments.", flush=True)
 
     import cv2
 
