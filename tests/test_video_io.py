@@ -140,6 +140,50 @@ def test_parallel_reader_matches_sequential(tmp_path):
                 np.testing.assert_array_equal(a, b)
 
 
+def test_parallel_reader_detects_misaligned_seeks(tmp_path):
+    # Simulate a backend whose CAP_PROP_POS_FRAMES seeks land one frame
+    # late (the open-GOP/B-frame failure mode from the round-2 advisory):
+    # build the reader with a chunk grid shifted by one frame, so each
+    # worker's pre-frame probe cannot match the previous chunk's last
+    # frame. The iterator must raise, never silently misalign output.
+    import threading
+
+    import numpy as np
+
+    path = str(tmp_path / "mis.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(6)
+    for _ in range(53):
+        writer.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+
+    reader = vio.ParallelVideoReader.__new__(vio.ParallelVideoReader)
+    reader.path = path
+    reader.batch_size = 8
+    reader.as_float = False
+    reader.start_frame = 0
+    reader.end_frame = 53
+    reader.workers = 2
+    reader.verify_seeks = True
+    reader.chunk_frames = 16
+    reader._stop = threading.Event()
+    reader._results = {}
+    reader._error = None
+    reader._lock = threading.Lock()
+    reader._ready = threading.Condition(reader._lock)
+    reader._chunks = [0, 17, 33, 49]  # chunk 1 starts one frame late
+    reader._next_chunk = 0
+    reader._threads = [threading.Thread(target=reader._worker, daemon=True)
+                       for _ in range(2)]
+    for thread in reader._threads:
+        thread.start()
+    with pytest.raises(RuntimeError, match="misalignment"):
+        for _ in reader:
+            pass
+    reader.close()
+
+
 def test_parallel_reader_early_close(tmp_path):
     import numpy as np
 

@@ -276,11 +276,12 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
 
     timer = StageTimer()
 
-    # Parallel chunked decode is opt-in (decode_workers > 1): its
-    # CAP_PROP_POS_FRAMES chunk seeks are frame-accurate on the codecs we
-    # generate, but open-GOP/B-frame/VFR sources can land off-by-one on
-    # some OpenCV backends, silently misaligning output — the sequential
-    # reader has no such failure mode, so "auto" (0) stays sequential.
+    # Parallel chunked decode is opt-in (decode_workers > 1): chunk seeks
+    # can land off-by-one on some OpenCV backends for open-GOP/B-frame/
+    # VFR sources. The reader's boundary verification now RAISES on any
+    # misaligned seek (never silently shifts frames), but "auto" (0)
+    # still stays sequential because this host has one core and the seek
+    # redundancy loses below ~3 cores (BASELINE.md).
     workers = int(getattr(settings, "decode_workers", 0))
     if workers == 0:
         workers = 1

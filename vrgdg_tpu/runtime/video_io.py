@@ -17,6 +17,7 @@ float32 [0,1] batches.  Functional parity targets:
 from __future__ import annotations
 
 import contextlib
+import hashlib
 import os
 import queue
 import re
@@ -594,7 +595,10 @@ class ParallelVideoReader:
     this framework writes, but open-GOP/B-frame/VFR sources can seek
     off-by-one on some OpenCV backends — which is why the enhancer keeps
     this reader opt-in (``decode_workers > 1``) and its ``auto`` setting
-    sequential.
+    sequential, and why ``verify_seeks`` (default on) makes each worker
+    decode one pre-frame before its chunk so the consumer can assert it
+    byte-matches the previous chunk's last frame: a misaligned seek
+    raises instead of silently shifting output frames.
 
     Iterating yields ``(first_frame_index, batch)`` exactly like
     :class:`VideoReader`.
@@ -602,7 +606,8 @@ class ParallelVideoReader:
 
     def __init__(self, path, batch_size: int = 8, start_frame: int = 0,
                  end_frame: int | None = None, workers: int = 2,
-                 chunk_batches: int = 4, as_float: bool = True):
+                 chunk_batches: int = 4, as_float: bool = True,
+                 verify_seeks: bool = True):
         import cv2
 
         self.path = normalize_video_path(path)
@@ -617,6 +622,7 @@ class ParallelVideoReader:
                 probe.release()
         self.end_frame = int(end_frame)
         self.workers = max(1, int(workers))
+        self.verify_seeks = bool(verify_seeks)
         self.chunk_frames = self.batch_size * max(1, int(chunk_batches))
         self._stop = threading.Event()
         self._results: dict[int, list | None] = {}
@@ -656,7 +662,21 @@ class ParallelVideoReader:
                 chunk_start = self._chunks[index]
                 chunk_end = min(self.end_frame,
                                 chunk_start + self.chunk_frames)
-                capture.set(cv2.CAP_PROP_POS_FRAMES, chunk_start)
+                # With verification on, land one frame early: the extra
+                # decoded frame must equal the previous chunk's last frame
+                # or the backend's seek is not frame-accurate here. The
+                # pre-frame sits in the same GOP the seek re-decodes
+                # anyway, so it costs one frame of work per chunk.
+                probe_hash = None
+                if self.verify_seeks and index > 0:
+                    capture.set(cv2.CAP_PROP_POS_FRAMES, chunk_start - 1)
+                    ok, probe = capture.read()
+                    if ok:
+                        probe_hash = hashlib.sha1(probe.tobytes()).digest()
+                    else:  # pre-frame unreadable: fall back to direct seek
+                        capture.set(cv2.CAP_PROP_POS_FRAMES, chunk_start)
+                else:
+                    capture.set(cv2.CAP_PROP_POS_FRAMES, chunk_start)
                 frames = []
                 for _ in range(chunk_end - chunk_start):
                     ok, frame = capture.read()
@@ -664,7 +684,7 @@ class ParallelVideoReader:
                         break
                     frames.append(frame)
                 with self._ready:
-                    self._results[index] = frames
+                    self._results[index] = (probe_hash, frames)
                     self._ready.notify_all()
                 index = None
                 # simple backpressure: don't run more than ~2 chunks/worker
@@ -690,6 +710,7 @@ class ParallelVideoReader:
         convert = frames_to_array if self.as_float else frames_to_rgb_u8
         pending: list[np.ndarray] = []
         position = self.start_frame
+        last_hash: bytes | None = None
         for index in range(len(self._chunks)):
             with self._ready:
                 while index not in self._results:
@@ -702,11 +723,22 @@ class ParallelVideoReader:
                         raise RuntimeError(
                             "Parallel decoder workers exited early.")
                     self._ready.wait(0.05)
-                frames = self._results.pop(index)
+                result = self._results.pop(index)
                 self._ready.notify_all()
-            if frames is None:
+            if result is None:
                 raise RuntimeError("Parallel decoder worker failed") \
                     from self._error
+            probe_hash, frames = result
+            if probe_hash is not None and last_hash is not None \
+                    and probe_hash != last_hash:
+                raise RuntimeError(
+                    f"Chunk seek misalignment at frame "
+                    f"{self._chunks[index]} of {self.path}: this source's "
+                    f"seeks are not frame-accurate on this backend "
+                    f"(open-GOP/B-frame/VFR?). Use the sequential reader "
+                    f"(decode_workers=0).")
+            if self.verify_seeks and frames:
+                last_hash = hashlib.sha1(frames[-1].tobytes()).digest()
             pending.extend(frames)
             while len(pending) >= self.batch_size:
                 batch = pending[:self.batch_size]
