@@ -106,3 +106,49 @@ def test_aspect_rows_do_not_overlap():
     for i in range(len(rects)):
         for j in range(i + 1, len(rects)):
             assert _overlap_area(rects[i], rects[j]) < 1e-9
+
+
+class TestMSRReference:
+    """Multi-scale-render reference batch
+    (vrgdg_ltx_msr_reference_builder.py:45-148)."""
+
+    def test_frame_count_presets_and_auto(self):
+        from vrgdg_tpu.ops import msr_frame_count
+
+        assert msr_frame_count("17 - light", 4) == 17
+        assert msr_frame_count("41 - strongest", 1) == 41
+        assert msr_frame_count("auto - based on subject count", 1) == 17
+        assert msr_frame_count("auto", 2) == 25
+        assert msr_frame_count("auto", 3) == 33
+        assert msr_frame_count("auto", 4) == 41
+
+    def test_round_robin_expansion(self):
+        from vrgdg_tpu.ops.grid import expand_reference_frames
+
+        # 17 frames over 3 images: earlier images absorb the remainder
+        assert expand_reference_frames(3, 17) == [6, 6, 5]
+        assert sum(expand_reference_frames(5, 41)) == 41
+
+    def test_build_reference_batch(self):
+        import numpy as np
+
+        from vrgdg_tpu.ops import build_msr_reference
+
+        subjects = [np.full((10, 8, 3), v, np.float32) for v in (0.2, 0.8)]
+        out = build_msr_reference(subjects, background=None, width=16,
+                                  height=12, reference_strength="auto")
+        # 2 subjects -> 25 frames; 3 images round-robin = [9, 8, 8]
+        assert out.shape == (25, 12, 16, 3)
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out[0], 0.2, atol=1e-5)
+        np.testing.assert_allclose(out[9], 0.8, atol=1e-5)
+        # trailing frames are the neutral-gray placeholder (127/255)
+        np.testing.assert_allclose(out[-1], 127 / 255.0, atol=1e-5)
+
+    def test_requires_a_subject(self):
+        import pytest
+
+        from vrgdg_tpu.ops import build_msr_reference
+
+        with pytest.raises(ValueError):
+            build_msr_reference([], background=None)

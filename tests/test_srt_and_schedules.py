@@ -103,3 +103,84 @@ def test_runtime_offset_and_transition_index():
     assert schedules.current_transition_index(full, 0.55) == 2
     assert schedules.current_transition_index(full, 5.0) == 0
     assert schedules.schedule_index(full, full[2:], 0.4) == 3
+
+
+class TestStrengthSchedules:
+    """Per-temporal-tile schedules (VRGDG_LTXLoopingSampler.py:133-164)."""
+
+    def test_parse_and_lookup(self):
+        from vrgdg_tpu.ops import parse_strength_schedule, scheduled_strength
+
+        sched = parse_strength_schedule("0.8, 0.65,0.5", fallback=1.0)
+        assert sched == [0.8, 0.65, 0.5]
+        # last value repeats past the end; empty text -> flat fallback
+        assert scheduled_strength(sched, 0, 1.0) == 0.8
+        assert scheduled_strength(sched, 7, 1.0) == 0.5
+        assert parse_strength_schedule("", 0.25) == [0.25]
+        assert scheduled_strength(None, 3, 0.4) == 0.4
+
+    def test_parse_errors_name_position(self):
+        import pytest
+
+        from vrgdg_tpu.ops import parse_strength_schedule
+
+        with pytest.raises(ValueError, match="item 2 is empty"):
+            parse_strength_schedule("0.5,,0.3", 1.0)
+        with pytest.raises(ValueError, match="item 2 is not a number"):
+            parse_strength_schedule("0.5,x", 1.0)
+        with pytest.raises(ValueError, match="item 1 was 1.5"):
+            parse_strength_schedule("1.5", 1.0)
+
+
+class TestFirstLastBlend:
+    """Temporal blend guide (VRGDG_LTXFirstLastGuide.py:33-70)."""
+
+    def test_guide_frame_count(self):
+        from vrgdg_tpu.ops import guide_frame_count
+
+        assert guide_frame_count(13, 8) == 97
+        assert guide_frame_count(1, 8) == 1
+
+    def test_blend_endpoints_and_window(self):
+        import numpy as np
+
+        from vrgdg_tpu.ops import first_last_blend
+
+        first = np.zeros((4, 6, 3), np.float32)
+        last = np.ones((4, 6, 3), np.float32)
+        out = np.asarray(first_last_blend(first, last, 9,
+                                          transition_start=0.0,
+                                          transition_end=1.0,
+                                          curve="linear"))
+        assert out.shape == (9, 4, 6, 3)
+        np.testing.assert_allclose(out[0], 0.0, atol=1e-6)
+        np.testing.assert_allclose(out[-1], 1.0, atol=1e-6)
+        np.testing.assert_allclose(out[4], 0.5, atol=1e-6)
+        # frames before transition_start stay at `first`
+        out2 = np.asarray(first_last_blend(first, last, 9,
+                                           transition_start=0.5,
+                                           transition_end=0.9))
+        np.testing.assert_allclose(out2[:4], 0.0, atol=1e-6)
+
+    def test_curves_match_reference_formulas(self):
+        import numpy as np
+
+        from vrgdg_tpu.ops import apply_curve
+
+        x = np.linspace(0.0, 1.0, 11, dtype=np.float32)
+        np.testing.assert_allclose(np.asarray(apply_curve(x, "ease_in")),
+                                   x * x, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(apply_curve(x, "ease_out")),
+                                   1 - (1 - x) ** 2, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(apply_curve(x, "smoothstep")),
+                                   x * x * (3 - 2 * x), atol=1e-6)
+
+    def test_mismatched_last_is_resampled(self):
+        import numpy as np
+
+        from vrgdg_tpu.ops import first_last_blend
+
+        first = np.zeros((8, 8, 3), np.float32)
+        last = np.ones((4, 4, 3), np.float32)
+        out = np.asarray(first_last_blend(first, last, 5))
+        assert out.shape == (5, 8, 8, 3)

@@ -306,3 +306,82 @@ def build_reference_sheet(images, layout: str = "auto_ltx",
         else:
             canvas[top:top + panel_h, left:left + panel_w] = fitted
     return np.clip(canvas, 0.0, 1.0)[None]
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale-render (MSR) reference batch
+# ---------------------------------------------------------------------------
+
+MSR_STRENGTH_FRAMES = {"17": 17, "25": 25, "33": 33, "41": 41}
+
+
+def msr_frame_count(reference_strength: str, subject_count: int) -> int:
+    """Frame budget for an MSR reference batch: explicit 17/25/33/41
+    presets, or auto-scaled with the number of subjects
+    (``vrgdg_ltx_msr_reference_builder.py:131-148``)."""
+    key = str(reference_strength).split(" ")[0].strip()
+    if key in MSR_STRENGTH_FRAMES:
+        return MSR_STRENGTH_FRAMES[key]
+    if subject_count <= 1:
+        return 17
+    if subject_count == 2:
+        return 25
+    if subject_count == 3:
+        return 33
+    return 41
+
+
+def expand_reference_frames(count_per_image: int, frame_count: int) -> list[int]:
+    """Round-robin repeat counts: each of ``count_per_image`` images gets
+    ``frame_count // n`` frames, earlier images absorb the remainder
+    (``vrgdg_ltx_msr_reference_builder.py:45-52``). Returns the repeat
+    count per image index."""
+    n = max(1, int(count_per_image))
+    base, remainder = divmod(max(0, int(frame_count)), n)
+    return [base + (1 if i < remainder else 0) for i in range(n)]
+
+
+def build_msr_reference(subjects, background=None, width: int = 736,
+                        height: int = 1280,
+                        reference_strength: str = "auto",
+                        neutral_gray: float = 127 / 255.0) -> np.ndarray:
+    """Build the multi-scale-render reference batch: every subject image
+    (plus the background, or a neutral-gray placeholder) resized to the
+    target and repeated round-robin to fill the strength-derived frame
+    count. Returns ``(frames, H, W, 3)`` float32 in [0,1].
+
+    Math parity with ``vrgdg_ltx_msr_reference_builder.py:90-129``
+    (LANCZOS4 resize, subjects-then-background order, gray placeholder
+    127); composed on device via the framework's tap-gather resampler
+    instead of cv2.
+    """
+    import jax.numpy as jnp
+
+    from .resize import resample
+
+    panels = []
+    for image in subjects:
+        array = np.asarray(image, np.float32)
+        if array.ndim == 4:
+            array = array[0]
+        panels.append(array[..., :3])
+    if not panels:
+        raise ValueError("At least one subject image is required.")
+    if background is None:
+        panels.append(np.full((int(height), int(width), 3), neutral_gray,
+                              np.float32))
+    else:
+        array = np.asarray(background, np.float32)
+        if array.ndim == 4:
+            array = array[0]
+        panels.append(array[..., :3])
+
+    frame_count = msr_frame_count(reference_strength, len(panels) - 1)
+    resized = [np.asarray(resample(jnp.asarray(p)[None], int(height),
+                                   int(width), method="lanczos4")[0])
+               for p in panels]
+    repeats = expand_reference_frames(len(resized), frame_count)
+    frames = np.concatenate([np.repeat(p[None], r, axis=0)
+                             for p, r in zip(resized, repeats) if r > 0],
+                            axis=0)
+    return np.clip(frames, 0.0, 1.0).astype(np.float32)

@@ -119,3 +119,115 @@ def schedule_index(expected_sigmas, runtime_sigmas, timestep) -> int:
     truncated) runtime sigma range (``CustomLTXNodes.py:124-127``)."""
     return runtime_schedule_offset(expected_sigmas, runtime_sigmas) \
         + current_transition_index(runtime_sigmas, timestep)
+
+
+# ---------------------------------------------------------------------------
+# Per-temporal-tile strength schedules (looping sampler)
+# ---------------------------------------------------------------------------
+
+def parse_strength_schedule(value, fallback: float,
+                            field_name: str = "schedule") -> list[float]:
+    """Parse a comma-separated per-tile strength list.
+
+    Empty input falls back to ``[fallback]``; every item must be a float
+    in [0, 1], with the failing 1-based position named in the error —
+    the contract of ``VRGDG_LTXLoopingSampler.py:133-157``.
+    """
+    text = str(value or "").strip()
+    if not text:
+        return [float(fallback)]
+    out: list[float] = []
+    for position, item in enumerate(text.split(","), start=1):
+        item = item.strip()
+        if not item:
+            raise ValueError(f"{field_name} item {position} is empty.")
+        try:
+            strength = float(item)
+        except ValueError as exc:
+            raise ValueError(f"{field_name} item {position} is not a "
+                             f"number: {item!r}") from exc
+        if not 0.0 <= strength <= 1.0:
+            raise ValueError(f"{field_name} values must be between 0.0 and "
+                             f"1.0; item {position} was {strength}.")
+        out.append(strength)
+    return out
+
+
+def scheduled_strength(schedule, index: int, fallback: float) -> float:
+    """Strength for temporal tile ``index``: the last schedule value
+    repeats past the end; no schedule means the flat fallback
+    (``VRGDG_LTXLoopingSampler.py:159-164``)."""
+    if not schedule:
+        return float(fallback)
+    return float(schedule[min(int(index), len(schedule) - 1)])
+
+
+# ---------------------------------------------------------------------------
+# First/last-frame temporal blend guide
+# ---------------------------------------------------------------------------
+
+GUIDE_CURVES = ("smoothstep", "linear", "ease_in", "ease_out")
+
+
+def apply_curve(values, curve: str = "smoothstep"):
+    """Vectorized easing curve on values already clipped to [0, 1]
+    (``VRGDG_LTXFirstLastGuide.py:33-40``)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(values)
+    if curve == "linear":
+        return x
+    if curve == "ease_in":
+        return x * x
+    if curve == "ease_out":
+        return 1.0 - (1.0 - x) * (1.0 - x)
+    if curve == "smoothstep":
+        return x * x * (3.0 - 2.0 * x)
+    raise ValueError(f"Unknown curve {curve!r}; one of {GUIDE_CURVES}")
+
+
+def guide_frame_count(latent_length: int, time_scale: int) -> int:
+    """Pixel-frame count covered by a video latent of ``latent_length``
+    steps at the VAE's temporal downscale
+    (``VRGDG_LTXFirstLastGuide.py:52-54``)."""
+    return max(1, (int(latent_length) - 1) * int(time_scale) + 1)
+
+
+def first_last_blend(first, last, frame_count: int,
+                     transition_start: float = 0.05,
+                     transition_end: float = 0.90,
+                     curve: str = "smoothstep"):
+    """Cross-fade guide video between two frames as one fused XLA op.
+
+    Returns ``(frame_count, H, W, C)`` where frame ``i`` is
+    ``first*(1-a_i) + last*a_i`` with ``a_i`` the eased progress of
+    ``i/(N-1)`` through the ``[transition_start, transition_end]``
+    window — the guide-video math of
+    ``VRGDG_LTXFirstLastGuide.py:61-70`` (the reference builds it
+    frame-by-frame in a Python loop; here the whole batch is one
+    broadcasted expression). ``last`` is resampled to ``first``'s
+    dimensions when they differ (bilinear, matching
+    ``comfy.utils.common_upscale``'s default path).
+    """
+    import jax.numpy as jnp
+
+    from .resize import resample
+
+    first = jnp.asarray(first, jnp.float32)
+    last = jnp.asarray(last, jnp.float32)
+    if first.ndim == 3:
+        first = first[None]
+    if last.ndim == 3:
+        last = last[None]
+    first = first[:1]
+    last = last[:1]
+    if last.shape[1:3] != first.shape[1:3]:
+        last = resample(last, int(first.shape[1]), int(first.shape[2]),
+                        method="bilinear")
+    n = max(1, int(frame_count))
+    start = max(0.0, min(0.95, float(transition_start)))
+    end = max(start + 0.01, min(1.0, float(transition_end)))
+    position = jnp.arange(n, dtype=jnp.float32) / max(1, n - 1)
+    amount = jnp.clip((position - start) / (end - start), 0.0, 1.0)
+    amount = apply_curve(amount, curve)[:, None, None, None]
+    return first * (1.0 - amount) + last * amount
