@@ -130,3 +130,27 @@ def test_native_unavailable_degrades(tmp_path, monkeypatch, segments):
                                     preserve_audio=False)
     assert result["backend"].startswith("cv2:")
     assert video_io.probe_video(out)["frame_count"] == 41
+
+
+def test_malformed_esds_descriptor_terminates(tmp_path):
+    # Regression: a descriptor chain not starting with tag 0x03 once made
+    # normalize_stsd loop forever. Patch the tag byte in both segments
+    # (identically, so the stsd comparison is still consistent) and
+    # require prompt completion — success or clean ValueError, no hang.
+    paths = []
+    for k in range(2):
+        p = tmp_path / f"seg{k}.mp4"
+        _write_segment(p, 6, seed=k)
+        blob = bytearray(p.read_bytes())
+        i = blob.rfind(b"esds")
+        assert i > 0
+        assert blob[i + 8] == 0x03  # ES_Descriptor tag
+        blob[i + 8] = 0x07          # unknown tag: normalization must bail
+        p.write_bytes(bytes(blob))
+        paths.append(str(p))
+    out = str(tmp_path / "joined.mp4")
+    try:
+        native.concat_mp4_stream_copy(paths, out)
+        assert video_io.probe_video(out)["frame_count"] == 12
+    except ValueError:
+        pass  # clean refusal is acceptable; hanging is not

@@ -313,7 +313,8 @@ def main(argv=None):
         _print(result)
     elif args.command == "audio":
         from .runtime import audio_toolkit as at
-        audio = at.load_audio(args.input)
+        # peaks decodes internally — don't pay a second full decode here
+        audio = None if args.action == "peaks" else at.load_audio(args.input)
         if args.action == "split":
             durations = [float(v) for v in args.durations.split(",") if v]
             result = at.split_audio_by_durations(

@@ -221,7 +221,9 @@ class EnhancerSettings:
     spatial_parallel: int = 1
     # parallel host decode threads per segment (SURVEY section 7: a single
     # sequential cv2 read loop starves the accelerator at high device
-    # speed). 0 = auto (min(4, half the cores)), 1 = sequential.
+    # speed). 0 = auto, which currently means sequential — the chunked
+    # reader's seek redundancy loses below ~3 cores (BASELINE.md), so
+    # parallel decode is opt-in via an explicit value >= 2.
     decode_workers: int = 0
 
     @classmethod

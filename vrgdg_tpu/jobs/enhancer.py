@@ -278,10 +278,11 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
 
     # Parallel chunked decode is opt-in (decode_workers > 1): chunk seeks
     # can land off-by-one on some OpenCV backends for open-GOP/B-frame/
-    # VFR sources. The reader's boundary verification now RAISES on any
-    # misaligned seek (never silently shifts frames), but "auto" (0)
-    # still stays sequential because this host has one core and the seek
-    # redundancy loses below ~3 cores (BASELINE.md).
+    # VFR sources. The reader's boundary verification raises on
+    # chunk-to-chunk seek inconsistency (it cannot see a uniform
+    # all-seeks-shifted bias — see ParallelVideoReader's docstring), and
+    # "auto" (0) stays sequential because the seek redundancy loses
+    # below ~3 cores (BASELINE.md).
     workers = int(getattr(settings, "decode_workers", 0))
     if workers == 0:
         workers = 1

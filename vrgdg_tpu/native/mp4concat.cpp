@@ -175,33 +175,39 @@ void normalize_stsd(std::vector<uint8_t>& stsd) {
       std::memset(stsd.data() + off + 8, 0, box_size - 8);
     } else if (std::memcmp(type, "esds", 4) == 0 && box_size > 12) {
       // esds: version/flags(4) then an MPEG-4 descriptor chain with
-      // 0x80-extended varint lengths.
-      size_t p = off + 8 + 4;
-      auto read_descriptor = [&](uint8_t expect_tag, size_t* len) -> bool {
-        if (p >= end || stsd[p] != expect_tag) return false;
-        ++p;
-        uint64_t value = 0;
-        for (int i = 0; i < 4 && p < end; ++i) {
-          uint8_t byte = stsd[p++];
-          value = (value << 7) | (byte & 0x7F);
-          if (!(byte & 0x80)) break;
-        }
-        *len = size_t(value);
-        return true;
-      };
-      size_t len;
-      if (!read_descriptor(0x03, &len)) continue;
-      if (p + 3 > end) return;
-      uint8_t es_flags = stsd[p + 2];
-      p += 3;                              // ES_ID(2) + flags(1)
-      if (es_flags & 0x80) p += 2;         // streamDependence
-      if (es_flags & 0x40 && p < end) p += 1 + stsd[p];  // URL
-      if (es_flags & 0x20) p += 2;         // OCR
-      if (!read_descriptor(0x04, &len)) continue;
-      // DecoderConfigDescriptor: objectType(1) streamType(1)
-      // bufferSizeDB(3) maxBitrate(4) avgBitrate(4) ...
-      if (len >= 13 && p + 13 <= end)
-        std::memset(stsd.data() + p + 2, 0, 11);
+      // 0x80-extended varint lengths. Self-contained block: any
+      // structural surprise abandons the normalization for this box
+      // only — control must always reach the `off += box_size` below
+      // (a `continue` here once looped forever on a malformed chain).
+      [&] {
+        size_t p = off + 8 + 4;
+        auto read_descriptor = [&](uint8_t expect_tag,
+                                   size_t* len) -> bool {
+          if (p >= end || stsd[p] != expect_tag) return false;
+          ++p;
+          uint64_t value = 0;
+          for (int i = 0; i < 4 && p < end; ++i) {
+            uint8_t byte = stsd[p++];
+            value = (value << 7) | (byte & 0x7F);
+            if (!(byte & 0x80)) break;
+          }
+          *len = size_t(value);
+          return true;
+        };
+        size_t len;
+        if (!read_descriptor(0x03, &len)) return;
+        if (p + 3 > end) return;
+        uint8_t es_flags = stsd[p + 2];
+        p += 3;                              // ES_ID(2) + flags(1)
+        if (es_flags & 0x80) p += 2;         // streamDependence
+        if (es_flags & 0x40 && p < end) p += 1 + stsd[p];  // URL
+        if (es_flags & 0x20) p += 2;         // OCR
+        if (!read_descriptor(0x04, &len)) return;
+        // DecoderConfigDescriptor: objectType(1) streamType(1)
+        // bufferSizeDB(3) maxBitrate(4) avgBitrate(4) ...
+        if (len >= 13 && p + 13 <= end)
+          std::memset(stsd.data() + p + 2, 0, 11);
+      }();
     }
     off += box_size;
   }
@@ -286,6 +292,13 @@ Error load_segment(const char* path, Segment& seg) {
     seg.media_timescale = read_u32(mdhd->payload.data() + 20);
     seg.media_duration = read_u64(mdhd->payload.data() + 24);
   }
+
+  // Composition offsets (B-frame reordering) would need a merged ctts;
+  // this framework's own writers never emit one, so reject instead of
+  // producing a file whose ctts covers only the first segment.
+  if (stbl->find("ctts"))
+    return {path + std::string(": composition offsets (ctts / B-frame "
+                               "reordering) are not supported")};
 
   Box* stsd = stbl->find("stsd");
   if (!stsd) return {std::string("no stsd in ") + path};
@@ -491,8 +504,12 @@ Error concat(const char* const* inputs, int32_t n_inputs,
   if (!err.ok()) return err;
   // An edit list would re-time the merged track; segments are played
   // back-to-back, so drop it (it is optional and cv2/ffmpeg write a
-  // zero-offset one).
+  // zero-offset one). Likewise drop any per-sample auxiliary tables the
+  // template might carry — they would describe only segment 1's samples
+  // (ctts-bearing inputs are rejected above; these are optional hints).
   trak->remove("edts");
+  for (const char* aux : {"sdtp", "sbgp", "sgpd", "ctts"})
+    stbl->remove(aux);
 
   auto replace_table = [&](const char* type, std::vector<uint8_t> payload) {
     Box* box = stbl->find(type);

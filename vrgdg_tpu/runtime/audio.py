@@ -80,7 +80,9 @@ def read_audio_peaks(path: str, target_peaks: int = 600) -> dict:
 
         channels_t, sample_rate = decode_audio_file(path)
         frame_count = channels_t.shape[-1]
-        magnitudes = np.abs(channels_t).max(axis=0)
+        # IEEE-float sources can carry inter-sample peaks beyond 1.0;
+        # the payload contract is normalized [0, 1].
+        magnitudes = np.clip(np.abs(channels_t).max(axis=0), 0.0, 1.0)
 
     duration = frame_count / float(sample_rate) if sample_rate else 0.0
     target_peaks = max(1, int(target_peaks))

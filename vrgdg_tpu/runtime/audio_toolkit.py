@@ -80,6 +80,8 @@ def _decode_wav(path: str) -> tuple[np.ndarray, int]:
                 struct.unpack("<I", header[4:])[0]
             if chunk_id == b"fmt ":
                 fmt = handle.read(chunk_size)
+                if len(fmt) < 16:  # struct.error would escape ValueError
+                    raise ValueError(f"Truncated WAV fmt chunk: {path}")
                 audio_format, channels, rate = \
                     struct.unpack("<HHI", fmt[:8])
                 bits = struct.unpack("<H", fmt[14:16])[0]

@@ -597,8 +597,11 @@ class ParallelVideoReader:
     this reader opt-in (``decode_workers > 1``) and its ``auto`` setting
     sequential, and why ``verify_seeks`` (default on) makes each worker
     decode one pre-frame before its chunk so the consumer can assert it
-    byte-matches the previous chunk's last frame: a misaligned seek
-    raises instead of silently shifting output frames.
+    byte-matches the previous chunk's last frame. This catches
+    chunk-to-chunk seek inconsistency (the off-by-one failure mode);
+    a hypothetical bias that shifted EVERY seek — including chunk 0's —
+    by the same amount would shift probes identically and pass, so
+    sources suspected of that still belong on the sequential reader.
 
     Iterating yields ``(first_frame_index, batch)`` exactly like
     :class:`VideoReader`.
