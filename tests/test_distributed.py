@@ -91,3 +91,7 @@ def test_two_process_initialize_executes():
         assert proc.returncode == 0, f"rank{rank} failed:\n{out[-2000:]}"
     assert "rank0 OK result=22.0" in outputs[0]
     assert "rank1 OK result=22.0" in outputs[1]
+    # phase 2: the cross-process frame-sharded grade ran and matched the
+    # single-device reference bit-for-bit on both ranks
+    assert "rank0 GRADE OK shape=(8, 12, 16, 3)" in outputs[0]
+    assert "rank1 GRADE OK shape=(8, 12, 16, 3)" in outputs[1]
