@@ -187,6 +187,52 @@ def main() -> int:
           grain_determinism_and_batch_invariance)
     check("grade grain_mode=pallas on chip", grade_pallas_grain_mode)
 
+    def enhancer_job_end_to_end():
+        # Full L3 path on the real chip: decode -> uint8 device step ->
+        # encode -> segment commit -> concat (native stream copy when no
+        # ffmpeg). Small shapes so compile time stays bounded.
+        import shutil
+        import tempfile
+
+        import cv2
+
+        from vrgdg_tpu.jobs import enhancer as enh
+        from vrgdg_tpu.runtime import video_io
+
+        workdir = tempfile.mkdtemp(prefix="vrgdg_tpu_check_")
+        try:
+            clip = os.path.join(workdir, "clip.mp4")
+            writer = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"),
+                                     12.0, (96, 64))
+            rng = np.random.default_rng(0)
+            for _ in range(30):
+                writer.write(rng.integers(0, 255, (64, 96, 3), np.uint8))
+            writer.release()
+            registry = enh.JobRegistry()
+            snap = enh.start_render(
+                {"source_path": clip,
+                 "settings": {"segment_seconds": 5, "grain_enabled": True,
+                              "sharpen_strength": 1.0, "seed": 7}},
+                registry=registry, base_folder=workdir)
+            job_id = snap["job_id"]
+            import time as _time
+            deadline = _time.time() + 420
+            while _time.time() < deadline:
+                state = registry.snapshot(job_id)
+                if state.get("status") in {"complete", "failed", "canceled"}:
+                    break
+                _time.sleep(0.5)
+            assert state.get("status") == "complete", state.get("error")
+            meta = video_io.probe_video(state["output_path"])
+            assert meta["frame_count"] == 30, meta
+            totals = state.get("stage_seconds_total") or {}
+            assert {"decode", "device", "encode",
+                    "concat"} <= set(totals), totals
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    check("enhancer job end-to-end on chip", enhancer_job_end_to_end)
+
     print("[tpu_checks] ALL OK")
     return 0
 
