@@ -154,3 +154,43 @@ def test_malformed_esds_descriptor_terminates(tmp_path):
         assert video_io.probe_video(out)["frame_count"] == 12
     except ValueError:
         pass  # clean refusal is acceptable; hanging is not
+
+
+def test_truncation_fuzz_never_hangs(tmp_path):
+    # Feed the parser systematically truncated valid files: every
+    # prefix length across box boundaries must produce success or a
+    # clean ValueError within the test timeout — no hang, no crash.
+    src = tmp_path / "whole.mp4"
+    _write_segment(src, 8, seed=9)
+    blob = src.read_bytes()
+    cuts = sorted({16, 64, len(blob) // 4, len(blob) // 2,
+                   len(blob) - 2048, len(blob) - 512, len(blob) - 64,
+                   len(blob) - 9, len(blob) - 1})
+    for k, cut in enumerate(cuts):
+        p = tmp_path / f"cut{k}.mp4"
+        p.write_bytes(blob[:max(0, cut)])
+        try:
+            native.concat_mp4_stream_copy([str(p)],
+                                          str(tmp_path / f"o{k}.mp4"))
+        except ValueError:
+            pass
+
+
+def test_bitflip_fuzz_in_moov(tmp_path):
+    # Corrupt single bytes throughout the moov (sizes, counts, offsets):
+    # the parser must reject or succeed cleanly every time.
+    src = tmp_path / "whole.mp4"
+    _write_segment(src, 8, seed=10)
+    blob = bytearray(src.read_bytes())
+    moov_at = blob.rfind(b"moov") - 4
+    assert moov_at > 0
+    for k, delta in enumerate(range(0, len(blob) - moov_at - 1, 61)):
+        mutated = bytearray(blob)
+        mutated[moov_at + delta] ^= 0xFF
+        p = tmp_path / f"mut{k}.mp4"
+        p.write_bytes(bytes(mutated))
+        try:
+            native.concat_mp4_stream_copy([str(p)],
+                                          str(tmp_path / f"m{k}.mp4"))
+        except ValueError:
+            pass

@@ -228,6 +228,12 @@ Error load_segment(const char* path, Segment& seg) {
   seg.path = path;
   FILE* f = std::fopen(path, "rb");
   if (!f) return {std::string("cannot open ") + path};
+  uint64_t file_size = 0;
+  if (std::fseek(f, 0, SEEK_END) == 0) {
+    long at_end = std::ftell(f);
+    if (at_end > 0) file_size = uint64_t(at_end);
+  }
+  std::fseek(f, 0, SEEK_SET);
   // Walk top-level boxes to find moov (usually last; mdat is skipped).
   uint8_t header[16];
   uint64_t offset = 0;
@@ -319,6 +325,13 @@ Error load_segment(const char* path, Segment& seg) {
     return {std::string("missing/short stsz in ") + path};
   uint32_t uniform = read_u32(stsz->payload.data() + 4);
   uint32_t sample_count = read_u32(stsz->payload.data() + 8);
+  // Sanity: claimed sample payload cannot exceed the file itself — a
+  // corrupted count would otherwise drive multi-gigabyte allocations
+  // and near-endless offset loops before the copy phase errors out.
+  if (uniform != 0 &&
+      uint64_t(sample_count) * uniform > file_size)
+    return {std::string("stsz claims more sample bytes than the file "
+                        "holds in ") + path};
   if (uniform != 0) {
     seg.sizes.assign(sample_count, uniform);
   } else {
@@ -374,6 +387,9 @@ Error load_segment(const char* path, Segment& seg) {
   }
   if (sample != sample_count)
     return {std::string("sample tables inconsistent in ") + path};
+  for (uint32_t i = 0; i < sample_count; ++i)
+    if (seg.offsets[i] + seg.sizes[i] > file_size)
+      return {std::string("sample extends past end of file in ") + path};
 
   // stss: sync samples (optional; absent means all samples sync)
   if (Box* stss = stbl->find("stss")) {
