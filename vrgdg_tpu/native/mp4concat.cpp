@@ -316,8 +316,14 @@ Error load_segment(const char* path, Segment& seg) {
   const uint8_t* rows;
   err = table_header(stbl->find("stts"), "stts", &n, &rows, 8);
   if (!err.ok()) return {err.message + " in " + path};
-  for (uint32_t i = 0; i < n; ++i)
+  uint64_t stts_duration = 0;
+  for (uint32_t i = 0; i < n; ++i) {
     seg.stts.push_back({read_u32(rows + 8 * i), read_u32(rows + 8 * i + 4)});
+    stts_duration += uint64_t(seg.stts.back().count) * seg.stts.back().delta;
+  }
+  // stts is the ground truth for media duration; some writers leave the
+  // mdhd duration zero or stale.
+  if (stts_duration > 0) seg.media_duration = stts_duration;
 
   // stsz: sample sizes (uniform or table)
   Box* stsz = stbl->find("stsz");
