@@ -100,3 +100,41 @@ def test_log_run_state(tmp_path):
     assert lines[0]["index"] == 2 and lines[0]["note"] == "n"
     assert lines[0]["timestamp"] == "2026-01-01 00:00:00"
     assert isinstance(lines[1]["trigger"], str)  # repr fallback
+
+
+class TestStoryboardBookkeeping:
+    """Numbered-output-folder tracking
+    (GeneralVideoNodes2.py:1250-1378)."""
+
+    def test_next_output_index(self, tmp_path):
+        assert tt.next_output_index(str(tmp_path / "nope")) == 1
+        assert tt.next_output_index(str(tmp_path)) == 1
+        for name in ("0003_scene.png", "0010_scene.png", "notes.txt",
+                     "07.png"):
+            (tmp_path / name).write_bytes(b"x")
+        assert tt.next_output_index(str(tmp_path)) == 11
+
+    def test_parse_redo_indexes(self):
+        assert tt.parse_redo_indexes("3, 1 5,3\n2") == [3, 1, 5, 2]
+        assert tt.parse_redo_indexes("0, -4, x") == []
+        assert tt.parse_redo_indexes("") == []
+
+    def test_parse_override_blocks(self):
+        text = "first prompt\nstill first\n\n\nsecond\n\n   \nthird"
+        assert tt.parse_override_blocks(text) == [
+            "first prompt\nstill first", "second", "third"]
+        assert tt.parse_override_blocks("") == []
+
+    def test_backup_numbered_files(self, tmp_path):
+        (tmp_path / "0002_a.png").write_bytes(b"a")
+        (tmp_path / "0002_b.png").write_bytes(b"b")
+        (tmp_path / "0003_c.png").write_bytes(b"c")
+        moved = tt.backup_numbered_files(str(tmp_path), 2)
+        assert [p.split("/")[-1] for p in moved] == [
+            "0002_a_old.png", "0002_b_old.png"]
+        assert (tmp_path / "0003_c.png").exists()
+        # collision: second backup of the same index gets a timestamp
+        (tmp_path / "0002_a.png").write_bytes(b"a2")
+        moved = tt.backup_numbered_files(str(tmp_path), 2,
+                                         timestamp="20260101_000000")
+        assert moved[0].endswith("0002_a_old_20260101_000000.png")

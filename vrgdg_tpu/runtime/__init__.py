@@ -3,8 +3,10 @@
 from .media_loaders import (indexed_image_from_folder, list_images,
                             load_image, load_videos_from_folder,
                             numbered_image_from_folder)
-from .text_tools import (chunk_pipe_prompts, chunk_quoted_prompts,
-                         log_run_state, read_run_index, select_prompt,
+from .text_tools import (backup_numbered_files, chunk_pipe_prompts,
+                         chunk_quoted_prompts, log_run_state,
+                         next_output_index, parse_override_blocks,
+                         parse_redo_indexes, read_run_index, select_prompt,
                          step_run_index)
 from .video_io import (CODEC_CANDIDATES, IMAGE_EXTENSIONS, VIDEO_EXTENSIONS,
                        PrefetchingReader, VideoReader, VideoWriter,
@@ -16,10 +18,13 @@ from .video_io import (CODEC_CANDIDATES, IMAGE_EXTENSIONS, VIDEO_EXTENSIONS,
 __all__ = [
     "CODEC_CANDIDATES", "IMAGE_EXTENSIONS", "VIDEO_EXTENSIONS",
     "PrefetchingReader", "VideoReader", "VideoWriter", "array_to_frames",
-    "chunk_pipe_prompts", "chunk_quoted_prompts", "concat_videos",
-    "find_ffmpeg", "frames_to_array", "indexed_image_from_folder",
-    "list_images", "load_image", "load_videos_from_folder", "log_run_state",
-    "media_has_audio", "normalize_video_path", "numbered_image_from_folder",
-    "probe_video", "read_run_index", "safe_name", "select_prompt",
-    "step_run_index", "validate_video_readable", "write_video_with_fallback",
+    "backup_numbered_files", "chunk_pipe_prompts", "chunk_quoted_prompts",
+    "concat_videos", "find_ffmpeg", "frames_to_array",
+    "indexed_image_from_folder", "list_images", "load_image",
+    "load_videos_from_folder", "log_run_state", "media_has_audio",
+    "next_output_index", "normalize_video_path",
+    "numbered_image_from_folder", "parse_override_blocks",
+    "parse_redo_indexes", "probe_video", "read_run_index", "safe_name",
+    "select_prompt", "step_run_index", "validate_video_readable",
+    "write_video_with_fallback",
 ]

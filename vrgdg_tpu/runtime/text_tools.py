@@ -175,3 +175,80 @@ def log_run_state(output_folder: str, index: int, total_sets: int,
     with open(log_path, "a", encoding="utf-8") as fh:
         fh.write(json.dumps(entry, ensure_ascii=True) + "\n")
     return log_path
+
+
+# ---------------------------------------------------------------------------
+# Storyboard-run bookkeeping (numbered output folders)
+# ---------------------------------------------------------------------------
+# The reference's storyboard runner tracks progress by the leading number
+# of files already rendered into the output folder and supports redo
+# passes with per-scene prompt overrides
+# (/root/reference/GeneralVideoNodes2.py:1250-1378).
+
+def next_output_index(folder: str) -> int:
+    """1-based index of the next scene to render: one past the highest
+    leading file number in ``folder`` (1 when the folder is absent or
+    holds no numbered files) — GeneralVideoNodes2.py:1252-1268."""
+    if not os.path.isdir(folder):
+        return 1
+    indices = []
+    for name in os.listdir(folder):
+        match = re.match(r"^(\d+)", name)
+        if match:
+            indices.append(int(match.group(1)))
+    return max(indices) + 1 if indices else 1
+
+
+def parse_redo_indexes(text) -> list[int]:
+    """Positive scene numbers from comma/whitespace-separated text,
+    order-preserving and deduplicated (GeneralVideoNodes2.py:1270-1294)."""
+    seen: set[int] = set()
+    ordered: list[int] = []
+    for part in re.split(r"[,\s]+", str(text or "").strip()):
+        try:
+            value = int(part)
+        except ValueError:
+            continue
+        if value > 0 and value not in seen:
+            ordered.append(value)
+            seen.add(value)
+    return ordered
+
+
+def parse_override_blocks(text) -> list[str]:
+    """Blank-line-separated prompt override blocks, stripped and with
+    empty blocks dropped (GeneralVideoNodes2.py:1296-1301)."""
+    raw = str(text or "").strip()
+    if not raw:
+        return []
+    return [block.strip() for block in re.split(r"\n\s*\n", raw)
+            if block.strip()]
+
+
+def backup_numbered_files(folder: str, index: int,
+                          backup_name: str = "backup",
+                          timestamp: str | None = None) -> list[str]:
+    """Move every file whose leading number equals ``index`` into
+    ``<folder>/<backup_name>/`` with an ``_old`` suffix, timestamping on
+    collision; returns the new paths (GeneralVideoNodes2.py:1327-1355).
+    ``timestamp`` is injectable for deterministic tests."""
+    if not os.path.isdir(folder):
+        return []
+    backup_dir = os.path.join(folder, backup_name)
+    os.makedirs(backup_dir, exist_ok=True)
+    moved: list[str] = []
+    for name in sorted(os.listdir(folder)):
+        source = os.path.join(folder, name)
+        if not os.path.isfile(source):
+            continue
+        match = re.match(r"^(\d+)", name)
+        if not match or int(match.group(1)) != int(index):
+            continue
+        stem, ext = os.path.splitext(name)
+        target = os.path.join(backup_dir, f"{stem}_old{ext}")
+        if os.path.exists(target):
+            stamp = timestamp or datetime.now().strftime("%Y%m%d_%H%M%S")
+            target = os.path.join(backup_dir, f"{stem}_old_{stamp}{ext}")
+        os.replace(source, target)
+        moved.append(target)
+    return moved
