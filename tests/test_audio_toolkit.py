@@ -203,3 +203,62 @@ def test_peaks_from_float_wav(tmp_path):
     info16 = audio_rt.read_audio_peaks(str(tmp_path / "s16.wav"),
                                        target_peaks=100)
     assert max(info16["peaks"]) == pytest.approx(0.8, abs=1e-3)
+
+
+class TestHumoAudioHelpers:
+    """Timecode/crop/clean/set math (HumoAutomation.py:177-365, 734-820,
+    2472-2545)."""
+
+    def test_parse_and_format_timecode(self):
+        assert at.parse_timecode("1:30") == 90.0
+        assert at.parse_timecode("2:05.5") == 125.5
+        assert at.parse_timecode("45") == 45.0  # bare seconds
+        assert at.parse_timecode(12.25) == 12.25
+        assert at.format_timecode(62.08) == "1:02.08"
+        assert at.format_timecode(5.0, decimals=0) == "0:05"
+
+    def test_set_start_timecode(self):
+        # one set = 16 x 97 frames @ 25 fps = 62.08 s
+        assert at.set_start_timecode(0) == "0:00.00"
+        assert at.set_start_timecode(1) == "1:02.08"
+        assert at.set_start_timecode(2) == "2:04.16"
+
+    def test_crop_audio(self):
+        sr = 1000
+        audio = at.make_audio(
+            np.arange(10 * sr, dtype=np.float32)[None, None] / (10 * sr), sr)
+        out = at.crop_audio(audio, "0:02", "0:05")
+        assert out["waveform"].shape[-1] == 3 * sr
+        np.testing.assert_allclose(out["waveform"][0, 0, 0], 0.2, atol=1e-6)
+        with pytest.raises(ValueError, match="before"):
+            at.crop_audio(audio, "0:06", "0:03")
+
+    def test_clean_audio_contract(self):
+        sr = 22050
+        mono = np.sin(np.linspace(0, 100, sr * 2 + 137)).astype(np.float32)
+        out = at.clean_audio(at.make_audio(mono[None, None], sr))
+        wave, rate = out["waveform"], out["sample_rate"]
+        assert rate == 48000
+        assert wave.shape[1] == 2  # stereo
+        assert wave.shape[-1] % 1920 == 0  # 25 fps frame aligned
+        # quantized to the 16-bit grid
+        grid = np.round(wave * 32767.0)
+        np.testing.assert_allclose(wave, grid / 32767.0, atol=1e-7)
+
+    def test_calculate_sets(self):
+        sr = 100
+
+        def seconds(n):
+            return at.make_audio(np.zeros((1, 1, int(n * sr)), np.float32),
+                                 sr)
+
+        exact = at.calculate_sets(seconds(124.0))
+        assert exact["total_sets"] == 2
+        assert exact["groups_in_last_set"] == 16
+        partial = at.calculate_sets(seconds(70.0))  # 62 + 8 s remainder
+        assert partial["total_sets"] == 2
+        assert partial["groups_in_last_set"] == 3  # ceil(8 / 3.88)
+        assert partial["end_time"] == "1:10"
+        short = at.calculate_sets(seconds(10.0))
+        assert short["total_sets"] == 1
+        assert short["groups_in_last_set"] == 3

@@ -99,3 +99,22 @@ def test_load_videos_from_folder(tmp_path):
     assert 0.0 <= batch.min() and batch.max() <= 1.0
     with pytest.raises(FileNotFoundError):
         ml.load_videos_from_folder(str(tmp_path / "none"))
+
+
+def test_image_batch_from_paths(tmp_path):
+    from PIL import Image
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        Image.new("RGB", (8, 6), (i * 40, 0, 0)).save(p)
+        paths.append(str(p))
+    batch = ml.image_batch_from_paths(paths + ["  "])  # blanks skipped
+    assert batch.shape == (3, 6, 8, 3)
+    assert abs(float(batch[2, 0, 0, 0]) - 80 / 255.0) < 1e-3
+    odd = tmp_path / "odd.png"
+    Image.new("RGB", (4, 4)).save(odd)
+    with pytest.raises(ValueError, match="share dimensions"):
+        ml.image_batch_from_paths(paths + [str(odd)])
+    with pytest.raises(ValueError):
+        ml.image_batch_from_paths([])

@@ -138,3 +138,16 @@ def test_build_chunk_backup_exact_stem(tmp_path):
                                      overwrite_mode="backup")
     assert not os.path.exists(target)
     assert os.path.exists(srt_sibling) and os.path.exists(digit_sibling)
+
+
+def test_split_frames():
+    import numpy as np
+
+    from vrgdg_tpu.runtime.video_io import split_frames
+
+    frames = np.arange(10 * 2 * 3 * 3, dtype=np.float32).reshape(10, 2, 3, 3)
+    chunks = split_frames(frames, chunk_count=4, frames_per_chunk=4)
+    assert [c.shape[0] for c in chunks] == [4, 4, 2, 0]
+    np.testing.assert_array_equal(chunks[0], frames[:4])
+    np.testing.assert_array_equal(chunks[2], frames[8:])
+    assert chunks[3].shape == (0, 2, 3, 3)

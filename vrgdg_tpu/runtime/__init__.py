@@ -1,6 +1,7 @@
 """Host runtime: media IO, frame streaming, device feeding."""
 
-from .media_loaders import (indexed_image_from_folder, list_images,
+from .media_loaders import (image_batch_from_paths,
+                            indexed_image_from_folder, list_images,
                             load_image, load_videos_from_folder,
                             numbered_image_from_folder)
 from .text_tools import (backup_numbered_files, chunk_pipe_prompts,
@@ -20,7 +21,8 @@ __all__ = [
     "PrefetchingReader", "VideoReader", "VideoWriter", "array_to_frames",
     "backup_numbered_files", "chunk_pipe_prompts", "chunk_quoted_prompts",
     "concat_videos", "find_ffmpeg", "frames_to_array",
-    "indexed_image_from_folder", "list_images", "load_image",
+    "image_batch_from_paths", "indexed_image_from_folder",
+    "list_images", "load_image",
     "load_videos_from_folder", "log_run_state", "media_has_audio",
     "next_output_index", "normalize_video_path",
     "numbered_image_from_folder", "parse_override_blocks",

@@ -458,3 +458,103 @@ def delay_audio_by_index(audio, chunk_index: int,
             cut = min(-delay_samples, waveform.shape[-1])
             waveform = waveform[..., cut:]
     return make_audio(waveform, rate)
+
+
+# --------------------------------------------------------------------------
+# Timecodes, cropping, cleanup, set math (HuMo automation audio helpers)
+# --------------------------------------------------------------------------
+
+def parse_timecode(value) -> float:
+    """``"m:ss(.xx)"`` (or bare seconds) -> seconds. A missing colon is
+    treated as seconds-only, the contract of the reference's crop parser
+    (/root/reference/HumoAutomation.py:770-786)."""
+    if isinstance(value, (int, float)):
+        return max(0.0, float(value))
+    text = str(value or "0").strip()
+    if ":" not in text:
+        text = f"00:{text}"
+    minutes, seconds = text.split(":", 1)
+    return max(0.0, 60.0 * int(minutes or 0) + float(seconds or 0.0))
+
+
+def format_timecode(seconds: float, decimals: int = 2) -> str:
+    """Seconds -> ``"m:ss.xx"`` (``HumoAutomation.py:196-201``)."""
+    seconds = max(0.0, float(seconds))
+    minutes = int(seconds // 60)
+    return f"{minutes}:{seconds % 60:0{3 + decimals}.{decimals}f}" \
+        if decimals else f"{minutes}:{int(seconds % 60):02d}"
+
+
+def set_start_timecode(index: int, frames_per_group: int = 97,
+                       fps: float = 25.0, groups_per_set: int = 16) -> str:
+    """Start timecode of set ``index`` in the HuMo chunking scheme: one
+    set is ``groups_per_set`` groups of ``frames_per_group`` frames
+    (``HumoAutomation.py:177-201``, VRGDG_TimecodeFromIndex)."""
+    set_duration = frames_per_group * groups_per_set / float(fps)
+    return format_timecode(max(0, int(index)) * set_duration)
+
+
+def crop_audio(audio, start_time="0:00", end_time="1:00") -> dict:
+    """Trim audio to a ``[start, end)`` timecode window
+    (``HumoAutomation.py:734-820``, VRGDG_AudioCrop): sample indices are
+    clamped into the waveform and ``start > end`` is an error."""
+    waveform, rate = as_waveform(audio)
+    total = waveform.shape[-1]
+    start = min(max(0, int(parse_timecode(start_time) * rate)), total - 1)
+    end = min(max(0, int(parse_timecode(end_time) * rate)), total - 1)
+    if start > end:
+        raise ValueError(
+            f"Invalid crop range: start {start / rate:.2f}s must come "
+            f"before end {end / rate:.2f}s within the "
+            f"{total / rate:.2f}s audio.")
+    return make_audio(waveform[..., start:end], rate)
+
+
+def clean_audio(audio, target_sr: int = 48000, fps: int = 25) -> dict:
+    """Normalize audio for video muxing (``HumoAutomation.py:2472-2545``,
+    VRGDG_CleanAudio): resample to ``target_sr``, force stereo, snap to
+    the 16-bit PCM grid, and zero-pad the tail to a whole video frame
+    (1920 samples at 48 kHz / 25 fps)."""
+    waveform, rate = as_waveform(audio)
+    channels = waveform[0]  # (C, T)
+    if rate != target_sr:
+        channels = resample_waveform(channels, rate, target_sr)
+    if channels.shape[0] == 1:
+        channels = np.repeat(channels, 2, axis=0)
+    elif channels.shape[0] > 2:
+        channels = np.repeat(channels.mean(axis=0, keepdims=True), 2,
+                             axis=0)
+    channels = np.clip(channels, -1.0, 1.0)
+    channels = np.round(channels * 32767.0).astype(np.int16) \
+        .astype(np.float32) / 32767.0
+    samples_per_frame = int(target_sr // fps)
+    remainder = channels.shape[-1] % samples_per_frame
+    if remainder:
+        pad = np.zeros((channels.shape[0], samples_per_frame - remainder),
+                       np.float32)
+        channels = np.concatenate([channels, pad], axis=-1)
+    return make_audio(channels[None], target_sr)
+
+
+def calculate_sets(audio, set_duration: float = 62.0,
+                   group_duration: float = 3.88,
+                   groups_per_set: int = 16) -> dict:
+    """How many render sets an audio track needs
+    (``HumoAutomation.py:312-365``, VRGDG_CalculateSetsFromAudio):
+    full 62 s sets plus a partial set whose enabled group count is
+    ``ceil(remainder / group_duration)`` capped at ``groups_per_set``."""
+    waveform, rate = as_waveform(audio)
+    duration = waveform.shape[-1] / float(rate) if rate else 0.0
+    full_sets = int(duration // set_duration)
+    remainder = duration - full_sets * set_duration
+    if remainder > 0:
+        total_sets = full_sets + 1
+        groups_in_last_set = min(math.ceil(remainder / group_duration),
+                                 groups_per_set)
+    else:
+        total_sets = full_sets
+        groups_in_last_set = groups_per_set
+    return {"total_sets": total_sets,
+            "groups_in_last_set": groups_in_last_set,
+            "duration": duration,
+            "end_time": f"{int(duration // 60)}:{int(duration % 60):02d}"}

@@ -118,6 +118,22 @@ def numbered_image_from_folder(folder: str, index: int) -> np.ndarray:
         f"No image numbered {target} (index {index}) in folder: {folder}")
 
 
+def image_batch_from_paths(paths) -> np.ndarray:
+    """Stack image files into one (N, H, W, 3) float32 [0,1] batch; all
+    images must share dimensions
+    (/root/reference/VRGDG_GeneralNodes2.py:4056,
+    VRGDG_ImageBatchMultiFromPaths).
+    """
+    frames = [load_image(str(p))[0] for p in paths if str(p).strip()]
+    if not frames:
+        raise ValueError("At least one image path is required.")
+    shapes = {f.shape for f in frames}
+    if len(shapes) > 1:
+        raise ValueError(f"Images must share dimensions to batch; "
+                         f"got {sorted(shapes)}.")
+    return np.stack(frames, axis=0)
+
+
 def load_videos_from_folder(folder: str, scene_count: int = 3
                             ) -> np.ndarray:
     """Concatenate the first ``scene_count`` videos (name order) into one

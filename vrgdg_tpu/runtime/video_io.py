@@ -451,6 +451,24 @@ def pad_frames_array(frames: np.ndarray, pad_frames: int,
     return np.concatenate(parts, axis=0)
 
 
+def split_frames(frames: np.ndarray, chunk_count: int,
+                 frames_per_chunk: int) -> list[np.ndarray]:
+    """Split a BHWC batch into ``chunk_count`` fixed-size chunks; chunks
+    beyond the data are empty ``(0, H, W, C)`` batches
+    (``/root/reference/nodes.py:790-840``, VRGDG_VideoSplitter — minus
+    the node's fixed 50-output padding, which is graph plumbing)."""
+    frames = np.asarray(frames)
+    total = frames.shape[0]
+    spatial = frames.shape[1:] if frames.ndim == 4 else (512, 512, 3)
+    empty = np.zeros((0, *spatial), frames.dtype)
+    out: list[np.ndarray] = []
+    for i in range(max(1, int(chunk_count))):
+        start = i * int(frames_per_chunk)
+        out.append(frames[start:start + int(frames_per_chunk)]
+                   if start < total else empty)
+    return out
+
+
 def add_preroll_frames(frames_per_scene: int, chunk_index: int,
                        preroll_frames: int = 6) -> tuple[int, int]:
     """Extra front frames for non-first chunks; returns
