@@ -151,3 +151,21 @@ def test_split_frames():
     np.testing.assert_array_equal(chunks[0], frames[:4])
     np.testing.assert_array_equal(chunks[2], frames[8:])
     assert chunks[3].shape == (0, 2, 3, 3)
+
+
+def test_trim_image_batch_srt_variant():
+    import numpy as np
+
+    from vrgdg_tpu.runtime.video_io import trim_image_batch_srt
+
+    frames = np.arange(20, dtype=np.float32).reshape(20, 1, 1, 1)
+    # first chunk without preroll: head of the batch
+    out = trim_image_batch_srt(frames, 8, 0, 0)
+    np.testing.assert_array_equal(out[:, 0, 0, 0], np.arange(8))
+    # later chunk: [pre : pre+scene], NO tail trim (unlike the general
+    # trim_image_batch)
+    out = trim_image_batch_srt(frames, 8, 6, 2)
+    np.testing.assert_array_equal(out[:, 0, 0, 0], np.arange(6, 14))
+    # preroll beyond the batch: empty slice falls back to the head
+    out = trim_image_batch_srt(frames, 8, 25, 1)
+    np.testing.assert_array_equal(out[:, 0, 0, 0], np.arange(8))

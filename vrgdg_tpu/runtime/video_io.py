@@ -496,6 +496,24 @@ def trim_image_batch(frames: np.ndarray, frames_per_scene: int,
     return frames[start:end]
 
 
+def trim_image_batch_srt(frames: np.ndarray, frames_per_scene: int,
+                         pre_frames: int, chunk_index: int) -> np.ndarray:
+    """SRT-mode trim variant (``GeneralVideoNodes2.py:756-826``,
+    VRGDG_TrimImageBatch_SRTOnly): slice ``[pre_frames : pre_frames +
+    frames_per_scene]`` with NO tail trim; the first chunk without
+    preroll takes the batch head, and an empty slice falls back to the
+    head rather than returning nothing."""
+    frames = np.asarray(frames)
+    total = frames.shape[0]
+    if int(chunk_index) == 0 and int(pre_frames) <= 0:
+        return frames[:min(int(frames_per_scene), total)]
+    start = min(int(pre_frames), total)
+    end = min(start + int(frames_per_scene), total)
+    if end <= start:
+        return frames[:min(int(frames_per_scene), total)]
+    return frames[start:end]
+
+
 def build_chunk_output_path(output_folder: str, chunk_index: int,
                             base_name: str = "video",
                             overwrite_mode: str = "overwrite",
