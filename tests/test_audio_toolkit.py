@@ -262,3 +262,14 @@ class TestHumoAudioHelpers:
         short = at.calculate_sets(seconds(10.0))
         assert short["total_sets"] == 1
         assert short["groups_in_last_set"] == 3
+
+
+def test_clean_audio_truncates_like_torch_short():
+    # torch's .short() truncates toward zero (reference quantizer);
+    # round-to-nearest would flip this sample to the next level down.
+    sr = 48000
+    value = -32766.6 / 32767.0
+    audio = at.make_audio(np.full((1, 2, 1920), value, np.float32), sr)
+    out = at.clean_audio(audio)
+    np.testing.assert_allclose(out["waveform"], -32766.0 / 32767.0,
+                               atol=1e-9)

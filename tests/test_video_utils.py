@@ -169,3 +169,17 @@ def test_trim_image_batch_srt_variant():
     # preroll beyond the batch: empty slice falls back to the head
     out = trim_image_batch_srt(frames, 8, 25, 1)
     np.testing.assert_array_equal(out[:, 0, 0, 0], np.arange(8))
+
+
+def test_split_frames_rank_consistent_and_empty_input():
+    import numpy as np
+
+    from vrgdg_tpu.runtime.video_io import split_frames
+
+    # rank-3 input: empty chunks must match the populated chunks' rank
+    chunks = split_frames(np.zeros((10, 64, 48), np.float32), 4, 4)
+    assert [c.shape for c in chunks] == [
+        (4, 64, 48), (4, 64, 48), (2, 64, 48), (0, 64, 48)]
+    # no data at all: reference's 512x512x3 placeholder
+    chunks = split_frames(np.zeros((0, 8, 8, 3), np.float32), 2, 4)
+    assert all(c.shape == (0, 512, 512, 3) for c in chunks)

@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 #include <string>
 #include <vector>
 
@@ -250,6 +251,9 @@ Error load_segment(const char* path, Segment& seg) {
     }
     if (size < hdr) break;
     if (std::memcmp(header + 4, "moov", 4) == 0) {
+      if (size - hdr > file_size) {  // corrupted size field: don't
+        break;                       // allocate gigabytes on faith
+      }
       seg.moov.resize(size - hdr);
       if (std::fread(seg.moov.data(), 1, seg.moov.size(), f) !=
           seg.moov.size()) {
@@ -530,8 +534,10 @@ Error concat(const char* const* inputs, int32_t n_inputs,
   // template might carry — they would describe only segment 1's samples
   // (ctts-bearing inputs are rejected above; these are optional hints).
   trak->remove("edts");
+  // Multiple sbgp/sgpd boxes (one per grouping_type) are legal: remove
+  // every instance, not just the first.
   for (const char* aux : {"sdtp", "sbgp", "sgpd", "ctts"})
-    stbl->remove(aux);
+    while (stbl->find(aux)) stbl->remove(aux);
 
   auto replace_table = [&](const char* type, std::vector<uint8_t> payload) {
     Box* box = stbl->find(type);
@@ -698,7 +704,15 @@ Error concat(const char* const* inputs, int32_t n_inputs,
 extern "C" int mp4_concat(const char* const* inputs, int32_t n_inputs,
                           const char* output, char* errbuf,
                           int32_t errlen) {
-  Error err = concat(inputs, n_inputs, output);
+  Error err;
+  try {
+    err = concat(inputs, n_inputs, output);
+  } catch (const std::exception& exc) {
+    // Never let bad_alloc etc. escape the C ABI into the Python host.
+    err.message = std::string("mp4 concat internal error: ") + exc.what();
+  } catch (...) {
+    err.message = "mp4 concat internal error";
+  }
   if (err.ok()) return 0;
   if (errbuf && errlen > 0) {
     std::snprintf(errbuf, size_t(errlen), "%s", err.message.c_str());

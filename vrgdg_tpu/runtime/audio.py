@@ -69,8 +69,11 @@ def read_audio_peaks(path: str, target_peaks: int = 600) -> dict:
                 raw = handle.readframes(frame_count)
                 samples = np.frombuffer(raw, dtype="<i2")
                 # abs BEFORE the channel collapse: a loud negative
-                # excursion on one channel must register as a peak
-                magnitudes = np.abs(samples.astype(np.int32)) / 32767.0
+                # excursion on one channel must register as a peak.
+                # Clip: abs(-32768)/32767 is 1.00003, outside the
+                # normalized [0, 1] payload contract.
+                magnitudes = np.minimum(
+                    np.abs(samples.astype(np.int32)) / 32767.0, 1.0)
                 if channels > 1:
                     magnitudes = magnitudes.reshape(-1, channels).max(axis=1)
     except wave.Error:

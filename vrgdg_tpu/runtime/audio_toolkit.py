@@ -525,7 +525,9 @@ def clean_audio(audio, target_sr: int = 48000, fps: int = 25) -> dict:
         channels = np.repeat(channels.mean(axis=0, keepdims=True), 2,
                              axis=0)
     channels = np.clip(channels, -1.0, 1.0)
-    channels = np.round(channels * 32767.0).astype(np.int16) \
+    # trunc, not round: torch's .short() truncates toward zero and the
+    # reference quantizes with it (HumoAutomation.py:2524)
+    channels = np.trunc(channels * 32767.0).astype(np.int16) \
         .astype(np.float32) / 32767.0
     samples_per_frame = int(target_sr // fps)
     remainder = channels.shape[-1] % samples_per_frame
@@ -557,4 +559,4 @@ def calculate_sets(audio, set_duration: float = 62.0,
     return {"total_sets": total_sets,
             "groups_in_last_set": groups_in_last_set,
             "duration": duration,
-            "end_time": f"{int(duration // 60)}:{int(duration % 60):02d}"}
+            "end_time": format_timecode(duration, decimals=0)}

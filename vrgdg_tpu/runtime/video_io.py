@@ -458,9 +458,11 @@ def split_frames(frames: np.ndarray, chunk_count: int,
     (``/root/reference/nodes.py:790-840``, VRGDG_VideoSplitter — minus
     the node's fixed 50-output padding, which is graph plumbing)."""
     frames = np.asarray(frames)
-    total = frames.shape[0]
-    spatial = frames.shape[1:] if frames.ndim == 4 else (512, 512, 3)
-    empty = np.zeros((0, *spatial), frames.dtype)
+    total = frames.shape[0] if frames.ndim else 0
+    # placeholder spatial dims only when there is NO data to take the
+    # real shape from (the reference's total==0 case, nodes.py:816-821)
+    spatial = frames.shape[1:] if total else (512, 512, 3)
+    empty = np.zeros((0, *spatial), frames.dtype if total else np.float32)
     out: list[np.ndarray] = []
     for i in range(max(1, int(chunk_count))):
         start = i * int(frames_per_chunk)
