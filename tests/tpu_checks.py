@@ -233,6 +233,95 @@ def main() -> int:
 
     check("enhancer job end-to-end on chip", enhancer_job_end_to_end)
 
+    def enhancer_cancel_resume_byte_equality():
+        # Checkpoint recovery on real hardware: cancel a job mid-run,
+        # resume it by id, and require the final video byte-identical to
+        # an uninterrupted render of the same job (the resume-equality
+        # guarantee, proven on the CPU backend by tests/test_enhancer_job
+        # and here on the chip's actual uint8 device path).
+        import shutil
+        import tempfile
+        import time as _time
+
+        import cv2
+
+        from vrgdg_tpu.jobs import enhancer as enh
+        from vrgdg_tpu.runtime import video_io
+
+        def _decode(path):
+            capture = cv2.VideoCapture(path)
+            frames = []
+            while True:
+                ok, frame = capture.read()
+                if not ok:
+                    break
+                frames.append(frame)
+            capture.release()
+            return frames
+
+        def _wait(registry, job_id, states, timeout=420):
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                state = registry.snapshot(job_id)
+                if state.get("status") in states:
+                    return state
+                _time.sleep(0.2)
+            raise AssertionError(f"timed out waiting for {states}: {state}")
+
+        workdir = tempfile.mkdtemp(prefix="vrgdg_tpu_resume_")
+        try:
+            clip = os.path.join(workdir, "clip.mp4")
+            writer = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"),
+                                     12.0, (96, 64))
+            rng = np.random.default_rng(1)
+            for _ in range(36):  # 3 segments of 12 frames
+                writer.write(rng.integers(0, 255, (64, 96, 3), np.uint8))
+            writer.release()
+            settings = {"segment_seconds": 1, "grain_enabled": True,
+                        "sharpen_strength": 1.0, "seed": 9}
+
+            reg_a = enh.JobRegistry()
+            job_a = enh.start_render({"source_path": clip,
+                                      "settings": settings},
+                                     registry=reg_a,
+                                     base_folder=os.path.join(workdir, "a"))
+            done_a = _wait(reg_a, job_a["job_id"], {"complete"})
+
+            reg_b = enh.JobRegistry()
+            job_b = enh.start_render({"source_path": clip,
+                                      "settings": settings},
+                                     registry=reg_b,
+                                     base_folder=os.path.join(workdir, "b"))
+            job_id = job_b["job_id"]
+            # cancel once at least one segment is committed
+            deadline = _time.time() + 420
+            while _time.time() < deadline:
+                state = reg_b.snapshot(job_id)
+                if int(state.get("frames_processed") or 0) >= 12:
+                    break
+                if state.get("status") in {"complete", "failed"}:
+                    break
+                _time.sleep(0.1)
+            enh.cancel_render(job_id, registry=reg_b)
+            state = _wait(reg_b, job_id,
+                          {"canceled", "complete"})
+            if state["status"] == "canceled":
+                assert state.get("can_resume"), state
+                enh.start_render({}, resume_job_id=job_id, registry=reg_b,
+                                 base_folder=os.path.join(workdir, "b"))
+                state = _wait(reg_b, job_id, {"complete"})
+            frames_a = _decode(done_a["output_path"])
+            frames_b = _decode(state["output_path"])
+            assert len(frames_a) == len(frames_b) == 36
+            assert all(np.array_equal(x, y)
+                       for x, y in zip(frames_a, frames_b)), \
+                "resumed output differs from uninterrupted render"
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    check("enhancer cancel->resume byte equality on chip",
+          enhancer_cancel_resume_byte_equality)
+
     print("[tpu_checks] ALL OK")
     return 0
 
