@@ -25,6 +25,7 @@ import time
 
 def _parse(argv):
     inputs, concat_list, trim_seconds = [], None, None
+    framerate, frame_limit = None, None
     out = argv[-1]
     i = 0
     while i < len(argv) - 1:
@@ -41,13 +42,21 @@ def _parse(argv):
             trim_seconds = float(argv[i + 1])
             i += 2
             continue
+        if arg == "-framerate":
+            framerate = float(argv[i + 1])
+            i += 2
+            continue
+        if arg == "-frames:v":
+            frame_limit = int(argv[i + 1])
+            i += 2
+            continue
         i += 1
     if concat_list:
         with open(inputs[0], encoding="utf-8") as handle:
             segments = [re.match(r"file '(.*)'", line.strip()).group(1)
                         for line in handle if line.strip()]
-        return segments, trim_seconds, out
-    return inputs[:1], trim_seconds, out
+        return segments, trim_seconds, framerate, frame_limit, out
+    return inputs[:1], trim_seconds, framerate, frame_limit, out
 
 
 def main():
@@ -61,13 +70,13 @@ def main():
 
     import cv2
 
-    sources, trim_seconds, out = _parse(sys.argv[1:])
+    sources, trim_seconds, framerate, limit, out = _parse(sys.argv[1:])
     writer = None
     written = 0
-    limit = None
     for source in sources:
+        # cv2 reads printf-style image sequences (frame_%06d.png) too
         capture = cv2.VideoCapture(source)
-        fps = float(capture.get(cv2.CAP_PROP_FPS) or 24.0)
+        fps = framerate or float(capture.get(cv2.CAP_PROP_FPS) or 24.0)
         if trim_seconds is not None and limit is None:
             limit = max(1, int(round(trim_seconds * fps)))
         while True:

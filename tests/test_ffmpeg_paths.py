@@ -122,3 +122,51 @@ def test_trim_final_clip_ffmpeg_path(fake_ffmpeg, tmp_path):
     assert final.endswith("video_0001.mp4")
     # kept only the first second: 12 frames
     assert video_io.probe_video(final)["frame_count"] == 12
+
+
+def test_persist_prepare_ffmpeg_working_video(fake_ffmpeg, tmp_path):
+    import jax.numpy as jnp
+
+    from vrgdg_tpu.jobs import prepare_restore as pr
+
+    frames = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (6, 48, 64, 3))
+        .astype(np.float32))
+    working, anchors, context = pr.prepare(
+        frames, anchor_interval=3, anchor_width=64, anchor_height=32,
+        working_width=64, working_height=32, dimension_multiple=32,
+        fps=12.0)
+    result = pr.persist_prepare(working, anchors, context,
+                                str(tmp_path / "job"))
+    meta = video_io.probe_video(result["ltx_video_path"])
+    assert meta["frame_count"] == context.frame_count
+    assert (meta["width"], meta["height"]) == (64, 32)
+
+
+def test_face_fix_crop_video_ffmpeg(fake_ffmpeg, tmp_path):
+    from vrgdg_tpu.jobs.face_fix import _encode_crop_video
+
+    crops = tmp_path / "crops"
+    crops.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(5):
+        cv2.imwrite(str(crops / f"frame_{i:06d}.png"),
+                    rng.integers(0, 255, (64, 64, 3), np.uint8))
+    out = str(tmp_path / "crops.mp4")
+    _encode_crop_video(str(crops), out, 12.0, 5)
+    meta = video_io.probe_video(out)
+    assert meta["frame_count"] == 5
+    assert (meta["width"], meta["height"]) == (64, 64)
+
+
+def test_face_fix_crop_video_ffmpeg_failure(fake_ffmpeg, tmp_path,
+                                            monkeypatch):
+    from vrgdg_tpu.jobs.face_fix import _encode_crop_video
+
+    monkeypatch.setenv("FAKE_FFMPEG_FAIL", "1")
+    crops = tmp_path / "crops"
+    crops.mkdir()
+    cv2.imwrite(str(crops / "frame_000000.png"),
+                np.zeros((64, 64, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="Conversion failed"):
+        _encode_crop_video(str(crops), str(tmp_path / "o.mp4"), 12.0, 1)
