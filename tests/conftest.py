@@ -22,3 +22,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def fake_ffmpeg(tmp_path, monkeypatch):
+    """Install tests/fake_ffmpeg.py as the discovered ffmpeg binary so
+    the production-only ffmpeg code paths execute in CI (this image
+    ships no real ffmpeg)."""
+    import shutil
+    import stat
+
+    from vrgdg_tpu.runtime import video_io
+
+    source = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "fake_ffmpeg.py")
+    target = tmp_path / "ffmpeg"
+    shutil.copy(source, target)
+    target.chmod(target.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setattr(video_io, "find_ffmpeg", lambda: str(target))
+    monkeypatch.delenv("FAKE_FFMPEG_FAIL", raising=False)
+    monkeypatch.delenv("FAKE_FFMPEG_SLEEP", raising=False)
+    return str(target)

@@ -11,8 +11,6 @@ subset those call sites use (reference commands:
 """
 
 import os
-import shutil
-import stat
 import threading
 import time
 
@@ -25,16 +23,8 @@ from vrgdg_tpu.api import appliers
 from vrgdg_tpu.runtime import video_io
 
 
-@pytest.fixture()
-def fake_ffmpeg(tmp_path, monkeypatch):
-    source = os.path.join(os.path.dirname(__file__), "fake_ffmpeg.py")
-    target = tmp_path / "ffmpeg"
-    shutil.copy(source, target)
-    target.chmod(target.stat().st_mode | stat.S_IXUSR)
-    monkeypatch.setattr(video_io, "find_ffmpeg", lambda: str(target))
-    monkeypatch.delenv("FAKE_FFMPEG_FAIL", raising=False)
-    monkeypatch.delenv("FAKE_FFMPEG_SLEEP", raising=False)
-    return str(target)
+# The fake_ffmpeg fixture lives in conftest.py so other test modules
+# can exercise ffmpeg-only code paths too.
 
 
 def _write_clip(path, n_frames, fps=12.0, size=(64, 48), seed=0):
