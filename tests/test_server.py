@@ -386,3 +386,126 @@ def test_panel_routes_exist_and_cover_surfaces():
     ):
         assert surface_route in panel_routes, \
             f"panel does not drive {surface_route}"
+
+
+def test_builder_project_routes(tmp_path):
+    """Music Video Builder backend routes: lifecycle -> media -> audio
+    mix -> export/import ZIP round trip -> delete
+    (VRGDG_MusicVideoBuilderNodes.py:9793-10212)."""
+    import base64
+    import wave
+
+    base = str(tmp_path / "served_root")
+    os.makedirs(base)
+    wav = str(tmp_path / "song.wav")  # outside the served root
+    with wave.open(wav, "wb") as handle:
+        handle.setnchannels(2)
+        handle.setsampwidth(2)
+        handle.setframerate(8000)
+        handle.writeframes(np.full(16000, 12000, np.int16).tobytes())
+    frame = np.full((8, 8, 3), (10, 200, 30), np.uint8)
+    ok, png = cv2.imencode(".png", frame)
+    assert ok
+    image_data = ("data:image/png;base64,"
+                  + base64.b64encode(png.tobytes()).decode())
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post("/vrgdg/music_builder/new_project",
+                                     json={"project_name": "route_proj"})
+            body = await resp.json()
+            assert body["ok"]
+            folder = body["project_folder"]
+
+            session = {"segments": [
+                {"id": "a", "start": 0.0, "end": 1.0, "label": "One",
+                 "lyric_text": "hello", "custom_audio_path": wav},
+            ]}
+            resp = await client.post(
+                "/vrgdg/music_builder/save_session",
+                json={"project_folder": folder, "audio_path": wav,
+                      "session": session})
+            body = await resp.json()
+            assert body["ok"]
+            assert body["session"]["audio_path"].startswith(folder)
+
+            resp = await client.get(
+                "/vrgdg/music_builder/list_projects")
+            body = await resp.json()
+            assert any(item["name"] == "route_proj"
+                       for item in body["projects"])
+
+            resp = await client.post(
+                "/vrgdg/music_builder/save_scene_image",
+                json={"project_folder": folder, "scene_number": 1,
+                      "image_data": image_data})
+            body = await resp.json()
+            assert body["ok"] and body["saved_path"].endswith(
+                "image_0001.png")
+
+            resp = await client.post(
+                "/vrgdg/music_builder/prepare_scene_audio_mix",
+                json={"project_folder": folder,
+                      "segments": [{"start": 0.0, "end": 1.0,
+                                    "custom_audio_path": wav}]})
+            body = await resp.json()
+            assert body["ok"] and body["scene_count"] == 1
+            mix_path = body["audio_path"]
+
+            # audio GET serves only inside the managed root
+            resp = await client.get("/vrgdg/music_builder/audio",
+                                    params={"path": mix_path})
+            assert resp.status == 200
+            resp = await client.get("/vrgdg/music_builder/audio",
+                                    params={"path": wav})
+            assert resp.status == 404
+
+            resp = await client.get(
+                "/vrgdg/music_builder/export_project",
+                params={"project_folder": folder})
+            assert resp.status == 200
+            zip_bytes = await resp.read()
+            assert zip_bytes[:2] == b"PK"
+
+            form = aiohttp.FormData()
+            form.add_field("project_name", "reimported")
+            form.add_field("project_zip", zip_bytes,
+                           filename="route_proj.vrgdg.zip",
+                           content_type="application/zip")
+            resp = await client.post(
+                "/vrgdg/music_builder/import_project", data=form)
+            body = await resp.json()
+            assert body["ok"]
+            assert body["imported_project_name"] == "reimported"
+            assert body["session"]["segments"][0]["lyric_text"] == "hello"
+
+            resp = await client.post("/vrgdg/music_builder/load_session",
+                                     json={"project_folder": folder})
+            body = await resp.json()
+            assert body["ok"]
+            assert body["session"]["segments"][0]["label"] == "One"
+
+            resp = await client.get(
+                "/vrgdg/music_builder/model_defaults")
+            body = await resp.json()
+            assert body["ok"] and "defaults" in body
+
+            resp = await client.post(
+                "/vrgdg/music_builder/delete_project",
+                json={"project_folder": folder})
+            body = await resp.json()
+            assert body["ok"] and body["deleted"]
+            assert not os.path.exists(folder)
+
+            # deleting outside the root is refused
+            resp = await client.post(
+                "/vrgdg/music_builder/delete_project",
+                json={"project_folder": "/etc"})
+            assert resp.status == 400
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -375,6 +375,172 @@ def create_app(base_folder: str | None = None,
     _sync_json_route("/vrgdg/music_builder/audio/peaks",
                      lambda p: _audio_peaks(p))
 
+    # ---------------- music video builder project store ----------------
+    # Non-LLM builder backend (VRGDG_MusicVideoBuilderNodes.py:9793-10212):
+    # project lifecycle, session persistence, scene media/audio, timeline
+    # mix, ZIP export/import. Handlers live in vrgdg_tpu.api.builder;
+    # responses are flat {"ok": true, **result} like the reference's.
+    # Excluded by design: LLM prompt generation, native file pickers, and
+    # desktop open-file actions (docs/MIGRATION.md lists each).
+
+    from ..api import builder as mvb
+
+    _out_root = os.path.abspath(base_folder or paths.DEFAULT_OUTPUT_ROOT)
+
+    def _builder_route(route_path, fn):
+        @routes.post("/vrgdg/music_builder/" + route_path)
+        @_handler
+        async def handler(request, _fn=fn):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(None, lambda: _fn(payload))
+            return _ok(**result)
+
+    _builder_route("analyze_audio",
+                   lambda p: mvb.analyze_audio(p, _out_root))
+    _builder_route("import_capcut_beats",
+                   lambda p: mvb.find_latest_capcut_beats(
+                       p.get("audio_duration", 0)))
+    _builder_route("save_session",
+                   lambda p: mvb.save_session(p, _out_root))
+    _builder_route("save_render_log", mvb.save_render_log)
+    _builder_route("save_wizard_draft", mvb.save_wizard_draft)
+    _builder_route("load_wizard_draft", mvb.load_wizard_draft)
+    _builder_route("new_project",
+                   lambda p: mvb.new_project(p, _out_root))
+    _builder_route("save_project_as",
+                   lambda p: mvb.save_project_as(p, _out_root))
+    _builder_route("save_scene_image", mvb.save_scene_image)
+    _builder_route("delete_project_media", mvb.delete_media)
+    _builder_route("archive_scene_image", mvb.archive_scene_image)
+    _builder_route("extract_video_final_frame", mvb.extract_final_frame)
+    _builder_route("save_flux_reference_image", mvb.save_reference_image)
+    _builder_route("import_reference_subjects",
+                   lambda p: mvb.import_reference_cards(p, "subject"))
+    _builder_route("import_reference_locations",
+                   lambda p: mvb.import_reference_cards(p, "location"))
+    _builder_route("save_scene_audio", mvb.save_scene_audio)
+    _builder_route("save_project_audio", mvb.save_project_audio)
+    _builder_route("save_project_srt", mvb.save_project_srt)
+    _builder_route("save_single_scene_srt", mvb.save_scene_srt)
+    _builder_route("trim_scene_audio", mvb.trim_scene_audio)
+    _builder_route("prepare_scene_audio_mix", mvb.mix_scene_audio)
+    _builder_route("load_session",
+                   lambda p: mvb.load_session(p.get("project_folder")))
+    _builder_route("delete_project",
+                   lambda p: mvb.delete_project(p, _out_root))
+    _builder_route("scan_scene_videos",
+                   lambda p: mvb.scan_scene_videos(
+                       p.get("project_folder")))
+    _builder_route("restore_scene_video", mvb.restore_scene_video)
+    _builder_route("load_srt",
+                   lambda p: mvb.load_srt(p.get("path")
+                                          or p.get("srt_path")))
+    _builder_route("load_prompt_json",
+                   lambda p: mvb.load_prompt_json(p.get("path")))
+    _builder_route("project_prompt_creator_paths",
+                   lambda p: mvb.prompt_creator_paths(
+                       p.get("project_folder")))
+    _builder_route("import_latest_prompt_creator_outputs",
+                   lambda p: mvb.copy_prompt_creator_outputs(
+                       p.get("project_folder"), "", _out_root))
+    _builder_route("copy_prompt_creator_outputs",
+                   lambda p: mvb.copy_prompt_creator_outputs(
+                       p.get("project_folder"),
+                       p.get("source_project_folder", ""), _out_root))
+
+    @routes.get("/vrgdg/music_builder/list_projects")
+    @_handler
+    def builder_list_projects(request):
+        return _ok(**mvb.list_projects(
+            _out_root, str(request.query.get("project_root") or "")))
+
+    @routes.get("/vrgdg/music_builder/model_defaults")
+    @_handler
+    def builder_model_defaults(request):
+        return _ok(**mvb.load_model_defaults(_out_root))
+
+    @routes.get("/vrgdg/music_builder/default_context_paths")
+    @_handler
+    def builder_default_context_paths(request):
+        return _ok(**mvb.default_context_paths(_out_root))
+
+    @routes.get("/vrgdg/music_builder/default_audio_srt_paths")
+    @_handler
+    def builder_default_audio_srt_paths(request):
+        return _ok(**mvb.default_audio_srt_paths(_out_root))
+
+    @routes.get("/vrgdg/music_builder/audio")
+    @_handler
+    def builder_audio(request):
+        path = os.path.normpath(os.path.abspath(
+            str(request.query.get("path") or "").strip()))
+        # reference serves any path (:10212-10218); standalone, only
+        # audio under the managed output root is exposed
+        if not paths._inside(_out_root, path) or not os.path.isfile(path):
+            raise FileNotFoundError("Audio file was not found.")
+        if os.path.splitext(path)[1].lower() not in mvb.AUDIO_EXTENSIONS:
+            raise ValueError("Unsupported audio type.")
+        return web.FileResponse(path)
+
+    @routes.get("/vrgdg/music_builder/export_project")
+    @_handler
+    async def builder_export_project(request):
+        loop = asyncio.get_running_loop()
+        zip_path, download_name = await loop.run_in_executor(
+            None, mvb.export_project,
+            request.query.get("project_folder", ""))
+        try:
+            return web.FileResponse(zip_path, headers={
+                "Content-Disposition":
+                    f'attachment; filename="{download_name}"',
+                "Cache-Control": "no-store"})
+        finally:
+            # FileResponse opens the file lazily but aiohttp keeps the
+            # fd through send; unlink after response teardown
+            asyncio.get_running_loop().call_later(
+                60.0, lambda: os.path.exists(zip_path)
+                and os.remove(zip_path))
+
+    @routes.post("/vrgdg/music_builder/import_project")
+    @_handler
+    async def builder_import_project(request):
+        import tempfile
+
+        reader = await request.multipart()
+        requested_name, temp_path = "", ""
+        try:
+            async for part in reader:
+                if part.name == "project_name":
+                    requested_name = (await part.text()).strip()
+                elif part.name == "project_zip":
+                    handle = tempfile.NamedTemporaryFile(
+                        prefix="vrgdg_builder_import_", suffix=".zip",
+                        delete=False)
+                    temp_path = handle.name
+                    try:
+                        while True:
+                            chunk = await part.read_chunk(1 << 20)
+                            if not chunk:
+                                break
+                            handle.write(chunk)
+                    finally:
+                        handle.close()
+            if not temp_path or not os.path.isfile(temp_path):
+                raise ValueError(
+                    "Choose a .vrgdg.zip project package to import.")
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(
+                None, mvb.import_project, temp_path, requested_name,
+                _out_root)
+            return _ok(**result)
+        finally:
+            if temp_path:
+                try:
+                    os.remove(temp_path)
+                except OSError:
+                    pass
+
     # ---------------- compare ----------------
     # The reference renders these five modes in a browser widget
     # (VRGDG_ImageCompareNode.py:11-14); standalone they render to media.
