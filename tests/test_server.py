@@ -383,6 +383,13 @@ def test_panel_routes_exist_and_cover_surfaces():
             "/vrgdg/face_fix/prepare",
             "/vrgdg/face_fix/finalize",
             "/vrgdg/compare/video",
+            "/vrgdg/music_builder/new_project",
+            "/vrgdg/music_builder/list_projects",
+            "/vrgdg/music_builder/load_session",
+            "/vrgdg/music_builder/scan_scene_videos",
+            "/vrgdg/music_builder/save_project_audio",
+            "/vrgdg/music_builder/import_project",
+            "/vrgdg/music_builder/delete_project",
     ):
         assert surface_route in panel_routes, \
             f"panel does not drive {surface_route}"
