@@ -139,3 +139,49 @@ def test_audio_cli(click_wav, tmp_path, capsys):
     cli.main(["audio", "peaks", click_wav])
     peaks = _last_json(capsys)
     assert peaks["sample_rate"] == 22050 and len(peaks["peaks"]) >= 500
+
+
+def test_builder_cli_lifecycle(tmp_path, capsys):
+    """builder new/save/list/export/import/delete round trip
+    (VRGDG_MusicVideoBuilderNodes.py project store, CLI surface)."""
+    import wave
+
+    root = str(tmp_path / "out")
+    wav = str(tmp_path / "s.wav")
+    with wave.open(wav, "wb") as handle:
+        handle.setnchannels(1)
+        handle.setsampwidth(2)
+        handle.setframerate(8000)
+        handle.writeframes(np.full(8000, 9000, np.int16).tobytes())
+    session_file = str(tmp_path / "sess.json")
+    with open(session_file, "w") as handle:
+        json.dump({"segments": [
+            {"id": "a", "start": 0, "end": 1, "label": "One",
+             "custom_audio_path": wav}]}, handle)
+
+    cli.main(["builder", "new", "cliproj", "--output-root", root])
+    folder = _last_json(capsys)["project_folder"]
+    cli.main(["builder", "save", folder, "--session", session_file,
+              "--audio", wav, "--output-root", root])
+    saved = _last_json(capsys)
+    assert saved["session"]["audio_path"].startswith(folder)
+    cli.main(["builder", "list", "--output-root", root])
+    assert [p["name"] for p in _last_json(capsys)["projects"]] == \
+        ["cliproj"]
+    segs_file = str(tmp_path / "segs.json")
+    with open(segs_file, "w") as handle:
+        json.dump([{"start": 0, "end": 1,
+                    "custom_audio_path": wav}], handle)
+    cli.main(["builder", "mix", folder, "--session", segs_file])
+    assert _last_json(capsys)["duration"] == pytest.approx(1.0,
+                                                           abs=0.02)
+    zip_out = str(tmp_path / "pack.zip")
+    cli.main(["builder", "export", folder, "-o", zip_out])
+    assert os.path.isfile(_last_json(capsys)["zip_path"])
+    cli.main(["builder", "import", zip_out, "--name", "copy",
+              "--output-root", root])
+    imported = _last_json(capsys)
+    assert imported["imported_project_name"] == "copy"
+    cli.main(["builder", "delete", imported["project_folder"],
+              "--output-root", root])
+    assert _last_json(capsys)["deleted"]

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -159,6 +160,27 @@ def main(argv=None):
     p.add_argument("--pre-frames", type=int, default=0)
     p.add_argument("--delay-ms", type=float, default=40.0)
     p.add_argument("--target-peaks", type=int, default=600)
+
+    p = sub.add_parser("builder",
+                       help="music video builder project store")
+    p.add_argument("action", choices=["new", "list", "load", "save",
+                                      "delete", "export", "import",
+                                      "scan", "analyze", "mix"])
+    p.add_argument("target", nargs="?", default="",
+                   help="project folder (most actions), ZIP path "
+                        "(import), or audio path (analyze)")
+    p.add_argument("--name", default="",
+                   help="project name (new / import)")
+    p.add_argument("--session", default="",
+                   help="JSON file with the session dict (save) or the "
+                        "scene segments list (mix)")
+    p.add_argument("--audio", default="",
+                   help="project audio path (save)")
+    p.add_argument("-o", "--output", default="",
+                   help="destination ZIP path (export)")
+    p.add_argument("--output-root", default="",
+                   help="managed projects root (defaults to "
+                        "VRGDG_TPU_OUTPUT)")
 
     p = sub.add_parser("serve", help="run the HTTP API server")
     p.add_argument("--host", default="127.0.0.1")
@@ -350,6 +372,54 @@ def main(argv=None):
             from .runtime import audio as audio_rt
             _print(audio_rt.read_audio_peaks(args.input,
                                              args.target_peaks))
+    elif args.command == "builder":
+        from .api import builder as mvb
+        root = args.output_root or None
+
+        def _read_json_arg(path, label):
+            if not path:
+                raise SystemExit(f"--session with a {label} JSON file "
+                                 "is required for this action")
+            with open(path, "r", encoding="utf-8-sig") as handle:
+                return json.load(handle)
+
+        if args.action == "new":
+            payload = {"project_name": args.name or args.target}
+            if os.path.isabs(args.target):
+                payload["project_folder"] = args.target
+            _print(mvb.new_project(payload, root))
+        elif args.action == "list":
+            _print(mvb.list_projects(root))
+        elif args.action == "load":
+            _print(mvb.load_session(args.target))
+        elif args.action == "save":
+            session = (_read_json_arg(args.session, "session")
+                       if args.session else {"segments": []})
+            _print(mvb.save_session(
+                {"project_folder": args.target,
+                 "project_name": args.name,
+                 "audio_path": args.audio, "session": session}, root))
+        elif args.action == "delete":
+            _print(mvb.delete_project({"project_folder": args.target},
+                                      root))
+        elif args.action == "export":
+            zip_path, download_name = mvb.export_project(args.target)
+            destination = args.output or download_name
+            shutil.move(zip_path, destination)
+            _print({"zip_path": os.path.abspath(destination),
+                    "download_name": download_name})
+        elif args.action == "import":
+            _print(mvb.import_project(args.target, args.name, root))
+        elif args.action == "scan":
+            _print(mvb.scan_scene_videos(args.target))
+        elif args.action == "analyze":
+            _print(mvb.analyze_audio({"audio_path": args.target}, root))
+        elif args.action == "mix":
+            segments = _read_json_arg(args.session, "segments")
+            _print(mvb.mix_scene_audio(
+                {"project_folder": args.target,
+                 "segments": segments,
+                 "allow_missing_scene_audio": True}))
     elif args.command == "serve":
         if args.distributed:
             from .parallel import initialize_distributed
