@@ -516,3 +516,91 @@ def test_builder_project_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_video_editor_routes(tmp_path):
+    """Video editor backend routes (VRGDG_VideoEditorNodes.py:679-783):
+    list -> save session (stages remakes) -> remake queue -> media."""
+    import wave
+
+    base = str(tmp_path / "root")
+    project = os.path.join(base, "edit")
+    os.makedirs(project)
+    for number in (1, 2):
+        writer = cv2.VideoWriter(
+            os.path.join(project, f"video_{number:04d}.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), 8.0, (48, 32))
+        for _ in range(8):
+            writer.write(np.zeros((32, 48, 3), np.uint8))
+        writer.release()
+    srt = os.path.join(project, "cut.srt")
+    with open(srt, "w") as handle:
+        handle.write("1\n00:00:00,000 --> 00:00:02,000\nA\n\n"
+                     "2\n00:00:02,000 --> 00:00:04,000\nB\n")
+    wav = os.path.join(project, "song.wav")
+    with wave.open(wav, "wb") as handle:
+        handle.setnchannels(1)
+        handle.setsampwidth(2)
+        handle.setframerate(8000)
+        handle.writeframes(np.full(32000, 9000, np.int16).tobytes())
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post("/vrgdg/video_editor/list_clips",
+                                     json={"folder_path": project})
+            body = await resp.json()
+            assert body["ok"] and len(body["clips"]) == 2
+
+            session = {"project_folder": project, "clips": {
+                "video_0002.mp4": {
+                    "name": "video_0002.mp4", "clip_number": 2,
+                    "path": os.path.join(project, "video_0002.mp4"),
+                    "selected_for_remake": True,
+                    "t2i_prompt": "retake"}}}
+            resp = await client.post("/vrgdg/video_editor/save_session",
+                                     json={"folder_path": project,
+                                           "session": session})
+            body = await resp.json()
+            assert body["ok"] and len(body["staged_remakes"]) == 1
+
+            resp = await client.post("/vrgdg/video_editor/load_clip",
+                                     json={"session_path":
+                                           body["session_path"],
+                                           "clip_number": 2})
+            clip = await resp.json()
+            assert clip["ok"] and clip["t2i_prompt"] == "retake"
+
+            out_wav = os.path.join(project, "slice.wav")
+            resp = await client.post(
+                "/vrgdg/video_editor/remake/next",
+                json={"session_path": body["session_path"],
+                      "srt_file": srt, "audio_path": wav,
+                      "fps": 24, "audio_output": out_wav})
+            result = await resp.json()
+            assert result["ok"] and result["is_valid"]
+            assert result["clip_number"] == 2
+            assert result["frames_for_ltx"] == 57  # 48+5 -> 8N+1
+            assert os.path.isfile(result["audio_path"])
+
+            resp = await client.post(
+                "/vrgdg/video_editor/remake/next",
+                json={"session_path": body["session_path"],
+                      "srt_file": srt, "audio_path": wav})
+            result = await resp.json()
+            assert result["ok"] and not result["is_valid"]
+
+            resp = await client.get(
+                "/vrgdg/video_editor/video",
+                params={"path": os.path.join(project,
+                                             "video_0001.mp4")})
+            assert resp.status == 200
+            resp = await client.get("/vrgdg/video_editor/video",
+                                    params={"path": "/etc/passwd"})
+            assert resp.status in (400, 404)
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -541,6 +541,83 @@ def create_app(base_folder: str | None = None,
                 except OSError:
                     pass
 
+    # ---------------- video editor ----------------
+    # Timeline-editor backend (VRGDG_VideoEditorNodes.py:679-783) minus
+    # the two Gemma prompt-generation routes (LLM, out of scope). The
+    # remake queue is exposed as a route the reference drives through a
+    # ComfyUI node (VRGDG_RemakeClipQueue) — callers loop /remake/next
+    # until is_valid goes false.
+
+    from ..api import video_editor as ved
+
+    _editor_roots = (_out_root,)
+
+    def _editor_route(route_path, fn):
+        @routes.post("/vrgdg/video_editor/" + route_path)
+        @_handler
+        async def handler(request, _fn=fn):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(None, lambda: _fn(payload))
+            return _ok(**result)
+
+    _editor_route("list_clips",
+                  lambda p: ved.list_clips(p.get("folder_path"),
+                                           p.get("extensions", ""),
+                                           _editor_roots))
+    _editor_route("load_session",
+                  lambda p: {"session": ved.load_session(
+                      p.get("folder_path"), _editor_roots)})
+    _editor_route("save_session",
+                  lambda p: ved.save_session(p.get("folder_path"),
+                                             p.get("session"),
+                                             _editor_roots))
+    _editor_route("save_frame",
+                  lambda p: ved.save_frame(p, _editor_roots))
+    _editor_route("load_clip",
+                  lambda p: ved.load_clip(
+                      p.get("session_path"),
+                      int(p.get("clip_number", 1) or 1),
+                      p.get("clip_path", "")))
+
+    def _remake_next(p):
+        result = ved.next_remake(
+            p.get("session_path"), p.get("srt_file"),
+            p.get("audio_path") or p.get("audio"),
+            queue_index=int(p.get("queue_index", 0) or 0),
+            fps=int(p.get("fps", 24) or 24),
+            tail_loss_frames=int(p.get("tail_loss_frames", 5) or 0),
+            pre_frames=int(p.get("pre_frames", 0) or 0))
+        audio = result.pop("audio", None)
+        if audio is not None and p.get("audio_output"):
+            from ..runtime import audio_toolkit as at
+
+            result["audio_path"] = at.save_wav(
+                str(p["audio_output"]), audio)
+        return result
+
+    _editor_route("remake/next", _remake_next)
+
+    def _editor_media(request, allowed):
+        path = os.path.normpath(os.path.abspath(
+            str(request.query.get("path") or "").strip()))
+        if not paths._inside(_out_root, path) or not os.path.isfile(path):
+            raise FileNotFoundError("Media file was not found.")
+        if os.path.splitext(path)[1].lower() not in allowed:
+            raise ValueError("Unsupported media type.")
+        return web.FileResponse(path)
+
+    @routes.get("/vrgdg/video_editor/video")
+    @_handler
+    def editor_video(request):
+        return _editor_media(request, set(ved.VIDEO_EXTENSIONS))
+
+    @routes.get("/vrgdg/video_editor/image")
+    @_handler
+    def editor_image(request):
+        return _editor_media(request,
+                             {".png", ".jpg", ".jpeg", ".webp"})
+
     # ---------------- compare ----------------
     # The reference renders these five modes in a browser widget
     # (VRGDG_ImageCompareNode.py:11-14); standalone they render to media.
