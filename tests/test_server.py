@@ -604,3 +604,59 @@ def test_video_editor_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_storyboard_routes(tmp_path):
+    """Storyboard state routes
+    (VRGDG_StoryboardBuilderNodes.py:2910-2944)."""
+    import base64
+
+    base = str(tmp_path)
+    project = os.path.join(base, "sb_proj")
+    frame = np.full((8, 8, 3), 60, np.uint8)
+    ok, png = cv2.imencode(".png", frame)
+    assert ok
+    image_data = ("data:image/png;base64,"
+                  + base64.b64encode(png.tobytes()).decode())
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post(
+                "/vrgdg/storyboard/save",
+                json={"project_folder": project, "storyboard": {
+                    "scenes": [{"label": "One",
+                                "image_prompt": "red door",
+                                "video_prompt":
+                                    "The singer smiles, face lit."}]}})
+            body = await resp.json()
+            assert body["ok"]
+            scene = body["storyboard"]["scenes"][0]
+            assert "blinking" in scene["video_prompt"]
+
+            resp = await client.post("/vrgdg/storyboard/load",
+                                     json={"project_folder": project})
+            body = await resp.json()
+            assert body["ok"]
+            assert body["storyboard"]["scenes"][0]["label"] == "One"
+
+            resp = await client.post(
+                "/vrgdg/storyboard/import_reference_image",
+                json={"project_folder": project, "kind": "subject",
+                      "name": "Ann", "image_data": image_data})
+            body = await resp.json()
+            assert body["ok"] and os.path.isfile(body["path"])
+
+            resp = await client.post(
+                "/vrgdg/storyboard/export_prompts",
+                json={"project_folder": project, "storyboard": {
+                    "scenes": [{"image_prompt": "red door"}]}})
+            body = await resp.json()
+            assert body["ok"]
+            assert os.path.isfile(body["t2i_prompts_path"])
+        finally:
+            await client.close()
+
+    _run(scenario())

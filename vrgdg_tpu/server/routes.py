@@ -541,6 +541,30 @@ def create_app(base_folder: str | None = None,
                 except OSError:
                     pass
 
+    # ---------------- storyboard ----------------
+    # Storyboard state persistence (VRGDG_StoryboardBuilderNodes.py:
+    # 2910-2944); the gemma_*/story_*/dialogue generation routes are LLM
+    # surface and stay excluded.
+
+    from ..api import storyboard as sbd
+
+    def _storyboard_route(route_path, fn):
+        @routes.post("/vrgdg/storyboard/" + route_path)
+        @_handler
+        async def handler(request, _fn=fn):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(None, lambda: _fn(payload))
+            return _ok(**result)
+
+    _storyboard_route("load",
+                      lambda p: {"storyboard": sbd.load_storyboard(p)})
+    _storyboard_route("save",
+                      lambda p: {"storyboard": sbd.save_storyboard(p)})
+    _storyboard_route("import_reference_image",
+                      sbd.import_reference_image)
+    _storyboard_route("export_prompts", sbd.export_prompts)
+
     # ---------------- video editor ----------------
     # Timeline-editor backend (VRGDG_VideoEditorNodes.py:679-783) minus
     # the two Gemma prompt-generation routes (LLM, out of scope). The
