@@ -660,3 +660,68 @@ def test_storyboard_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_prompt_creator_routes(tmp_path):
+    """Prompt Creator persistence routes
+    (VRGDG_MusicVideoPromptCreatorNodes.py:1988-2079)."""
+    base = str(tmp_path)
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post(
+                "/vrgdg/music_prompt_creator/save_outputs",
+                json={"project_name": "pcr",
+                      "subject": "Ann",
+                      "prompts": {"Prompt1": "a red door"},
+                      "segments": {"segment1": "la"},
+                      "srt_text":
+                          "1\n00:00:00,000 --> 00:00:02,000\nla\n"})
+            body = await resp.json()
+            assert body["ok"]
+            folder = body["project_folder"]
+            assert os.path.isfile(
+                body["files"]["ConceptPrompts.txt"])
+
+            resp = await client.post(
+                "/vrgdg/music_prompt_creator/save_draft",
+                json={"project_folder": folder,
+                      "full_lyrics": "la la la"})
+            assert (await resp.json())["ok"]
+
+            resp = await client.post(
+                "/vrgdg/music_prompt_creator/load_draft",
+                json={"project_folder": folder})
+            body = await resp.json()
+            assert body["ok"] and body["found"]
+            assert body["draft"]["full_lyrics"] == "la la la"
+
+            resp = await client.get(
+                "/vrgdg/music_prompt_creator/list_drafts")
+            body = await resp.json()
+            assert body["ok"]
+            assert [p["name"] for p in body["projects"]] == ["pcr"]
+
+            form = aiohttp.FormData()
+            form.add_field("project_folder", folder)
+            form.add_field("audio", b"RIFFxxxx",
+                           filename="song.wav",
+                           content_type="audio/wav")
+            resp = await client.post(
+                "/vrgdg/music_prompt_creator/import_audio", data=form)
+            body = await resp.json()
+            assert body["ok"] and os.path.isfile(body["audio_path"])
+
+            # the builder can now import this run
+            resp = await client.post(
+                "/vrgdg/music_builder/project_prompt_creator_paths",
+                json={"project_folder": folder})
+            body = await resp.json()
+            assert body["ok"] and body["ready"]
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -565,6 +565,54 @@ def create_app(base_folder: str | None = None,
                       sbd.import_reference_image)
     _storyboard_route("export_prompts", sbd.export_prompts)
 
+    # ---------------- prompt creator ----------------
+    # Draft/output persistence the Video Builder imports from
+    # (VRGDG_MusicVideoPromptCreatorNodes.py:1951-2079); the Gemma
+    # generation + instruction routes are LLM surface and stay excluded.
+
+    from ..api import prompt_creator as pcr
+
+    def _pc_route(route_path, fn):
+        @routes.post("/vrgdg/music_prompt_creator/" + route_path)
+        @_handler
+        async def handler(request, _fn=fn):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(None, lambda: _fn(payload))
+            return _ok(**result)
+
+    _pc_route("save_outputs",
+              lambda p: pcr.save_outputs(p, _out_root))
+    _pc_route("save_draft", lambda p: pcr.save_draft(p, _out_root))
+    _pc_route("load_draft", lambda p: pcr.load_draft(p, _out_root))
+
+    @routes.get("/vrgdg/music_prompt_creator/list_drafts")
+    @_handler
+    def pc_list_drafts(request):
+        return _ok(**pcr.list_drafts(_out_root))
+
+    @routes.post("/vrgdg/music_prompt_creator/import_audio")
+    @_handler
+    async def pc_import_audio(request):
+        reader = await request.multipart()
+        project_folder, audio_name, chunks = "", "", []
+        async for part in reader:
+            if part.name == "project_folder":
+                project_folder = (await part.text()).strip()
+            elif part.name == "audio":
+                audio_name = part.filename or "prompt_creator_audio.wav"
+                while True:
+                    chunk = await part.read_chunk(1 << 20)
+                    if not chunk:
+                        break
+                    chunks.append(chunk)
+                break
+        loop = asyncio.get_running_loop()
+        result = await loop.run_in_executor(
+            None, pcr.import_audio, project_folder, audio_name,
+            b"".join(chunks), _out_root)
+        return _ok(**result)
+
     # ---------------- video editor ----------------
     # Timeline-editor backend (VRGDG_VideoEditorNodes.py:679-783) minus
     # the two Gemma prompt-generation routes (LLM, out of scope). The
