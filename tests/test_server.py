@@ -725,3 +725,71 @@ def test_prompt_creator_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_start_storyboard_routes(tmp_path):
+    """Start-image storyboard routes
+    (VRGDG_StartImageStoryboard.py:541-642)."""
+    import base64
+
+    from vrgdg_tpu.api import builder
+
+    base = str(tmp_path)
+    project = os.path.join(base, "ssb_proj")
+    layout = builder.ProjectLayout(project)
+    layout.ensure_base_folders()
+    builder._write_json(layout.session_path, {
+        "segments": [{"id": "a", "lyric_text": "one"},
+                     {"id": "b", "lyric_text": "two"}]})
+    ok, png = cv2.imencode(".png", np.full((8, 8, 3), 90, np.uint8))
+    assert ok
+    image_data = ("data:image/png;base64,"
+                  + base64.b64encode(png.tobytes()).decode())
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post("/vrgdg/start_storyboard/load",
+                                     json={"project_folder": project})
+            body = await resp.json()
+            assert body["ok"]
+            assert len(body["storyboard"]["scenes"]) == 2
+
+            resp = await client.post(
+                "/vrgdg/start_storyboard/save_scene_upload",
+                json={"project_folder": project, "scene_number": 1,
+                      "image_data": image_data})
+            body = await resp.json()
+            assert body["ok"]
+            saved = body["saved_path"]
+            assert os.path.isfile(saved)
+
+            resp = await client.post(
+                "/vrgdg/start_storyboard/save_reference",
+                json={"project_folder": project,
+                      "image_data": image_data})
+            body = await resp.json()
+            assert body["ok"]
+            assert body["storyboard"]["use_global_reference"]
+
+            # image GET contained to board roots
+            resp = await client.get(
+                "/vrgdg/start_storyboard/image",
+                params={"project_folder": project, "path": saved})
+            assert resp.status == 200
+            resp = await client.get(
+                "/vrgdg/start_storyboard/image",
+                params={"project_folder": project,
+                        "path": "/etc/passwd"})
+            assert resp.status == 404
+
+            # non-project folder rejected
+            resp = await client.post("/vrgdg/start_storyboard/load",
+                                     json={"project_folder": base})
+            assert resp.status == 400
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -613,6 +613,70 @@ def create_app(base_folder: str | None = None,
             b"".join(chunks), _out_root)
         return _ok(**result)
 
+    # ---------------- start-image storyboard ----------------
+    # Per-scene start/end frame board inside a builder project
+    # (VRGDG_StartImageStoryboard.py:541-642). The Browser-AI download
+    # watcher behind import_latest is generalized to a watch folder /
+    # explicit source_path (browser automation is out of scope).
+
+    from ..api import start_storyboard as ssb
+
+    def _ssb_route(route_path, fn):
+        @routes.post("/vrgdg/start_storyboard/" + route_path)
+        @_handler
+        async def handler(request, _fn=fn):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            folder = ssb.project_folder(payload.get("project_folder"))
+            result = await loop.run_in_executor(
+                None, lambda: _fn(folder, payload))
+            return _ok(**result)
+
+    _ssb_route("load",
+               lambda f, p: {"storyboard": ssb.load_board(f)})
+    _ssb_route("reimport",
+               lambda f, p: {"storyboard": ssb.reimport_board(f)})
+
+    def _ssb_save(folder, payload):
+        ssb.save_board(folder, payload.get("storyboard") or {})
+        return {"storyboard": ssb.load_board(folder)}
+
+    _ssb_route("save", _ssb_save)
+    _ssb_route("import_latest",
+               lambda f, p: ssb.import_latest(
+                   f, p.get("scene_number"), p.get("frame", "start"),
+                   source_path=p.get("source_path", ""),
+                   downloads_folder=p.get("downloads_folder")))
+    _ssb_route("import_project_start_frames",
+               lambda f, p: ssb.import_project_start_frames(
+                   f, bool(p.get("overwrite"))))
+
+    def _ssb_save_reference(folder, payload):
+        result = ssb.save_reference(folder, payload.get("image_data"),
+                                    payload.get("scene_number"))
+        result["storyboard"] = ssb.load_board(folder)
+        return result
+
+    _ssb_route("save_reference", _ssb_save_reference)
+    _ssb_route("save_scene_upload",
+               lambda f, p: ssb.save_scene_upload(
+                   f, p.get("image_data"), p.get("scene_number"),
+                   p.get("frame", "start")))
+
+    @routes.get("/vrgdg/start_storyboard/image")
+    @_handler
+    def ssb_image(request):
+        folder = ssb.project_folder(
+            request.query.get("project_folder"))
+        path = os.path.abspath(
+            str(request.query.get("path") or "").strip())
+        if not os.path.isfile(path) or not any(
+                paths._inside(root, path)
+                for root in ssb.image_roots(folder)):
+            raise FileNotFoundError(
+                "Storyboard image was not found.")
+        return web.FileResponse(path)
+
     # ---------------- video editor ----------------
     # Timeline-editor backend (VRGDG_VideoEditorNodes.py:679-783) minus
     # the two Gemma prompt-generation routes (LLM, out of scope). The
