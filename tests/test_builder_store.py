@@ -116,11 +116,11 @@ def test_save_and_load_session_snapshot(tmp_path):
          "session": session}, root)
     folder = result["project_folder"]
     layout = builder.ProjectLayout(folder)
-    # external media ingested into canonical project locations
+    # the audio + context text files are snapshotted; scene media stays
+    # where it is (the ingest belongs to save-as/export — a plain save
+    # must not duplicate media, reference :8380-8498)
     saved = result["session"]
-    assert saved["segments"][0]["approved_image_path"] == \
-        layout.scene_image_path(1, ".png")
-    assert os.path.isfile(layout.scene_image_path(1, ".png"))
+    assert saved["segments"][0]["approved_image_path"] == external
     assert saved["theme_style_path"].startswith(layout.context_folder)
     assert saved["audio_path"].startswith(layout.project_audio_folder)
     # SRT + scene notes + prompt exports written
@@ -168,13 +168,15 @@ def test_bulk_lyric_clear_guard(tmp_path):
 
 def test_rehydrate_after_project_move(tmp_path):
     root = str(tmp_path / "out")
-    image = make_image(tmp_path / "img.png")
-    session = {"segments": [
-        {"id": "a", "start": 0.0, "end": 4.0,
-         "approved_image_path": image}]}
     result = builder.save_session(
-        {"project_name": "move_me", "session": session}, root)
+        {"project_name": "move_me",
+         "session": {"segments": [{"id": "a", "start": 0.0,
+                                   "end": 4.0}]}}, root)
     old_folder = result["project_folder"]
+    # store the approved image the real way (the UI's save_scene_image)
+    builder.save_scene_image({"project_folder": old_folder,
+                              "scene_number": 1,
+                              "image_data": data_url_png()})
     new_folder = os.path.join(root, "moved_here")
     shutil.move(old_folder, new_folder)
     loaded = builder.load_session(new_folder)
@@ -182,6 +184,47 @@ def test_rehydrate_after_project_move(tmp_path):
     assert seg["approved_image_path"] == \
         builder.ProjectLayout(new_folder).scene_image_path(1, ".png")
     assert os.path.isfile(seg["approved_image_path"])
+
+
+def test_rehydrate_keeps_live_old_root_paths(tmp_path):
+    """A path inside the recorded old project folder that still exists
+    there (and was never copied into the new folder) must survive the
+    load — reference :1779-1784 only rebases when the rebased file
+    exists."""
+    root = str(tmp_path / "out")
+    old_folder = os.path.join(root, "old_proj")
+    side_image = make_image(
+        (lambda p: (os.makedirs(os.path.dirname(p)), p)[1])(
+            os.path.join(old_folder, "side_notes", "ref.png")))
+    new_folder = os.path.join(root, "new_proj")
+    layout = builder.ProjectLayout(new_folder)
+    layout.ensure_base_folders()
+    builder._write_json(layout.session_path, {
+        "project_folder": old_folder,
+        "segments": [{"id": "a", "start": 0, "end": 4,
+                      "ref_image_path": side_image}]})
+    seg = builder.load_session(new_folder)["session"]["segments"][0]
+    assert seg["ref_image_path"] == side_image
+
+
+def test_repeated_saves_do_not_duplicate_history(tmp_path):
+    root = str(tmp_path / "out")
+    history_image = make_image(tmp_path / "take1.png")
+    session = {"segments": [{"id": "a", "start": 0, "end": 4,
+                             "image_history": [history_image],
+                             "image_history_index": 0}]}
+    result = builder.save_session(
+        {"project_name": "stable", "session": session}, root)
+    folder = result["project_folder"]
+    for _round in range(3):
+        result = builder.save_session(
+            {"project_folder": folder,
+             "session": result["session"]}, root)
+    previews = builder.ProjectLayout(folder).previews_root
+    assert not os.path.isdir(previews) or not any(
+        files for _dir, _sub, files in os.walk(previews))
+    assert result["session"]["segments"][0]["image_history"] == \
+        [history_image]
 
 
 def test_rehydrate_recovers_scenes_from_loose_media(tmp_path):

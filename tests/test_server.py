@@ -793,3 +793,29 @@ def test_start_storyboard_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_export_get_is_guarded_like_a_mutation(tmp_path):
+    """export_project rewrites project state, so the CSRF guard must
+    cover it even though it is a GET."""
+    base = str(tmp_path)
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.get(
+                "/vrgdg/music_builder/export_project",
+                params={"project_folder": base},
+                headers={"Origin": "http://evil.example"})
+            assert resp.status == 403
+            # ordinary GETs stay unguarded
+            resp = await client.get(
+                "/vrgdg/health",
+                headers={"Origin": "http://evil.example"})
+            assert resp.status == 200
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -766,19 +766,29 @@ def ingest_session_assets(layout: ProjectLayout, session: dict) -> dict:
 
 
 def rebase_session_paths(layout: ProjectLayout, old_root: str,
-                         session: dict) -> dict:
+                         session: dict,
+                         require_exists: bool = False) -> dict:
     """Point every project-owned path at the new root (``:1546-1629``).
 
     Unlike the reference's per-key blocks this walks the whole session:
     any absolute path string inside ``old_root`` is rebased. Strings
-    outside the old project are untouched."""
+    outside the old project are untouched. With ``require_exists`` the
+    rebase only sticks when the rebased file exists — the rehydration
+    contract (``:1779-1784``), where a still-valid old-root path must
+    survive so :func:`resolve_asset` can keep using it. Save-as/export
+    rebase unconditionally (assets were just copied in)."""
     if not old_root:
         return session
 
     def rebase_one(text):
         if not os.path.isabs(text):
             return text
-        return rebase_path(layout.root, old_root, text) or text
+        rebased = rebase_path(layout.root, old_root, text)
+        if not rebased:
+            return text
+        if require_exists and not os.path.exists(rebased):
+            return text
+        return rebased
 
     return map_strings(session, rebase_one)
 
@@ -885,9 +895,11 @@ def _drop_overlapping_recovered(segments):
 
 
 def _rehydrate_scene(layout: ProjectLayout, old_root: str, scene: int,
-                     seg: dict, overlay: bool):
-    """Re-find one scene's media on disk (``:1854-1943``)."""
-    default_label = (f"Insert {scene - 10000}" if overlay
+                     seg: dict, overlay: bool, ordinal: int = 0):
+    """Re-find one scene's media on disk (``:1854-1943``); ``scene`` is
+    the asset slot (>=10001 for overlays), ``ordinal`` the positional
+    index the default overlay label uses (``:1914-1916``)."""
+    default_label = (f"Insert {ordinal or 1}" if overlay
                      else f"Scene {scene}")
     label = _clean(seg.get("label"))
     if not label or label.lower() == "new scene":
@@ -940,7 +952,8 @@ def rehydrate_session(layout: ProjectLayout, session: dict) -> dict:
     """Reattach a loaded session to the media actually on disk
     (``:1766-1943``)."""
     old_root = str(session.get("project_folder", "") or "")
-    session = rebase_session_paths(layout, old_root, session)
+    session = rebase_session_paths(layout, old_root, session,
+                                   require_exists=True)
     session["project_folder"] = layout.root
     session["audio_path"] = resolve_asset(layout, old_root,
                                           session.get("audio_path", ""))
@@ -975,7 +988,7 @@ def rehydrate_session(layout: ProjectLayout, session: dict) -> dict:
     for index, seg in enumerate(overlays, start=1):
         if isinstance(seg, dict):
             _rehydrate_scene(layout, old_root, overlay_slot(seg, index),
-                             seg, overlay=True)
+                             seg, overlay=True, ordinal=index)
     return session
 
 
@@ -1144,9 +1157,12 @@ def save_session(payload: dict, output_root: str | None = None) -> dict:
     if not bool(session.get("allow_bulk_lyric_clear")) \
             and os.path.isfile(layout.session_path):
         restored, _total = _guard_bulk_lyric_clear(layout, segments)
+    # plain saves only snapshot the audio + context text files; the
+    # scene-media ingest belongs to save-as/export (:8380-8498 vs
+    # :8501-8553) — running it per save would duplicate every history
+    # image into a fresh preview file on each autosave
     audio_path, session = snapshot_context_assets(layout, session,
                                                   audio_path)
-    session = ingest_session_assets(layout, session)
     backup_session_file(layout)
     result = _persist_session(layout, session, audio_path, segments)
     result["model_defaults_path"] = save_model_defaults(session,
@@ -1188,6 +1204,9 @@ def save_project_as(payload: dict, output_root: str | None = None) -> dict:
                                                   audio_path, source)
     session = ingest_session_assets(layout, session)
     session = rebase_session_paths(layout, source, session)
+    # rebase_session_paths builds a new tree; re-read the segment lists
+    # from it so the persisted segments carry the rebased paths
+    segments, _overlays = _session_lists(session)
     return _persist_session(layout, session, audio_path, segments)
 
 

@@ -36,6 +36,7 @@ import json
 import os
 import re
 import time
+from urllib.parse import quote
 
 import numpy as np
 
@@ -107,7 +108,7 @@ def _clip_entry(path, clip_number=0):
         "size": int(stat.st_size),
         "mtime": float(stat.st_mtime),
         "clip_number": int(clip_number or 0),
-        "url": ("/vrgdg/video_editor/video?path=" + path
+        "url": ("/vrgdg/video_editor/video?path=" + quote(path)
                 + f"&v={int(stat.st_mtime)}_{int(stat.st_size)}"),
     }
 
@@ -117,13 +118,17 @@ def list_clips(folder_path, extensions="", roots=()) -> dict:
     ``remake/`` (which a plain listdir would hide) (``:230-303``)."""
     folder = resolve_editor_folder(folder_path, roots)
     wanted = parse_extensions(extensions)
+
+    def listable(path):
+        lower = os.path.basename(path).lower()
+        return (os.path.isfile(path) and lower.endswith(wanted)
+                and not lower.startswith("final_video")
+                and lower != "00001.mp4")
+
     clips = []
     for name in os.listdir(folder):
         path = os.path.join(folder, name)
-        lower = name.lower()
-        if not os.path.isfile(path) or not lower.endswith(wanted):
-            continue
-        if lower.startswith("final_video") or lower == "00001.mp4":
+        if not listable(path):
             continue
         try:
             clips.append(_clip_entry(path))
@@ -148,7 +153,7 @@ def list_clips(folder_path, extensions="", roots=()) -> dict:
                     if basename else "")):
                 candidate = os.path.abspath(candidate)
                 key = os.path.normcase(candidate)
-                if key in visible or not os.path.isfile(candidate):
+                if key in visible or not listable(candidate):
                     continue
                 try:
                     clips.append(_clip_entry(

@@ -64,6 +64,14 @@ async def _json(request):
         return {}
 
 
+# GET routes that write project state anyway (export ingests media and
+# rewrites session.json, matching the reference) must pass the same
+# cross-site checks as POSTs
+_MUTATING_GET_PATHS = frozenset({
+    "/vrgdg/music_builder/export_project",
+})
+
+
 @web.middleware
 async def _mutation_guard(request, handler):
     """Reject cross-site mutations.
@@ -75,7 +83,9 @@ async def _mutation_guard(request, handler):
     local tools (curl, the CLI) never trip.  Setting ``VRGDG_TPU_TOKEN``
     additionally requires ``X-VRGDG-Token`` on all mutating requests.
     """
-    if request.method not in ("GET", "HEAD", "OPTIONS"):
+    mutating = request.method not in ("GET", "HEAD", "OPTIONS") \
+        or request.path in _MUTATING_GET_PATHS
+    if mutating:
         origin = request.headers.get("Origin")
         if origin:
             from urllib.parse import urlparse
@@ -490,17 +500,28 @@ def create_app(base_folder: str | None = None,
         zip_path, download_name = await loop.run_in_executor(
             None, mvb.export_project,
             request.query.get("project_folder", ""))
+        response = web.StreamResponse(status=200, headers={
+            "Content-Type": "application/zip",
+            "Content-Disposition":
+                f'attachment; filename="{download_name}"',
+            "Content-Length": str(os.path.getsize(zip_path)),
+            "Cache-Control": "no-store"})
         try:
-            return web.FileResponse(zip_path, headers={
-                "Content-Disposition":
-                    f'attachment; filename="{download_name}"',
-                "Cache-Control": "no-store"})
+            await response.prepare(request)
+            with open(zip_path, "rb") as handle:
+                while True:
+                    chunk = await loop.run_in_executor(
+                        None, handle.read, 1 << 20)
+                    if not chunk:
+                        break
+                    await response.write(chunk)
+            await response.write_eof()
+            return response
         finally:
-            # FileResponse opens the file lazily but aiohttp keeps the
-            # fd through send; unlink after response teardown
-            asyncio.get_running_loop().call_later(
-                60.0, lambda: os.path.exists(zip_path)
-                and os.remove(zip_path))
+            try:
+                os.remove(zip_path)
+            except OSError:
+                pass
 
     @routes.post("/vrgdg/music_builder/import_project")
     @_handler
