@@ -183,3 +183,45 @@ def test_split_frames_rank_consistent_and_empty_input():
     # no data at all: reference's 512x512x3 placeholder
     chunks = split_frames(np.zeros((0, 8, 8, 3), np.float32), 2, 4)
     assert all(c.shape == (0, 512, 512, 3) for c in chunks)
+
+
+def test_combine_scene_videos_trims_to_durations():
+    from vrgdg_tpu.runtime.video_io import combine_scene_videos
+
+    clip = lambda n, v: np.full((n, 4, 4, 3), v, np.float32)  # noqa: E731
+    out = combine_scene_videos(
+        [clip(10, 1), clip(10, 2)],
+        {"durations": [0.2, 0.3]}, fps=10.0)
+    # 0.2 s @10 fps = 2 frames; 0.3 s = 3 frames
+    assert out.shape[0] == 5
+    assert out[0, 0, 0, 0] == 1 and out[2, 0, 0, 0] == 2
+
+    # durations_frames used verbatim; zero duration keeps clip length
+    out = combine_scene_videos(
+        [clip(6, 1), clip(4, 2)],
+        {"durations_frames": [3, 0]}, fps=10.0)
+    assert out.shape[0] == 3 + 4
+
+    # short clips stay short by default (V3), pad_short repeats (V2)
+    out = combine_scene_videos([clip(2, 5)],
+                               {"durations_frames": [4]})
+    assert out.shape[0] == 2
+    out = combine_scene_videos([clip(2, 5)],
+                               {"durations_frames": [4]},
+                               pad_short=True)
+    assert out.shape[0] == 4
+    assert out[3, 0, 0, 0] == 5
+
+    # last set honors groups_in_last_set
+    out = combine_scene_videos(
+        [clip(2, 1), clip(2, 2), clip(2, 3)],
+        {"durations_frames": [2, 2, 2]},
+        index=1, total_sets=2, groups_in_last_set=2)
+    assert out.shape[0] == 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="audio_meta"):
+        combine_scene_videos([clip(2, 1)], None)
+    with pytest.raises(ValueError, match="No video inputs"):
+        combine_scene_videos([None], {"durations_frames": [2]})

@@ -879,3 +879,66 @@ class PrefetchingReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def combine_scene_videos(videos, audio_meta, fps: float = 25.0,
+                         index: int = 0, total_sets: int = 1,
+                         groups_in_last_set: int = 16,
+                         pad_short: bool = False) -> np.ndarray:
+    """Trim each scene clip to its audio-metered duration and
+    concatenate along the frame axis — the HuMo set combiner
+    (``/root/reference/HumoAutomation.py:892-1037``, CombinevideosV3;
+    ``:50-134``, V2).
+
+    ``videos`` is an ordered list of BHWC frame batches (``None`` slots
+    allowed, up to 16 per set). ``audio_meta`` carries ``durations``
+    (seconds) or ``durations_frames``; a missing/zero duration keeps the
+    clip's own length. On the final set (``index == total_sets - 1``)
+    slots beyond ``groups_in_last_set`` are skipped. ``pad_short``
+    repeats the last frame up to the target (the V2 behavior; V3 leaves
+    short renders as-is so generation shortfalls stay visible).
+    """
+    scene_cap = 16
+    if not isinstance(audio_meta, dict):
+        raise ValueError("audio_meta must be a dict")
+    durations = audio_meta.get("durations_frames")
+    in_frames = durations is not None
+    if durations is None:
+        durations = audio_meta.get("durations")
+    if durations is None:
+        raise ValueError(
+            "audio_meta missing 'durations' or 'durations_frames' list")
+    durations = list(durations)[:scene_cap]
+    durations += [0.0] * (scene_cap - len(durations))
+
+    last_run = int(index) == int(total_sets) - 1
+    limit = scene_cap
+    if last_run:
+        limit = max(1, min(int(groups_in_last_set), scene_cap))
+
+    pieces = []
+    for slot, video in enumerate(list(videos)[:limit], start=1):
+        if video is None:
+            continue
+        video = np.asarray(video)
+        if video.ndim != 4:
+            raise ValueError(
+                f"video_{slot} must have shape (frames,H,W,C), got "
+                f"{tuple(video.shape)}")
+        value = float(durations[slot - 1])
+        if value > 0:
+            target = max(1, int(round(value if in_frames
+                                      else value * float(fps))))
+        else:
+            target = video.shape[0]
+        if video.shape[0] > target:
+            video = video[:target]
+        elif video.shape[0] < target and pad_short:
+            repeat = np.repeat(video[-1:], target - video.shape[0],
+                               axis=0)
+            video = np.concatenate([video, repeat], axis=0)
+        pieces.append(video.astype(np.float32, copy=False))
+    if not pieces:
+        raise ValueError("No video inputs detected. Provide at least "
+                         "one scene clip.")
+    return np.concatenate(pieces, axis=0)
