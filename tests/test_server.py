@@ -819,3 +819,50 @@ def test_export_get_is_guarded_like_a_mutation(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_text_and_audio_library_routes(tmp_path):
+    """Text-file browser, editable files, audio library, and the
+    ConceptPrompts handoff routes."""
+    base = str(tmp_path)
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            target = os.path.join(base, "ctx", "themestyle.txt")
+            resp = await client.post(
+                "/vrgdg/music_builder/save_text_file",
+                json={"path": target, "content": "noir"})
+            assert (await resp.json())["ok"]
+            resp = await client.post(
+                "/vrgdg/music_builder/load_text_file",
+                json={"path": target})
+            body = await resp.json()
+            assert body["ok"] and body["content"] == "noir"
+
+            resp = await client.get("/vrgdg/text_files/folders")
+            assert (await resp.json())["ok"]
+            resp = await client.get("/vrgdg/text_files/list",
+                                    params={"category": "scene1"})
+            body = await resp.json()
+            assert body["ok"] and body["category"] == "scene1"
+
+            form = aiohttp.FormData()
+            form.add_field("audio", b"RIFF0000", filename="up.wav",
+                           content_type="audio/wav")
+            resp = await client.post("/vrgdg/audio/upload", data=form)
+            body = await resp.json()
+            assert body["ok"] and body["filename"] == "up.wav"
+            resp = await client.get("/vrgdg/audio/list")
+            body = await resp.json()
+            assert body["ok"] and "up.wav" in body["files"]
+
+            resp = await client.get(
+                "/vrgdg/part2/load_concept_prompts")
+            assert resp.status == 404  # nothing saved yet
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -1,0 +1,114 @@
+"""Text/audio file libraries (vrgdg_tpu.api.text_files).
+
+Parity targets: VRGDG_GeneralNodes.py:1606-1830 (text-file browser),
+VRGDG_MusicVideoBuilderNodes.py:2666-2694 (editable files),
+VRGDG_AudioNodes.py:497-560 (audio library),
+VRGDG_GeneralNodes2.py:1220-1250 (ConceptPrompts handoff).
+"""
+
+import os
+import time
+
+import pytest
+
+from vrgdg_tpu.api import text_files as tfl
+
+
+def test_category_listing_and_normalization(tmp_path):
+    root = str(tmp_path)
+    folder = os.path.join(tfl.text_files_root(root), "scene1")
+    os.makedirs(folder)
+    open(os.path.join(folder, "b.txt"), "w").write("x")
+    open(os.path.join(folder, "A.txt"), "w").write("x")
+    open(os.path.join(folder, "skip.json"), "w").write("x")
+    result = tfl.list_category("scene1", root)
+    assert result["files"] == ["A.txt", "b.txt"]
+    # unknown categories fall back to the first option
+    assert tfl.list_category("hack", root)["category"] == "subject1"
+    assert tfl.normalize_category("SCENE2") == "scene2"
+
+
+def test_folder_listing_newest_first(tmp_path):
+    root = str(tmp_path)
+    folder = os.path.join(tfl.text_files_root(root), "lyrics run")
+    os.makedirs(folder)
+    old = os.path.join(folder, "old.txt")
+    new = os.path.join(folder, "new.txt")
+    open(old, "w").write("x")
+    open(new, "w").write("x")
+    os.utime(old, (time.time() - 100, time.time() - 100))
+    result = tfl.list_folder_files("lyrics run", output_root=root)
+    assert result["files"] == ["new.txt", "old.txt"]
+    assert result["folder"] == "lyrics run"
+    recent = tfl.list_folder_files("lyrics run", use_most_recent=True,
+                                   output_root=root)
+    assert recent["files"] == ["new.txt"]
+    # folder names sanitize traversal characters
+    weird = tfl.list_folder_files("../escape", output_root=root)
+    assert ".." not in weird["folder"]
+
+    folders = tfl.list_folders(root)
+    assert folders["folders"] == ["lyrics run"]
+
+
+def test_custom_root_normalization(tmp_path):
+    base = str(tmp_path / "elsewhere")
+    expected = os.path.join(base, "VRGDG_TEMP", "TextFiles")
+    assert tfl.normalize_custom_root(base) == os.path.normpath(expected)
+    assert tfl.normalize_custom_root(expected) == \
+        os.path.normpath(expected)
+    assert tfl.normalize_custom_root(
+        os.path.join(base, "VRGDG_TEMP")) == os.path.normpath(expected)
+    assert tfl.normalize_custom_root(
+        os.path.join(expected, "somefolder")) == os.path.normpath(
+        expected)
+    assert tfl.normalize_custom_root("") == ""
+    # a custom root redirects the folder listing
+    os.makedirs(os.path.join(expected, "run"))
+    open(os.path.join(expected, "run", "a.txt"), "w").write("x")
+    result = tfl.list_folder_files("run", custom_base_path=base)
+    assert result["files"] == ["a.txt"]
+
+
+def test_editable_text_files(tmp_path):
+    target = str(tmp_path / "notes.txt")
+    saved = tfl.save_text_file({"path": target, "content": "hello"})
+    assert saved["path"] == target
+    loaded = tfl.load_text_file({"path": target})
+    assert loaded["content"] == "hello"
+    with pytest.raises(ValueError, match=".txt or .json"):
+        tfl.save_text_file({"path": str(tmp_path / "evil.sh"),
+                            "content": "x"})
+    with pytest.raises(FileNotFoundError):
+        tfl.load_text_file({"path": str(tmp_path / "missing.txt")})
+
+
+def test_audio_library(tmp_path):
+    root = str(tmp_path)
+    result = tfl.save_audio_upload("My Song!.wav", b"RIFF1234",
+                                   output_root=root)
+    assert result["filename"] == "My Song.wav"
+    # same name without overwrite gets the (N) suffix
+    again = tfl.save_audio_upload("My Song!.wav", b"RIFF5678",
+                                  output_root=root)
+    assert again["filename"] == "My Song (1).wav"
+    replaced = tfl.save_audio_upload("My Song!.wav", b"RIFFnew",
+                                     overwrite=True, output_root=root)
+    assert replaced["filename"] == "My Song.wav"
+    assert open(replaced["path"], "rb").read() == b"RIFFnew"
+    listing = tfl.list_audio(root)
+    assert listing["files"] == ["My Song (1).wav", "My Song.wav"]
+    with pytest.raises(ValueError, match="Unsupported"):
+        tfl.save_audio_upload("x.exe", b"MZ", output_root=root)
+
+
+def test_shared_concept_prompts(tmp_path):
+    root = str(tmp_path)
+    with pytest.raises(FileNotFoundError, match="Run Step 1"):
+        tfl.load_shared_concept_prompts(root)
+    folder = os.path.join(tfl.text_files_root(root), "ConceptPrompts")
+    os.makedirs(folder)
+    open(os.path.join(folder, "ConceptPrompts.txt"),
+         "w").write('{"Prompt1": "hi"}')
+    result = tfl.load_shared_concept_prompts(root)
+    assert "Prompt1" in result["content"]

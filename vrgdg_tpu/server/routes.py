@@ -586,6 +586,77 @@ def create_app(base_folder: str | None = None,
                       sbd.import_reference_image)
     _storyboard_route("export_prompts", sbd.export_prompts)
 
+    # ---------------- text/audio file libraries ----------------
+    # Shared text-file browser (VRGDG_GeneralNodes.py:1871-1913),
+    # editable text files (VRGDG_MusicVideoBuilderNodes.py:2666-2694),
+    # audio library (VRGDG_AudioNodes.py:514-560), and the Step-1/2
+    # ConceptPrompts handoff (VRGDG_GeneralNodes2.py:1220-1250).
+
+    from ..api import text_files as tfl
+
+    _builder_route("load_text_file", tfl.load_text_file)
+    _builder_route("save_text_file", tfl.save_text_file)
+
+    @routes.get("/vrgdg/text_files/list")
+    @_handler
+    def text_files_list(request):
+        return _ok(**tfl.list_category(
+            request.query.get("category"), _out_root))
+
+    @routes.get("/vrgdg/text_files/folders")
+    @_handler
+    def text_files_folders(request):
+        return _ok(**tfl.list_folders(_out_root))
+
+    @routes.get("/vrgdg/text_files/files")
+    @_handler
+    def text_files_for_folder(request):
+        def truthy(key):
+            return str(request.query.get(key, "")).strip().lower() \
+                in ("1", "true", "yes", "on")
+
+        return _ok(**tfl.list_folder_files(
+            request.query.get("folder", ""),
+            use_most_recent=truthy("use_most_recent"),
+            custom_base_path=(request.query.get("custom_base_path", "")
+                              if truthy("use_custom_base_path")
+                              else ""),
+            output_root=_out_root))
+
+    @routes.get("/vrgdg/audio/list")
+    @_handler
+    def audio_list(request):
+        return _ok(**tfl.list_audio(_out_root))
+
+    @routes.post("/vrgdg/audio/upload")
+    @_handler
+    async def audio_upload(request):
+        reader = await request.multipart()
+        filename, overwrite, chunks = "", False, []
+        async for part in reader:
+            if part.name == "overwrite":
+                overwrite = (await part.text()).strip().lower() \
+                    in ("1", "true", "yes", "on")
+            elif part.name == "audio":
+                filename = part.filename or ""
+                while True:
+                    chunk = await part.read_chunk(1 << 20)
+                    if not chunk:
+                        break
+                    chunks.append(chunk)
+        if not filename:
+            raise ValueError("Missing audio file.")
+        loop = asyncio.get_running_loop()
+        result = await loop.run_in_executor(
+            None, tfl.save_audio_upload, filename, b"".join(chunks),
+            overwrite, _out_root)
+        return _ok(**result)
+
+    @routes.get("/vrgdg/part2/load_concept_prompts")
+    @_handler
+    def part2_concept_prompts(request):
+        return _ok(**tfl.load_shared_concept_prompts(_out_root))
+
     # ---------------- prompt creator ----------------
     # Draft/output persistence the Video Builder imports from
     # (VRGDG_MusicVideoPromptCreatorNodes.py:1951-2079); the Gemma
