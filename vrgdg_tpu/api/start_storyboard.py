@@ -115,10 +115,28 @@ def _reference_builder(session) -> dict:
 def segment_list(data) -> list:
     if isinstance(data, list):
         return data
-    return _nested_lookup(data, ("segments", "scenes", "lyric_segments",
-                                 "timelineSegments",
-                                 "timeline_segments"),
-                          list_result=True)
+    found = _nested_lookup(data, ("segments", "scenes",
+                                  "lyric_segments",
+                                  "timelineSegments",
+                                  "timeline_segments"),
+                           list_result=True)
+    if found:
+        return found
+    # the Prompt Creator writes lyric_segments.json as a flat
+    # {segmentN: text} mapping (prompt_creator.save_outputs); accept it
+    # as an ordered lyric list — the reference's _segment_list cannot
+    # read its own sibling's output here (:192-204 returns []), which
+    # breaks first-board import on imported projects
+    if isinstance(data, dict):
+        numbered = {}
+        for key, value in data.items():
+            match = re.match(r"^(?:lyricSegment|segment|segments)"
+                             r"\s*(\d+)$", str(key), flags=re.I)
+            if match:
+                numbered[int(match.group(1))] = str(value or "")
+        if numbered:
+            return [numbered[number] for number in sorted(numbered)]
+    return []
 
 
 def _reference_image(item) -> dict:
