@@ -7,11 +7,7 @@ board -> rendered scene videos -> video-editor remake queue -> portable
 ZIP round trip.
 """
 
-import json
 import os
-import wave
-
-import numpy as np
 
 from vrgdg_tpu.api import (builder, prompt_creator, start_storyboard,
                            storyboard, video_editor)

@@ -854,7 +854,8 @@ def test_text_and_audio_library_routes(tmp_path):
                            content_type="audio/wav")
             resp = await client.post("/vrgdg/audio/upload", data=form)
             body = await resp.json()
-            assert body["ok"] and body["filename"] == "up.wav"
+            assert body["ok"] and body["name"] == "up.wav"
+            assert "up.wav" in body["files"]
             resp = await client.get("/vrgdg/audio/list")
             body = await resp.json()
             assert body["ok"] and "up.wav" in body["files"]

@@ -87,14 +87,16 @@ def test_audio_library(tmp_path):
     root = str(tmp_path)
     result = tfl.save_audio_upload("My Song!.wav", b"RIFF1234",
                                    output_root=root)
-    assert result["filename"] == "My Song.wav"
+    assert result["name"] == "My Song.wav"
     # same name without overwrite gets the (N) suffix
     again = tfl.save_audio_upload("My Song!.wav", b"RIFF5678",
                                   output_root=root)
-    assert again["filename"] == "My Song (1).wav"
+    assert again["name"] == "My Song (1).wav"
+    # reference response contract: the refreshed library rides along
+    assert "My Song.wav" in again["files"]
     replaced = tfl.save_audio_upload("My Song!.wav", b"RIFFnew",
                                      overwrite=True, output_root=root)
-    assert replaced["filename"] == "My Song.wav"
+    assert replaced["name"] == "My Song.wav"
     assert open(replaced["path"], "rb").read() == b"RIFFnew"
     listing = tfl.list_audio(root)
     assert listing["files"] == ["My Song (1).wav", "My Song.wav"]
@@ -111,4 +113,4 @@ def test_shared_concept_prompts(tmp_path):
     open(os.path.join(folder, "ConceptPrompts.txt"),
          "w").write('{"Prompt1": "hi"}')
     result = tfl.load_shared_concept_prompts(root)
-    assert "Prompt1" in result["content"]
+    assert "Prompt1" in result["text"]

@@ -196,10 +196,15 @@ def test_combine_scene_videos_trims_to_durations():
     assert out.shape[0] == 5
     assert out[0, 0, 0, 0] == 1 and out[2, 0, 0, 0] == 2
 
-    # durations_frames used verbatim; zero duration keeps clip length
+    # durations_frames used verbatim; a zero duration trims to the
+    # 1-frame placeholder in V3 mode and keeps the clip length in V2
     out = combine_scene_videos(
         [clip(6, 1), clip(4, 2)],
         {"durations_frames": [3, 0]}, fps=10.0)
+    assert out.shape[0] == 3 + 1
+    out = combine_scene_videos(
+        [clip(6, 1), clip(4, 2)],
+        {"durations_frames": [3, 0]}, fps=10.0, pad_short=True)
     assert out.shape[0] == 3 + 4
 
     # short clips stay short by default (V3), pad_short repeats (V2)
@@ -218,8 +223,6 @@ def test_combine_scene_videos_trims_to_durations():
         {"durations_frames": [2, 2, 2]},
         index=1, total_sets=2, groups_in_last_set=2)
     assert out.shape[0] == 4
-
-    import pytest
 
     with pytest.raises(ValueError, match="audio_meta"):
         combine_scene_videos([clip(2, 1)], None)

@@ -128,14 +128,9 @@ def segment_list(data) -> list:
     # read its own sibling's output here (:192-204 returns []), which
     # breaks first-board import on imported projects
     if isinstance(data, dict):
-        numbered = {}
-        for key, value in data.items():
-            match = re.match(r"^(?:lyricSegment|segment|segments)"
-                             r"\s*(\d+)$", str(key), flags=re.I)
-            if match:
-                numbered[int(match.group(1))] = str(value or "")
-        if numbered:
-            return [numbered[number] for number in sorted(numbered)]
+        from .prompt_creator import canonical_segments
+
+        return list(canonical_segments(data).values())
     return []
 
 

@@ -33,6 +33,10 @@ TEXT_ROOT_FOLDER = "VRGDG_TEMP"
 TEXT_SUBFOLDER = "TextFiles"
 CATEGORY_OPTIONS = ("subject1", "subject2", "scene1", "scene2",
                     "other1", "other2")
+# the reference library accepts audio AND video containers
+# (filter_files_content_types([..., "audio", "video"])); the builder's
+# default-audio discovery reads only the pure-audio subset
+# (builder.AUDIO_EXTENSIONS)
 AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".m4a", ".ogg", ".mp4",
                     ".mov", ".webm")
 
@@ -55,25 +59,25 @@ def text_files_root(output_root=None) -> str:
 
 
 def normalize_custom_root(custom_base_path) -> str:
-    """Accept any ancestor/level of the ``VRGDG_TEMP/TextFiles`` layout
-    and return the TextFiles root (``:1704-1721``)."""
+    """Accept any level of the ``VRGDG_TEMP/TextFiles`` layout — the
+    base dir, either layout component, or a folder inside it — and
+    return the TextFiles root (``:1704-1721``)."""
     raw = str(custom_base_path or "").strip().strip("\"'")
     if not raw:
         return ""
     path = os.path.normpath(os.path.abspath(
         os.path.expandvars(os.path.expanduser(raw))))
-    base = os.path.basename(path).lower()
-    parent = os.path.basename(os.path.dirname(path)).lower()
-    grandparent = os.path.basename(
-        os.path.dirname(os.path.dirname(path))).lower()
-    if base == TEXT_SUBFOLDER.lower() \
-            and parent == TEXT_ROOT_FOLDER.lower():
+    layout = [TEXT_ROOT_FOLDER.lower(), TEXT_SUBFOLDER.lower()]
+    parts = path.split(os.sep)
+    tail = [part.lower() for part in parts[-3:]]
+    # locate where the given path sits relative to the two-component
+    # layout and re-anchor onto its TextFiles directory
+    if tail[-2:] == layout:
         return path
-    if base == TEXT_ROOT_FOLDER.lower():
+    if tail[-1:] == layout[:1]:
         return os.path.normpath(os.path.join(path, TEXT_SUBFOLDER))
-    if parent == TEXT_SUBFOLDER.lower() \
-            and grandparent == TEXT_ROOT_FOLDER.lower():
-        return os.path.dirname(path)
+    if tail[:2] == layout:
+        return os.path.normpath(os.sep.join(parts[:-1]))
     return os.path.normpath(os.path.join(path, TEXT_ROOT_FOLDER,
                                          TEXT_SUBFOLDER))
 
@@ -137,33 +141,38 @@ def list_folder_files(folder_name, use_most_recent: bool = False,
 # editable text files (builder load_text_file / save_text_file)
 # ------------------------------------------------------------------
 
-def _editable_path(path) -> str:
-    raw = _clean(path)
-    if not raw:
+_EDITABLE_SUFFIXES = frozenset({".txt", ".json"})
+
+
+def _editable_text_file(payload, content=None) -> dict:
+    """Shared read/write body for the builder's editable-file routes;
+    only ``.txt``/``.json`` may pass, and writes create parents."""
+    file_path = os.path.normpath(os.path.abspath(
+        _clean(payload.get("path"))))
+    if not _clean(payload.get("path")):
         raise ValueError("Text file path is empty.")
-    file_path = os.path.normpath(os.path.abspath(raw))
-    if os.path.splitext(file_path)[1].lower() not in {".txt", ".json"}:
+    if os.path.splitext(file_path)[1].lower() not in _EDITABLE_SUFFIXES:
         raise ValueError("Only .txt or .json files can be edited here.")
-    return file_path
+    if content is None:
+        if not os.path.isfile(file_path):
+            raise FileNotFoundError(
+                f"Text file was not found: {file_path}")
+        with open(file_path, "r", encoding="utf-8-sig",
+                  errors="replace") as handle:
+            return {"path": file_path, "content": handle.read()}
+    os.makedirs(os.path.dirname(file_path) or ".", exist_ok=True)
+    with open(file_path, "w", encoding="utf-8", newline="") as handle:
+        handle.write(content)
+    return {"path": file_path}
 
 
 def load_text_file(payload: dict) -> dict:
-    file_path = _editable_path(payload.get("path"))
-    if not os.path.isfile(file_path):
-        raise FileNotFoundError(f"Text file was not found: {file_path}")
-    with open(file_path, "r", encoding="utf-8-sig",
-              errors="replace") as handle:
-        return {"path": file_path, "content": handle.read()}
+    return _editable_text_file(payload)
 
 
 def save_text_file(payload: dict) -> dict:
-    file_path = _editable_path(payload.get("path"))
-    parent = os.path.dirname(file_path)
-    if parent:
-        os.makedirs(parent, exist_ok=True)
-    with open(file_path, "w", encoding="utf-8", newline="") as handle:
-        handle.write(str(payload.get("content", "") or ""))
-    return {"path": file_path}
+    return _editable_text_file(
+        payload, str(payload.get("content", "") or ""))
 
 
 # ------------------------------------------------------------------
@@ -204,9 +213,10 @@ def save_audio_upload(filename, data: bytes, overwrite: bool = False,
             index += 1
     with open(candidate, "wb") as handle:
         handle.write(data)
-    return {"path": candidate,
-            "filename": os.path.basename(candidate),
-            "input_dir": folder}
+    # response contract: {"name", "files"} (VRGDG_AudioNodes.py:546-548)
+    return {"name": os.path.basename(candidate),
+            "files": list_audio(output_root)["files"],
+            "path": candidate, "input_dir": folder}
 
 
 def load_shared_concept_prompts(output_root=None) -> dict:
@@ -219,4 +229,5 @@ def load_shared_concept_prompts(output_root=None) -> dict:
             "ConceptPrompts.txt was not found. Run Step 1 first or "
             "paste the prompt JSON manually.")
     with open(path, "r", encoding="utf-8-sig") as handle:
-        return {"path": path, "content": handle.read()}
+        # response contract: {"text", "path"} (GeneralVideoNodes2:1246)
+        return {"path": path, "text": handle.read()}

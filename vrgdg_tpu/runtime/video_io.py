@@ -893,10 +893,12 @@ def combine_scene_videos(videos, audio_meta, fps: float = 25.0,
     ``videos`` is an ordered list of BHWC frame batches (``None`` slots
     allowed, up to 16 per set). ``audio_meta`` carries ``durations``
     (seconds) or ``durations_frames``; a missing/zero duration keeps the
-    clip's own length. On the final set (``index == total_sets - 1``)
-    slots beyond ``groups_in_last_set`` are skipped. ``pad_short``
-    repeats the last frame up to the target (the V2 behavior; V3 leaves
-    short renders as-is so generation shortfalls stay visible).
+    clip's own length under ``pad_short`` (V2) and trims to a 1-frame
+    placeholder otherwise (V3). On the final set (``index ==
+    total_sets - 1``) slots beyond ``groups_in_last_set`` are skipped.
+    ``pad_short`` repeats the last frame up to the target (the V2
+    behavior; V3 leaves short renders as-is so generation shortfalls
+    stay visible).
     """
     scene_cap = 16
     if not isinstance(audio_meta, dict):
@@ -929,8 +931,13 @@ def combine_scene_videos(videos, audio_meta, fps: float = 25.0,
         if value > 0:
             target = max(1, int(round(value if in_frames
                                       else value * float(fps))))
-        else:
+        elif pad_short:
+            # V2: a zero/missing duration keeps the clip's own length
             target = video.shape[0]
+        else:
+            # V3: max(1, round(0)) — a 1-frame placeholder keeps the
+            # set's frame count tracking the audio meta (:917-930)
+            target = 1
         if video.shape[0] > target:
             video = video[:target]
         elif video.shape[0] < target and pad_short:
