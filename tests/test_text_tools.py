@@ -138,3 +138,31 @@ class TestStoryboardBookkeeping:
         moved = tt.backup_numbered_files(str(tmp_path), 2,
                                          timestamp="20260101_000000")
         assert moved[0].endswith("0002_a_old_20260101_000000.png")
+
+
+def test_extract_prompt_text_sanitizer():
+    """LLM prompt-output sanitizer
+    (VRGDG_GemmaPromptSanitizer.py:91-105)."""
+    from vrgdg_tpu.runtime.text_tools import extract_prompt_text
+
+    # fenced JSON with role/thought prefix stripped, scene targeting
+    raw = ('model\nThought: pick scene 2.\n```json\n'
+           '{"scenes": [{"scene_number": 1, "prompt": "a red door"},'
+           '{"scene_number": 2, "image_prompt": "a blue door"}]}\n```')
+    assert extract_prompt_text(raw, 2) == "a blue door"
+    assert extract_prompt_text(raw, "scene 1") == "a red door"
+    # no scene match -> first prompt value anywhere
+    assert extract_prompt_text(raw, 9) == "a red door"
+    # bare list of items
+    assert extract_prompt_text(
+        '[{"t2i_prompt": "wide shot"}]') == "wide shot"
+    # prose around JSON: the bracket slice parses
+    assert extract_prompt_text(
+        'Sure! {"prompt": "dawn sky"} enjoy') == "dawn sky"
+    # key priority: image_prompt beats prompt
+    assert extract_prompt_text(
+        '{"prompt": "b", "image_prompt": "a"}') == "a"
+    # non-JSON text falls back to the cleaned text
+    assert extract_prompt_text("```\njust a plain prompt\n```") == \
+        "just a plain prompt"
+    assert extract_prompt_text("") == ""

@@ -252,3 +252,97 @@ def backup_numbered_files(folder: str, index: int,
         os.replace(source, target)
         moved.append(target)
     return moved
+
+
+# --------------------------------------------------------------------------
+# LLM prompt-output sanitizer (VRGDG_GemmaPromptSanitizer.py:1-105)
+# --------------------------------------------------------------------------
+
+# value keys that may carry the actual prompt text, tried in priority
+# order (:5-15)
+_PROMPT_VALUE_KEYS = ("image_prompt", "t2i_prompt",
+                      "text_to_image_prompt", "prompt", "flux_prompt",
+                      "nb_prompt", "nano_banana_prompt", "ernie_prompt",
+                      "enhance_prompt")
+_SCENE_LIST_KEYS = ("scenes", "prompts", "items", "results")
+
+
+def _strip_llm_wrappers(text: str) -> str:
+    """Remove role/thought prefixes and markdown fences from raw LLM
+    output (:18-29)."""
+    cleaned = str(text or "").strip()
+    cleaned = re.sub(
+        r"^\s*[^A-Za-z0-9]*(?:(?:user|assistant|model)\b)?[^A-Za-z0-9]*"
+        r"(?:thought|analysis|reasoning)(?=[A-Z]|[^A-Za-z0-9]|$)"
+        r"[^A-Za-z0-9]*",
+        "", cleaned, flags=re.IGNORECASE).strip()
+    cleaned = re.sub(r"^```(?:json)?\s*", "", cleaned,
+                     flags=re.IGNORECASE)
+    return re.sub(r"\s*```$", "", cleaned).strip()
+
+
+def _first_number(value):
+    match = re.search(r"\d+", str(value)) if value is not None else None
+    if match and int(match.group(0)) > 0:
+        return int(match.group(0))
+    return None
+
+
+def _prompt_values(value):
+    """Depth-first prompt-text candidates in key-priority order (:56-66)."""
+    if isinstance(value, dict):
+        for key in _PROMPT_VALUE_KEYS:
+            text = str(value.get(key) or "").strip()
+            if text:
+                yield text
+        for child in value.values():
+            yield from _prompt_values(child)
+    elif isinstance(value, list):
+        for item in value:
+            yield from _prompt_values(item)
+
+
+def extract_prompt_text(text, scene_number=None) -> str:
+    """Best prompt string out of raw LLM output: JSON-parse the cleaned
+    text (or its bracket slice), prefer the item matching
+    ``scene_number``, else the first prompt value anywhere; fall back
+    to the cleaned text itself (:91-105)."""
+    cleaned = _strip_llm_wrappers(text)
+    if not cleaned:
+        return cleaned
+    target = _first_number(scene_number)
+
+    candidates = [cleaned]
+    starts = [index for index in (cleaned.find("{"), cleaned.find("["))
+              if index >= 0]
+    if starts:
+        end = max(cleaned.rfind("}"), cleaned.rfind("]"))
+        if end > min(starts):
+            candidates.append(cleaned[min(starts):end + 1])
+
+    for candidate in candidates:
+        try:
+            parsed = json.loads(candidate)
+        except ValueError:
+            continue
+        if isinstance(parsed, list):
+            items = [item for item in parsed if isinstance(item, dict)]
+        elif isinstance(parsed, dict):
+            items = next(
+                ([item for item in parsed[key]
+                  if isinstance(item, dict)]
+                 for key in _SCENE_LIST_KEYS
+                 if isinstance(parsed.get(key), list)), [parsed])
+        else:
+            items = []
+        if target:
+            matched = [item for item in items if _first_number(
+                item.get("scene_number") or item.get("sceneNumber")
+                or item.get("scene") or item.get("number")) == target]
+            items = matched or items
+        for item in items:
+            for prompt in _prompt_values(item):
+                return prompt
+        for prompt in _prompt_values(parsed):
+            return prompt
+    return cleaned
