@@ -867,3 +867,26 @@ def test_text_and_audio_library_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_api_docs_match_registered_routes():
+    """Every route documented in docs/API.md must actually be
+    registered (docs-vs-code consistency guard)."""
+    import re
+
+    docs = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "API.md")
+    with open(docs, encoding="utf-8") as handle:
+        documented = set(re.findall(r"`(/vrgdg/[a-z0-9_/]+)`",
+                                    handle.read()))
+    assert len(documented) > 80
+
+    app = create_app()
+    registered = set()
+    for route in app.router.routes():
+        info = route.resource.get_info() if route.resource else {}
+        path = info.get("path") or info.get("formatter")
+        if path:
+            registered.add(path)
+    missing = sorted(documented - registered)
+    assert not missing, f"documented but unregistered: {missing}"
