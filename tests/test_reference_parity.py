@@ -1,0 +1,472 @@
+"""Golden parity vs the reference pack's own pure host functions.
+
+tests/oracles.py does this for the pixel math (torch oracles); this file
+does it for the host-side text/state math added in round 3: the
+reference's pure functions are AST-extracted (tests/reference_oracle.py)
+and fuzz-compared against the framework's re-derivations on seeded
+random payloads, so behavioral parity is checked against the reference
+itself rather than against hand-written expectations.
+"""
+
+import random
+import string
+
+import pytest
+
+from tests.reference_oracle import load_reference
+from vrgdg_tpu.api import builder, prompt_creator as pc, storyboard as sb
+from vrgdg_tpu.api import video_editor as ved
+from vrgdg_tpu.runtime import text_tools
+
+
+def _rng(seed):
+    return random.Random(seed)
+
+
+def _rand_text(rng, max_len=60):
+    pool = (string.ascii_letters + string.digits
+            + "  _-.:,;/\\\"'()!?\n\r")
+    return "".join(rng.choice(pool)
+                   for _ in range(rng.randrange(max_len)))
+
+
+def _rand_scalar(rng):
+    return rng.choice([
+        None, True, False, rng.randrange(-5, 20),
+        rng.uniform(-3, 30), _rand_text(rng),
+        str(rng.randrange(100)), "", "  ",
+    ])
+
+
+def _rand_payload(rng, keys, depth=2):
+    out = {}
+    for key in keys:
+        roll = rng.random()
+        if roll < 0.25:
+            continue  # missing key
+        if roll < 0.8 or depth == 0:
+            out[key] = _rand_scalar(rng)
+        elif roll < 0.9:
+            out[key] = [_rand_scalar(rng)
+                        for _ in range(rng.randrange(4))]
+        else:
+            out[key] = _rand_payload(rng, keys, depth - 1)
+    return out
+
+
+# ---------------------------------------------------------------- builder
+
+
+def test_builder_small_helpers_parity():
+    ref = load_reference(
+        "VRGDG_MusicVideoBuilderNodes.py",
+        ["_safe_project_name", "_render_log_duration_text",
+         "_overlay_scene_number", "_assign_overlay_scene_numbers",
+         "_format_srt_time", "_parse_srt_time", "_segments_to_srt",
+         "_parse_srt_segments", "_estimate_beats_from_peaks",
+         "_tempo_from_beat_times"])
+    rng = _rng(1)
+    for _ in range(300):
+        text = _rand_text(rng)
+        assert builder.safe_component(text) == \
+            ref["_safe_project_name"](text)
+        ms = rng.choice([None, "x", rng.uniform(-10, 1e7)])
+        assert builder.duration_label_ms(ms) == \
+            ref["_render_log_duration_text"](ms)
+        seconds = rng.uniform(-5, 4000)
+        assert builder.format_srt_time(seconds) == \
+            ref["_format_srt_time"](seconds)
+
+    for _ in range(200):
+        segments = [
+            {"start": rng.uniform(0, 50), "end": rng.uniform(0, 60),
+             "label": _rand_text(rng, 30),
+             "t2i_prompt": _rand_text(rng, 20)}
+            for _ in range(rng.randrange(5))]
+        assert builder.segments_to_srt(segments) == \
+            ref["_segments_to_srt"](segments)
+        srt_text = builder.segments_to_srt(segments)
+        assert builder.parse_srt_segments(srt_text) == \
+            ref["_parse_srt_segments"](srt_text)
+
+    for _ in range(200):
+        overlays = [
+            rng.choice(["junk", {
+                "overlay_slot_number": rng.choice([0, 3, 10001, 10005,
+                                                   10005, 10007]),
+                "slot_number": rng.choice([0, 10002, 10002]),
+            }]) for _ in range(rng.randrange(6))]
+        import copy
+
+        mine = builder.assign_overlay_slots(copy.deepcopy(overlays))
+        theirs = ref["_assign_overlay_scene_numbers"](
+            copy.deepcopy(overlays))
+        assert mine == theirs
+
+    for _ in range(100):
+        peaks = [rng.random() for _ in range(rng.randrange(0, 120))]
+        duration = rng.choice([0, rng.uniform(1, 300)])
+        mine = builder.beats_from_peaks(peaks, duration)
+        theirs = ref["_estimate_beats_from_peaks"](peaks, duration)
+        assert mine == pytest.approx(theirs, abs=1e-9)
+        assert builder.tempo_from_beats(mine) == \
+            ref["_tempo_from_beat_times"](theirs)
+
+
+def test_builder_capcut_extract_parity(tmp_path):
+    ref = load_reference(
+        "VRGDG_MusicVideoBuilderNodes.py",
+        ["_extract_capcut_project_beats", "_load_json_file"])
+    rng = _rng(2)
+    for index in range(60):
+        marker_count = rng.randrange(0, 6)
+        draft = {
+            "name": _rand_text(rng, 10),
+            "duration": rng.randrange(0, 10_000_000),
+            "fps": rng.choice([0, 24, 30.0]),
+            "materials": {
+                "audios": [{"id": "a1", "name": "s.mp3",
+                            "path": "/x.mp3"}],
+                "time_marks": [{
+                    "id": "m1",
+                    "mark_items": [
+                        {"time_range": {"start": rng.randrange(
+                            0, 9_000_000)}}
+                        for _ in range(marker_count)],
+                }],
+                "beats": [{"id": "b1",
+                           "ai_beats": {"beats_path": ""}}],
+            },
+            "tracks": [{"type": "audio", "segments": [{
+                "material_id": "a1",
+                "extra_material_refs": rng.choice(
+                    [["m1", "b1"], [], ["m1"]]),
+            }]}],
+        }
+        mine = builder.extract_capcut_beats(dict(draft), "/tmp/d.json")
+        theirs = ref["_extract_capcut_project_beats"](dict(draft),
+                                                      "/tmp/d.json")
+        assert mine == theirs, f"case {index}"
+
+
+# ---------------------------------------------------------------- prompt creator
+
+
+def test_prompt_creator_parity():
+    ref = load_reference(
+        "VRGDG_MusicVideoPromptCreatorNodes.py",
+        ["_canonical_segment_mapping", "_canonical_prompt_mapping",
+         "_is_scene_label_only_prompt_mapping",
+         "_prepend_subject_to_prompts", "_strip_leading_subject",
+         "_normalize_inline_text", "_fixed_duration_srt_from_segments",
+         "_srt_total_duration_hint", "_format_srt_timestamp",
+         "_parse_srt_timestamp", "_parse_whisper_segments",
+         "_split_real_lyric_lines", "_lyric_window_for_segment_batch",
+         "_payload_bool", "_segment_subset_with_fallback"])
+    rng = _rng(3)
+
+    def rand_mapping():
+        out = {}
+        for _ in range(rng.randrange(6)):
+            key = rng.choice(["segment", "Segment", "lyricSegment",
+                              "segments", "Prompt", "prompt", "x"]) \
+                + rng.choice(["", " "]) + str(rng.randrange(1, 30))
+            out[key] = _rand_text(rng, 25)
+        return out
+
+    for _ in range(300):
+        mapping = rand_mapping()
+        assert pc.canonical_segments(mapping) == \
+            ref["_canonical_segment_mapping"](mapping)
+        assert pc.canonical_prompts(mapping) == \
+            ref["_canonical_prompt_mapping"](mapping)
+        assert pc.is_scene_label_only(mapping) == \
+            ref["_is_scene_label_only_prompt_mapping"](mapping)
+        value = _rand_scalar(rng)
+        default = rng.choice([True, False])
+        assert pc.payload_bool(value, default) == \
+            ref["_payload_bool"](value, default)
+
+    # scene-label-only detection on the positive shape
+    labels = {"Prompt1": "Scene 1", "Prompt2": " scene 2"}
+    assert pc.is_scene_label_only(labels) == \
+        ref["_is_scene_label_only_prompt_mapping"](labels)
+
+    for _ in range(200):
+        prompts = {f"Prompt{i}": _rand_text(rng, 40)
+                   for i in range(1, rng.randrange(2, 6))}
+        subject = rng.choice(["", "Ann", "Ann, tall",
+                              _rand_text(rng, 15)])
+        previous = rng.choice([None, ["Old Ann"], "Old"])
+        assert pc.prepend_subject(dict(prompts), subject,
+                                  previous_subjects=previous) == \
+            ref["_prepend_subject_to_prompts"](
+                dict(prompts), subject, previous_subjects=previous)
+
+    for _ in range(200):
+        segments = {f"segment{i}": rng.choice(["", _rand_text(rng, 20)])
+                    for i in range(1, rng.randrange(1, 8))}
+        duration = rng.choice([0, 0.5, 4, 7.3])
+        hint = rng.choice([None, 0, rng.uniform(1, 60)])
+        assert pc.fixed_duration_srt(segments, duration, hint) == \
+            ref["_fixed_duration_srt_from_segments"](
+                segments, duration, total_duration_hint=hint)
+
+    for _ in range(150):
+        text = "\n".join(
+            rng.choice([
+                f"segment{rng.randrange(1, 9)}: {_rand_text(rng, 20)}",
+                f"{rng.randrange(1, 9)} - {_rand_text(rng, 20)}",
+                _rand_text(rng, 20), "",
+            ]) for _ in range(rng.randrange(6)))
+        try:
+            theirs = ref["_parse_whisper_segments"](text)
+        except ValueError:
+            with pytest.raises(ValueError):
+                pc.parse_whisper_segments(text)
+        else:
+            assert pc.parse_whisper_segments(text) == theirs
+        assert pc.split_lyric_lines(text) == \
+            ref["_split_real_lyric_lines"](text)
+
+    for _ in range(100):
+        lines = [f"line {i}" for i in range(rng.randrange(0, 30))]
+        total = rng.randrange(1, 20)
+        start = rng.randrange(1, total + 1)
+        end = rng.randrange(start, total + 1)
+        assert pc.lyric_window(lines, start, end, total) == \
+            ref["_lyric_window_for_segment_batch"](lines, start, end,
+                                                   total)
+
+    for _ in range(100):
+        keys = [f"segment{i}" for i in range(1, rng.randrange(2, 5))]
+        value = rng.choice([None, "junk", rand_mapping()])
+        targets = {key: rng.choice(["", "Thank you.", "real words",
+                                    "oh, oh."]) for key in keys}
+        assert pc.segment_subset_with_fallback(value, keys, targets) \
+            == ref["_segment_subset_with_fallback"](value, keys,
+                                                    targets)
+
+
+# ---------------------------------------------------------------- storyboard
+
+
+_SB_CLOSURE = [
+    "_clean_scene_text", "_scene_number", "_normalize_tags",
+    "_normalize_performance_mode", "_normalize_reference_image",
+    "_normalize_reference_item", "_normalize_reference_items",
+    "_normalize_speaker_assignments", "_normalize_reference_catalog",
+    "_normalize_story_layer", "_speed_value",
+    "_normalize_script_import", "_normalize_short_film_planning_mode",
+    "_normalize_storyboard_scene",
+    "_enforce_storyboard_video_facial_requirements",
+    "_storyboard_scene_has_visible_character",
+    "_storyboard_prompt_mentions_visible_face",
+    "_storyboard_scene_is_visible_singing",
+]
+
+
+@pytest.fixture(scope="module")
+def sb_ref():
+    return load_reference("VRGDG_StoryboardBuilderNodes.py",
+                          _SB_CLOSURE)
+
+
+def test_storyboard_primitive_parity(sb_ref):
+    rng = _rng(4)
+    for _ in range(400):
+        value = _rand_scalar(rng)
+        assert sb.normalize_performance_mode(value) == \
+            sb_ref["_normalize_performance_mode"](value)
+        assert sb.normalize_planning_mode(value) == \
+            sb_ref["_normalize_short_film_planning_mode"](value)
+        assert sb.speed_value(value) == sb_ref["_speed_value"](value)
+        assert sb.normalize_tags(value) == \
+            sb_ref["_normalize_tags"](value)
+        limit = rng.choice([10, 120, 4000])
+        assert sb.clean_text(value, limit) == \
+            sb_ref["_clean_scene_text"](value, limit)
+
+
+def test_storyboard_structure_parity(sb_ref):
+    rng = _rng(5)
+    ref_keys = ("id", "name", "description", "trigger_phrase",
+                "trigger", "trigger_position", "triggerPosition",
+                "minimax_voice", "image", "path", "data",
+                "prompt", "label")
+    for _ in range(200):
+        item = _rand_payload(rng, ref_keys)
+        assert sb.normalize_reference_item(item) == \
+            sb_ref["_normalize_reference_item"](item)
+        catalog = {"subjects": [_rand_payload(rng, ref_keys)
+                                for _ in range(rng.randrange(3))],
+                   "locations": rng.choice([
+                       "junk", [_rand_payload(rng, ref_keys)]]),
+                   "trigger_position": _rand_scalar(rng)}
+        assert sb.normalize_reference_catalog(catalog) == \
+            sb_ref["_normalize_reference_catalog"](catalog)
+        layer = _rand_payload(rng, ("enabled", "overall_story_idea",
+                                    "storyIdea", "user_story_arc",
+                                    "song_story_brief",
+                                    "lyric_story_strength",
+                                    "lyricStoryStrength"))
+        assert sb.normalize_story_layer(layer) == \
+            sb_ref["_normalize_story_layer"](layer)
+
+
+def test_storyboard_scene_parity(sb_ref):
+    rng = _rng(6)
+    scene_keys = (
+        "id", "scene_number", "number", "label", "lyrics",
+        "lyric_text", "lyric_section", "story_beat",
+        "performance_mode", "performanceMode", "image_prompt",
+        "t2i_prompt", "prompt", "video_prompt", "i2v_prompt",
+        "image_path", "image", "image_data", "image_name",
+        "motion_summary", "prompt_summary", "subjects", "singers",
+        "setting", "location", "shot_type", "camera_motion",
+        "character_motion", "performance_style",
+        "facial_performance", "facial_performance_custom",
+        "include_microphone", "trigger_phrase", "trigger_position",
+        "video_prompt_type", "video_type", "mode",
+        "project_video_engine", "projectVideoEngine",
+        "minimax_h3_mode", "minimax_h3_audio_mode",
+        "video_style", "videoStyle", "video_style_custom",
+        "timeline_start", "timeline_end", "start", "end",
+        "exact_duration", "duration", "video_prompt_origin",
+        "status", "notes", "audio_direction", "continuity",
+        "no_character_present", "vocal_status", "subject_refs",
+        "speaker_assignments", "location_ref",
+        "temporal_world_effect_override",
+    )
+    for index in range(250):
+        scene = _rand_payload(rng, scene_keys)
+        fallback = rng.randrange(1, 9)
+        mine = sb.normalize_scene(dict(scene), fallback)
+        theirs = sb_ref["_normalize_storyboard_scene"](dict(scene),
+                                                       fallback)
+        assert mine == theirs, f"case {index}: {scene}"
+
+
+def test_storyboard_script_import_parity(sb_ref):
+    rng = _rng(7)
+    cue_keys = ("speaker_alias", "speaker", "speaker_name", "text",
+                "dialogue", "line", "index", "line_number",
+                "scene_index", "scene_label", "speaker_id",
+                "reference_subject_id", "word_count")
+    for _ in range(150):
+        payload = {
+            "enabled": _rand_scalar(rng),
+            "authoritative": _rand_scalar(rng),
+            "format": _rand_scalar(rng),
+            "raw_text": _rand_text(rng, 50),
+            "maximum_scene_seconds": _rand_scalar(rng),
+            "cues": [_rand_payload(rng, cue_keys)
+                     for _ in range(rng.randrange(4))],
+            "speaker_matches": [_rand_payload(rng, cue_keys)
+                                for _ in range(rng.randrange(3))],
+            "unmatched_speakers": [_rand_text(rng, 20)
+                                   for _ in range(rng.randrange(3))],
+            "scene_plan": {"scenes": [
+                {"speaker_assignments": [_rand_payload(rng, cue_keys)
+                                         for _ in
+                                         range(rng.randrange(3))],
+                 "duration_seconds": _rand_scalar(rng),
+                 "label": _rand_text(rng, 20)}
+                for _ in range(rng.randrange(3))]},
+        }
+        # junk int fields crash both implementations identically
+        try:
+            theirs = sb_ref["_normalize_script_import"](dict(payload))
+        except (TypeError, ValueError) as error:
+            with pytest.raises(type(error)):
+                sb.normalize_script_import(dict(payload))
+        else:
+            assert sb.normalize_script_import(dict(payload)) == theirs
+
+
+def test_facial_enforcement_parity(sb_ref):
+    rng = _rng(8)
+    fragments = [
+        "She sings with quiet intensity.", "Her face is calm.",
+        "The camera drifts over fog.", "He speaks softly, eyes down.",
+        "blinking slowly", "eyes dart around",
+        "with a quiet, internal intensity", "A singer raps loudly.",
+        "quiet performance", "Wide shot of the pier.",
+    ]
+    for _ in range(300):
+        prompt = " ".join(rng.choice(fragments)
+                          for _ in range(rng.randrange(1, 5)))
+        scene = {
+            "subjects": rng.choice([[], ["Ann"]]),
+            "performance_mode": rng.choice(["singing", "speaking",
+                                            "no_lip_sync"]),
+            "lyrics": rng.choice(["", "la la"]),
+            "no_character_present": rng.choice([False, False, True]),
+            "vocal_status": rng.choice([{}, {"instrumental": True},
+                                        {"should_lip_sync": False},
+                                        {"no_character_present": True},
+                                        {"lyric_text": "hey"}]),
+        }
+        assert sb.enforce_video_facial_requirements(prompt, scene) == \
+            sb_ref["_enforce_storyboard_video_facial_requirements"](
+                prompt, scene)
+
+
+# ---------------------------------------------------------------- editor + misc
+
+
+def test_video_editor_helper_parity():
+    ref = load_reference(
+        "VRGDG_VideoEditorNodes.py",
+        ["_parse_extensions", "_natural_key", "_guess_clip_number",
+         "_format_seconds", "_round_up_8n1", "_VIDEO_EXTENSIONS"],
+        extra_globals={"_VIDEO_EXTENSIONS": None})
+    rng = _rng(9)
+    for _ in range(300):
+        raw = rng.choice(["", "mp4, .mov", "MP4;webm  avi",
+                          _rand_text(rng, 15)])
+        mine = ved.parse_extensions(raw)
+        theirs = ref["_parse_extensions"](raw)
+        # identical except each falls back to its own default tuple
+        if theirs == ref["_VIDEO_EXTENSIONS"]:
+            assert mine == ved.VIDEO_EXTENSIONS
+        else:
+            assert mine == theirs
+        name = rng.choice(["video_0007-audio.mp4", "take3.mp4",
+                           "clip.mp4", _rand_text(rng, 20)])
+        fallback = rng.randrange(1, 50)
+        assert ved.guess_clip_number(name, fallback) == \
+            ref["_guess_clip_number"](name, fallback)
+        assert ved.natural_key(name) == ref["_natural_key"](name)
+        seconds = rng.uniform(-3, 4000)
+        assert ved.format_seconds(seconds) == \
+            ref["_format_seconds"](seconds)
+
+    from vrgdg_tpu.runtime.audio_toolkit import round_up_8n1
+
+    for n in list(range(-2, 40)) + [97, 128, 1000]:
+        assert round_up_8n1(n) == ref["_round_up_8n1"](n)
+
+
+def test_prompt_sanitizer_parity():
+    ref = load_reference(
+        "VRGDG_GemmaPromptSanitizer.py",
+        ["extract_prompt_text_from_gemma_output", "_strip_json_fence",
+         "_json_candidates", "_scene_number", "_walk_prompt_values",
+         "_items_for_scene", "_PROMPT_KEYS"])
+    rng = _rng(10)
+    bodies = [
+        '{"scenes": [{"scene_number": 1, "prompt": "a"},'
+        ' {"scene_number": 2, "image_prompt": "b"}]}',
+        '[{"t2i_prompt": "wide"}]', '{"prompt": "solo"}',
+        "just plain text", '{"nested": {"flux_prompt": "deep"}}',
+        '{"results": [{"number": "3", "enhance_prompt": "e3"}]}',
+    ]
+    wrappers = ["{body}", "```json\n{body}\n```",
+                "model\nThought: hmm.\n{body}",
+                "Sure thing! {body} hope it helps"]
+    for _ in range(300):
+        text = rng.choice(wrappers).format(body=rng.choice(bodies))
+        scene = rng.choice([None, "", 1, 2, 3, "scene 2", "x"])
+        assert text_tools.extract_prompt_text(text, scene) == \
+            ref["extract_prompt_text_from_gemma_output"](text, scene)

@@ -405,8 +405,9 @@ def segments_to_srt(segments) -> str:
         start = float(seg.get("start", 0) or 0)
         end = max(start + 0.1,
                   float(seg.get("end", start + 4) or start + 4))
-        text = _clean(seg.get("label") or seg.get("t2i_prompt")
-                      or f"Scene {index}")
+        # content strip only — labels may legitimately end in quotes
+        text = str(seg.get("label") or seg.get("t2i_prompt")
+                   or f"Scene {index}").strip()
         lines += [str(index),
                   f"{format_srt_time(start)} --> {format_srt_time(end)}",
                   text, ""]
@@ -2277,7 +2278,8 @@ def save_scene_srt(payload: dict) -> dict:
     scene = int(payload.get("scene_number") or 1)
     duration = max(0.1, float(payload.get("duration") or 4))
     start = max(0.0, float(payload.get("start_time") or 0))
-    label = _clean(payload.get("label")) or f"Scene {scene}"
+    label = str(payload.get("label")
+                or f"Scene {scene}").strip() or f"Scene {scene}"
     os.makedirs(layout.scene_srt_folder, exist_ok=True)
     path = os.path.join(layout.scene_srt_folder,
                         f"scene_{scene:04d}.srt")
