@@ -390,6 +390,15 @@ def test_panel_routes_exist_and_cover_surfaces():
             "/vrgdg/music_builder/save_project_audio",
             "/vrgdg/music_builder/import_project",
             "/vrgdg/music_builder/delete_project",
+            "/vrgdg/music_prompt_creator/list_drafts",
+            "/vrgdg/music_prompt_creator/load_draft",
+            "/vrgdg/music_prompt_creator/save_outputs",
+            "/vrgdg/video_editor/list_clips",
+            "/vrgdg/video_editor/save_session",
+            "/vrgdg/video_editor/remake/next",
+            "/vrgdg/storyboard/load",
+            "/vrgdg/storyboard/export_prompts",
+            "/vrgdg/start_storyboard/load",
     ):
         assert surface_route in panel_routes, \
             f"panel does not drive {surface_route}"
