@@ -470,3 +470,107 @@ def test_prompt_sanitizer_parity():
         scene = rng.choice([None, "", 1, 2, 3, "scene 2", "x"])
         assert text_tools.extract_prompt_text(text, scene) == \
             ref["extract_prompt_text_from_gemma_output"](text, scene)
+
+
+# ---------------------------------------------------------------- rehydrate
+
+
+_REHYDRATE_CLOSURE = [
+    "_rehydrate_builder_session", "_project_rebased_path",
+    "_is_inside_folder", "_resolve_project_asset_path",
+    "_project_path_candidates", "_scene_image_path", "_images_folder",
+    "_scene_audio_path", "_scene_audio_folder", "_context_folder",
+    "_scene_preview_folder", "_scene_preview_paths",
+    "_project_scene_numbers", "_scene_numbers_from_folder",
+    "_overlay_scene_number", "_assign_overlay_scene_numbers",
+    "_is_internal_approved_image_path", "_prompts_folder",
+]
+
+
+def test_builder_rehydrate_parity(tmp_path):
+    """The full session-rehydration pass — the hairiest host logic —
+    against the reference's own extracted implementation, over synthetic
+    on-disk projects with media scattered across canonical slots, the
+    old project root, and dead paths."""
+    ref = load_reference("VRGDG_MusicVideoBuilderNodes.py",
+                         _REHYDRATE_CLOSURE)
+    rng = _rng(11)
+
+    for case in range(25):
+        new_root = str(tmp_path / f"case{case}" / "new")
+        old_root = str(tmp_path / f"case{case}" / "old")
+        layout = builder.ProjectLayout(new_root)
+        layout.ensure_base_folders()
+
+        def touch(path):
+            import os
+
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as handle:
+                handle.write("x")
+            return path
+
+        # canonical assets for a random subset of scenes
+        for scene in range(1, 4):
+            if rng.random() < 0.5:
+                touch(layout.scene_image_path(scene, ".png"))
+            if rng.random() < 0.3:
+                touch(layout.scene_video_path(scene))
+            if rng.random() < 0.3:
+                touch(layout.new_preview_path(scene))
+        # a file that lives only at the old root
+        old_only = touch(str(tmp_path / f"case{case}" / "old" /
+                             "notes" / "ref.png"))
+        # a file present at BOTH roots (rebase should win)
+        both_rel = "shared/take.png"
+        touch(f"{old_root}/{both_rel}")
+        touch(f"{new_root}/{both_rel}")
+
+        def rand_path(scene):
+            import os
+
+            return rng.choice([
+                "", "relative.png", old_only,
+                f"{old_root}/{both_rel}",
+                f"{old_root}/missing_{scene}.png",
+                os.path.basename(layout.scene_image_path(scene)),
+                layout.scene_image_path(scene, ".png"),
+                str(tmp_path / "outside.png"),
+            ])
+
+        segments = []
+        for scene in range(1, rng.randrange(1, 4)):
+            segments.append({
+                "id": f"s{scene}",
+                "label": rng.choice(["", "new scene", "Kept name"]),
+                "start": scene * 4.0, "end": scene * 4.0 + 4,
+                "approved_image_path": rand_path(scene),
+                "ref_image_path": rand_path(scene),
+                "video_path": rand_path(scene),
+                "custom_audio_path": rand_path(scene),
+                "image_history": rng.choice([
+                    None, [], [rand_path(scene), rand_path(scene)]]),
+                "image_assignment_cleared": rng.random() < 0.2,
+            })
+        if rng.random() < 0.4:
+            segments = []  # triggers loose-media recovery
+        session = {
+            "project_folder": rng.choice([old_root, new_root, ""]),
+            "audio_path": rand_path(1),
+            "theme_style_path": rand_path(1),
+            "segments": segments,
+            "overlay_segments": rng.choice([
+                [], [{"overlay_slot_number": 10003,
+                      "approved_image_path": rand_path(1)}]]),
+        }
+
+        import copy
+        import json as json_mod
+
+        mine = builder.rehydrate_session(layout,
+                                         copy.deepcopy(session))
+        theirs = ref["_rehydrate_builder_session"](
+            new_root, copy.deepcopy(session))
+        assert json_mod.dumps(mine, sort_keys=True, default=str) == \
+            json_mod.dumps(theirs, sort_keys=True, default=str), \
+            f"case {case}"
