@@ -849,3 +849,53 @@ def test_capcut_duration_mismatch_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         builder.find_latest_capcut_beats(
             0, str(tmp_path / "missing.json"))
+
+
+def test_export_import_export_idempotent(tmp_path):
+    """A second export of an imported project packages the same content
+    (modulo timestamps/roots) — guards against path-rewrite drift that
+    would grow or mutate sessions on every round trip."""
+    root = str(tmp_path / "out")
+    external = make_image(tmp_path / "asset.png")
+    result = builder.save_session(
+        {"project_name": "stable_pack",
+         "session": {"segments": [
+             {"id": "a", "start": 0, "end": 4, "label": "One",
+              "lyric_text": "hello"}],
+             "mood_board_image": external}}, root)
+
+    def normalized_session(folder):
+        session = builder._read_json(
+            builder.ProjectLayout(folder).session_path)
+        session.pop("updated", None)
+        session.pop("project_folder", None)
+
+        def scrub(value):
+            if isinstance(value, dict):
+                return {k: scrub(v) for k, v in value.items()}
+            if isinstance(value, list):
+                return [scrub(v) for v in value]
+            if isinstance(value, str):
+                return os.path.basename(value)
+            return value
+
+        return scrub(session)
+
+    zip1, _ = builder.export_project(result["project_folder"])
+    try:
+        first = builder.import_project(zip1, "copy1", root)
+    finally:
+        os.remove(zip1)
+    zip2, _ = builder.export_project(first["project_folder"])
+    try:
+        second = builder.import_project(zip2, "copy2", root)
+    finally:
+        os.remove(zip2)
+    assert normalized_session(first["project_folder"]) == \
+        normalized_session(second["project_folder"])
+    # the localized asset is stable, not re-localized each round
+    layout = builder.ProjectLayout(second["project_folder"])
+    portable = []
+    if os.path.isdir(layout.portable_folder):
+        portable = os.listdir(layout.portable_folder)
+    assert len(portable) <= 1
