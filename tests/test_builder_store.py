@@ -899,3 +899,41 @@ def test_export_import_export_idempotent(tmp_path):
     if os.path.isdir(layout.portable_folder):
         portable = os.listdir(layout.portable_folder)
     assert len(portable) <= 1
+
+
+def test_concurrent_saves_serialize(tmp_path):
+    """Concurrent save_session / save_render_log on one project must
+    serialize: the reference's handlers run on a single event loop, so
+    its read-modify-write session updates never interleave — the
+    per-project lock keeps that contract under our thread-pool routes."""
+    import threading
+
+    root = str(tmp_path / "out")
+    result = builder.save_session(
+        {"project_name": "locky", "session": {"segments": []}}, root)
+    folder = result["project_folder"]
+    errors = []
+
+    def spam_logs(start):
+        try:
+            for index in range(start, start + 10):
+                builder.save_render_log(
+                    {"project_folder": folder,
+                     "log": {"id": f"r{index}", "status": "complete"}})
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=spam_logs, args=(base,))
+               for base in (0, 100, 200)]
+    for thread in threads:
+        thread.start()
+    for thread in threads:
+        thread.join()
+    assert not errors
+    session = builder._read_json(
+        builder.ProjectLayout(folder).session_path)
+    # all 30 logs survived the fold-in (capped list holds the last 20);
+    # without the lock, interleaved read-modify-writes drop entries
+    assert len(session["render_logs"]) == 20
+    ids = {entry["id"] for entry in session["render_logs"]}
+    assert len(ids) == 20

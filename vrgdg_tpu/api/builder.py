@@ -48,8 +48,10 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 import zipfile
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import cv2
@@ -101,6 +103,23 @@ MODEL_DEFAULT_KEYS = (
     "ernie_image_settings", "krea2_2pass_settings", "z_enhance_settings",
     "video_model_mode", "i2v_video_settings",
 )
+
+
+# The reference's handlers run serialized on ComfyUI's event loop; here
+# sync route bodies run in a thread pool, so read-modify-write session
+# updates (save, render-log fold-in, export's rewrite) take a
+# per-project lock to keep the same effective serialization.
+_PROJECT_LOCKS: dict[str, threading.Lock] = {}
+_PROJECT_LOCKS_GUARD = threading.Lock()
+
+
+@contextmanager
+def project_write_lock(folder):
+    key = os.path.normcase(os.path.abspath(str(folder or "")))
+    with _PROJECT_LOCKS_GUARD:
+        lock = _PROJECT_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        yield
 
 
 def _clean(value) -> str:
@@ -1154,18 +1173,19 @@ def save_session(payload: dict, output_root: str | None = None) -> dict:
     session = (payload.get("session")
                if isinstance(payload.get("session"), dict) else {})
     segments, _overlays = _session_lists(session)
-    restored = 0
-    if not bool(session.get("allow_bulk_lyric_clear")) \
-            and os.path.isfile(layout.session_path):
-        restored, _total = _guard_bulk_lyric_clear(layout, segments)
-    # plain saves only snapshot the audio + context text files; the
-    # scene-media ingest belongs to save-as/export (:8380-8498 vs
-    # :8501-8553) — running it per save would duplicate every history
-    # image into a fresh preview file on each autosave
-    audio_path, session = snapshot_context_assets(layout, session,
-                                                  audio_path)
-    backup_session_file(layout)
-    result = _persist_session(layout, session, audio_path, segments)
+    with project_write_lock(layout.root):
+        restored = 0
+        if not bool(session.get("allow_bulk_lyric_clear")) \
+                and os.path.isfile(layout.session_path):
+            restored, _total = _guard_bulk_lyric_clear(layout, segments)
+        # plain saves only snapshot the audio + context text files; the
+        # scene-media ingest belongs to save-as/export (:8380-8498 vs
+        # :8501-8553) — running it per save would duplicate every
+        # history image into a fresh preview file on each autosave
+        audio_path, session = snapshot_context_assets(layout, session,
+                                                      audio_path)
+        backup_session_file(layout)
+        result = _persist_session(layout, session, audio_path, segments)
     result["model_defaults_path"] = save_model_defaults(session,
                                                         output_root)
     if restored:
@@ -1359,16 +1379,17 @@ def export_project(project_folder) -> tuple[str, str]:
             or not os.path.isfile(layout.session_path):
         raise FileNotFoundError(
             "The Builder project or its session file was not found.")
-    session = _read_json(layout.session_path)
-    if not isinstance(session, dict):
-        raise ValueError("The Builder project session is invalid.")
-    old_root = str(session.get("project_folder", "") or layout.root)
-    session = ingest_session_assets(layout, session)
-    session = _localize_external_assets(layout, session)
-    session = rebase_session_paths(layout, old_root, session)
-    session["project_folder"] = layout.root
-    session["updated"] = time.time()
-    _write_json(layout.session_path, session)
+    with project_write_lock(layout.root):
+        session = _read_json(layout.session_path)
+        if not isinstance(session, dict):
+            raise ValueError("The Builder project session is invalid.")
+        old_root = str(session.get("project_folder", "") or layout.root)
+        session = ingest_session_assets(layout, session)
+        session = _localize_external_assets(layout, session)
+        session = rebase_session_paths(layout, old_root, session)
+        session["project_folder"] = layout.root
+        session["updated"] = time.time()
+        _write_json(layout.session_path, session)
 
     project_name = safe_component(os.path.basename(layout.root))
     handle = tempfile.NamedTemporaryFile(prefix="vrgdg_builder_export_",
@@ -1655,18 +1676,21 @@ def save_render_log(payload: dict) -> dict:
         handle.write(render_log_text(log))
     os.replace(temp, text_path)
 
-    session = _read_json(layout.session_path)
-    if isinstance(session, dict):
-        logs = (session.get("render_logs")
-                if isinstance(session.get("render_logs"), list) else [])
-        logs = [item for item in logs
-                if isinstance(item, dict) and item.get("id") != log_id]
-        logs.append(log)
-        session["render_logs"] = logs[-20:]
-        session["active_render_log_id"] = (
-            log_id if log.get("status") == "running" else "")
-        session["updated"] = time.time()
-        _write_json(layout.session_path, session)
+    with project_write_lock(layout.root):
+        session = _read_json(layout.session_path)
+        if isinstance(session, dict):
+            logs = (session.get("render_logs")
+                    if isinstance(session.get("render_logs"), list)
+                    else [])
+            logs = [item for item in logs
+                    if isinstance(item, dict)
+                    and item.get("id") != log_id]
+            logs.append(log)
+            session["render_logs"] = logs[-20:]
+            session["active_render_log_id"] = (
+                log_id if log.get("status") == "running" else "")
+            session["updated"] = time.time()
+            _write_json(layout.session_path, session)
     return {"log": log, "report_json_path": json_path,
             "report_text_path": text_path}
 
