@@ -189,3 +189,39 @@ def test_remake_queue_explicit_index_and_no_selection(project, tmp_path):
     # clip 2: 2..5 s = 72 frames; +5 tail (pre applies: clip 2) = 77
     # with pre_frames default 0 -> 8N+1 = 81
     assert result["frames_for_ltx"] == 81
+
+
+def test_concurrent_remake_next_no_double_serve(project, tmp_path):
+    """Two pollers hitting the queue concurrently must not both pop the
+    same staged clip (the reference serializes on its event loop)."""
+    import threading
+
+    wav = make_wav(tmp_path / "song.wav", seconds=10.0)
+    session = {"project_folder": str(project), "clips": {
+        f"video_{n:04d}.mp4": {
+            "name": f"video_{n:04d}.mp4", "clip_number": n,
+            "path": str(project / f"video_{n:04d}.mp4"),
+            "selected_for_remake": True}
+        for n in (1, 2, 3)}}
+    ve.save_session(str(project), session)
+    session_path = ve.session_path_for(str(project))
+    srt = str(project / "cut.srt")
+    served, errors = [], []
+
+    def poll():
+        try:
+            while True:
+                item = ve.next_remake(session_path, srt, wav, fps=24)
+                if not item["is_valid"]:
+                    return
+                served.append(item["clip_number"])
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=poll) for _ in range(3)]
+    for thread in threads:
+        thread.start()
+    for thread in threads:
+        thread.join()
+    assert not errors
+    assert sorted(served) == [1, 2, 3]  # each clip served exactly once

@@ -41,7 +41,7 @@ from urllib.parse import quote
 import numpy as np
 
 from .builder import (_clean, _read_json, _write_json,
-                      save_data_url_image)
+                      project_write_lock, save_data_url_image)
 from .paths import DEFAULT_OUTPUT_ROOT, _inside
 
 VIDEO_EXTENSIONS = (".mp4", ".mov", ".mkv", ".webm", ".avi", ".m4v")
@@ -224,14 +224,15 @@ def save_session(folder_path, session, roots=()) -> dict:
     if not isinstance(session, dict):
         raise ValueError("Session must be a JSON object.")
     payload = dict(session)
-    staged = stage_selected_remakes(folder, payload)
-    payload.update(project_folder=folder, updated=time.time(),
-                   staged_remakes=staged)
-    try:
-        os.remove(os.path.join(folder, QUEUE_STATE_RELPATH))
-    except OSError:
-        pass
-    path = _write_json(session_path_for(folder), payload)
+    with project_write_lock(folder):
+        staged = stage_selected_remakes(folder, payload)
+        payload.update(project_folder=folder, updated=time.time(),
+                       staged_remakes=staged)
+        try:
+            os.remove(os.path.join(folder, QUEUE_STATE_RELPATH))
+        except OSError:
+            pass
+        path = _write_json(session_path_for(folder), payload)
     return {"session_path": path, "session": payload,
             "staged_remakes": staged}
 
@@ -417,26 +418,32 @@ def next_remake(session_path, srt_file, audio, queue_index: int = 0,
     selected = selected_clips(clips_obj)
     output_folder = _clean(session.get("project_folder")) \
         or os.path.dirname(os.path.dirname(path))
-    prepared = (prepare_remake_files(selected, output_folder)
-                if selected else [])
-    pending = [entry for entry in prepared if entry["pending"]]
+    with project_write_lock(output_folder):
+        prepared = (prepare_remake_files(selected, output_folder)
+                    if selected else [])
+        pending = [entry for entry in prepared if entry["pending"]]
 
-    entry = None
-    queue_position = 0
-    if int(queue_index) > 0:
-        position = int(queue_index) - 1
-        queue_position = int(queue_index)
-        if 0 <= position < len(prepared):
-            entry = prepared[position]
-    elif pending:
-        entry = pending[0]
-        number = int(entry["item"].get("clip_number", 0) or 0)
-        queue_position = next(
-            (index for index, other in enumerate(prepared, start=1)
-             if int(other["item"].get("clip_number", 0) or 0) == number),
-            1)
-    else:
-        queue_position = len(prepared) + 1
+        entry = None
+        queue_position = 0
+        if int(queue_index) > 0:
+            position = int(queue_index) - 1
+            queue_position = int(queue_index)
+            if 0 <= position < len(prepared):
+                entry = prepared[position]
+        elif pending:
+            entry = pending[0]
+            number = int(entry["item"].get("clip_number", 0) or 0)
+            queue_position = next(
+                (index for index, other in enumerate(prepared, start=1)
+                 if int(other["item"].get("clip_number", 0) or 0)
+                 == number), 1)
+        else:
+            queue_position = len(prepared) + 1
+
+        if entry is not None:
+            item = entry["item"]
+            clip_number = int(item.get("clip_number", 0) or 0)
+            backup_path = move_remake_to_backup(entry, output_folder)
 
     if entry is None:
         instructions = (
@@ -450,10 +457,6 @@ def next_remake(session_path, srt_file, audio, queue_index: int = 0,
                 "total_selected": len(selected),
                 "remaining_remakes": len(pending),
                 "output_folder": output_folder}
-
-    item = entry["item"]
-    clip_number = int(item.get("clip_number", 0) or 0)
-    backup_path = move_remake_to_backup(entry, output_folder)
 
     if isinstance(audio, (str, os.PathLike)):
         audio = at.load_audio(str(audio))
