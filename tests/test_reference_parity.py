@@ -574,3 +574,201 @@ def test_builder_rehydrate_parity(tmp_path):
         assert json_mod.dumps(mine, sort_keys=True, default=str) == \
             json_mod.dumps(theirs, sort_keys=True, default=str), \
             f"case {case}"
+
+
+# ---------------------------------------------------------------- start board
+
+
+def test_start_storyboard_parity(tmp_path):
+    """Scene normalization, location-mapping attach, and the
+    current-builder-start-frame resolution against the reference's
+    extracted implementations."""
+    from vrgdg_tpu.api import start_storyboard as ssb
+
+    ref = load_reference(
+        "VRGDG_StartImageStoryboard.py",
+        ["_normalize_scenes", "_segment_list",
+         "_apply_project_location_mappings",
+         "_current_project_start_frame", "_project_image_path",
+         "_reference_builder_from_session", "_reference_image",
+         "_scene_map_location_id", "_builder_session_path",
+         "_read_json"])
+    rng = _rng(12)
+
+    # scene normalization over mixed segment lists
+    for _ in range(150):
+        items = [rng.choice([
+            _rand_text(rng, 20),
+            {"id": f"s{rng.randrange(9)}",
+             "lyric_text": rng.choice(["", _rand_text(rng, 20)]),
+             "lyrics": rng.choice(["", "la"]),
+             "type": rng.choice(["", "overlay", "marker", "scene"])},
+            42, None,
+        ]) for _ in range(rng.randrange(6))]
+        mine = ssb.normalize_scenes(list(items))
+        theirs = ref["_normalize_scenes"](list(items))
+        assert mine == theirs
+
+    # segment_list on reference-shaped containers (our {segmentN: ...}
+    # mapping acceptance is a documented superset, so feed shapes the
+    # reference understands)
+    for _ in range(100):
+        data = rng.choice([
+            [1, 2], {"segments": [1]}, {"scenes": ["a"]},
+            {"session": {"lyric_segments": [{"x": 1}]}},
+            {"nothing": 1}, "text", None,
+        ])
+        assert ssb.segment_list(data) == ref["_segment_list"](data) \
+            or (isinstance(data, dict)
+                and not ref["_segment_list"](data))
+
+    # location mapping attach over synthetic builder sessions
+    import copy
+
+    from vrgdg_tpu.api import builder
+
+    for case in range(40):
+        folder = str(tmp_path / f"loc{case}")
+        layout = builder.ProjectLayout(folder)
+        layout.ensure_base_folders()
+        session = {
+            "segments": [{"id": f"sc_{index}"} for index
+                         in range(rng.randrange(4))],
+            "reference_builder": {
+                "locations": [
+                    {"id": f"loc{index}", "name": f"Place {index}",
+                     "description": _rand_text(rng, 20),
+                     "image": {"path": rng.choice(
+                         ["", "rel.png", f"{folder}/abs.png"])}}
+                    for index in range(rng.randrange(3))],
+                "scene_map": {rng.choice(
+                    ["sc_0", "sc_1", "1", "scene2", "x"]):
+                    rng.choice(["loc0", "loc1", "nope",
+                                {"location_id": "loc0"}])},
+                "locations_cleared": rng.random() < 0.2,
+            },
+        }
+        builder._write_json(layout.session_path, session)
+        board = {"scenes": [
+            {"id": f"sc_{index}",
+             "location_ref": rng.choice([
+                 None, {"source": "video_builder", "id": "old"},
+                 {"source": "manual", "id": "keep"}])}
+            for index in range(rng.randrange(4))]}
+        for scene in board["scenes"]:
+            if scene["location_ref"] is None:
+                scene.pop("location_ref")
+        mine = ssb.apply_location_mappings(folder,
+                                           copy.deepcopy(board))
+        theirs = ref["_apply_project_location_mappings"](
+            folder, copy.deepcopy(board))
+        assert mine == theirs, f"case {case}"
+
+    # current start-frame resolution with on-disk files
+    for case in range(60):
+        folder = str(tmp_path / f"frame{case}")
+        existing = os.path.join(folder, "have.png")
+        os.makedirs(folder, exist_ok=True)
+        open(existing, "w").write("x")
+        segment = {
+            "image_assignment_cleared": rng.random() < 0.2,
+            "image_history": rng.choice([
+                None, [], [existing], ["/missing.png", existing]]),
+            "image_history_index": rng.choice([None, 0, 5, -2, "x"]),
+            "approved_image_path": rng.choice(["", existing,
+                                               "/missing.png"]),
+            "custom_image_path": rng.choice(["", existing]),
+            "custom_image_data": rng.choice(
+                ["", "data:image/png;base64,AAAA", "junk"]),
+            "custom_image_name": "take.png",
+        }
+        try:
+            theirs = ref["_current_project_start_frame"](folder,
+                                                         dict(segment))
+        except (TypeError, ValueError) as error:
+            with pytest.raises(type(error)):
+                ssb.current_builder_start_frame(folder, dict(segment))
+        else:
+            assert ssb.current_builder_start_frame(
+                folder, dict(segment)) == theirs, f"case {case}"
+
+
+import os  # noqa: E402  (used by the start-board cases above)
+
+
+def test_video_editor_staging_parity(tmp_path):
+    """Remake staging and pending/backup state math against the
+    reference's extracted implementations, over real files."""
+    from vrgdg_tpu.api import video_editor as ved2
+
+    class _FakeQueueCls:
+        _autoqueue_memory = {}
+
+    ref = load_reference(
+        "VRGDG_VideoEditorNodes.py",
+        ["_stage_selected_remakes", "_natural_key",
+         "_clear_remake_queue_state"],
+        extra_globals={"VRGDG_RemakeClipQueue": _FakeQueueCls,
+                       "globals": globals})
+    rng = _rng(13)
+    import copy
+
+    for case in range(40):
+        folder = str(tmp_path / f"stage{case}" / "a")
+        folder_b = str(tmp_path / f"stage{case}" / "b")
+        for root in (folder, folder_b):
+            os.makedirs(root, exist_ok=True)
+            for number in (1, 2, 3):
+                with open(os.path.join(root,
+                                       f"video_{number:04d}.mp4"),
+                          "w") as handle:
+                    handle.write("x")
+        if rng.random() < 0.4:  # pre-staged file
+            os.makedirs(os.path.join(folder, "remake"), exist_ok=True)
+            os.makedirs(os.path.join(folder_b, "remake"),
+                        exist_ok=True)
+            for root in (folder, folder_b):
+                with open(os.path.join(root, "remake",
+                                       "video_0002.mp4"),
+                          "w") as handle:
+                    handle.write("y")
+        clips = {}
+        for number in (1, 2, 3):
+            clips[f"video_{number:04d}.mp4"] = {
+                "name": f"video_{number:04d}.mp4",
+                "clip_number": number,
+                "path": rng.choice(
+                    ["", f"video_{number:04d}.mp4",
+                     os.path.join(folder, f"video_{number:04d}.mp4")]),
+                "selected_for_remake": rng.random() < 0.6,
+            }
+        session = {"clips": clips}
+
+        def relocate(value, root):
+            if isinstance(value, str):
+                return value.replace(folder, root)
+            return value
+
+        session_b = {"clips": {
+            name: {key: relocate(val, folder_b)
+                   for key, val in item.items()}
+            for name, item in copy.deepcopy(clips).items()}}
+        mine = ved2.stage_selected_remakes(folder,
+                                           copy.deepcopy(session))
+        theirs = ref["_stage_selected_remakes"](folder_b, session_b)
+
+        def normalize(rows, root):
+            return [{key: (str(val).replace(root, "<p>")
+                           if isinstance(val, str) else val)
+                     for key, val in row.items()} for row in rows]
+
+        assert normalize(mine, folder) == normalize(theirs, folder_b), \
+            f"case {case}"
+        # resulting on-disk layout matches
+        mine_files = sorted(os.path.relpath(os.path.join(r, f), folder)
+                            for r, _d, fs in os.walk(folder)
+                            for f in fs)
+        theirs_files = sorted(
+            os.path.relpath(os.path.join(r, f), folder_b)
+            for r, _d, fs in os.walk(folder_b) for f in fs)
+        assert mine_files == theirs_files, f"case {case}"

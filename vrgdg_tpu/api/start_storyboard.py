@@ -41,6 +41,12 @@ SCENE_KEEP_KEYS = ("note", "preset", "end_transition_preset",
                    "end_image_path", "reference_path", "location_area")
 
 
+def _s(value) -> str:
+    """Plain content strip — `_clean` (which also strips quotes) is for
+    filesystem paths only; names/descriptions may end in quotes."""
+    return str(value or "").strip()
+
+
 def project_folder(value) -> str:
     """An existing Video Builder project (``:17-23``)."""
     folder = os.path.abspath(_clean(value))
@@ -139,14 +145,12 @@ def _reference_image(item) -> dict:
     image = (source.get("image")
              if isinstance(source.get("image"), dict) else source)
     return {
-        "path": _clean(image.get("path") or source.get("image_path")
-                       or source.get("imagePath")
-                       or source.get("path")),
-        "data": _clean(image.get("data") or source.get("image_data")
-                       or source.get("imageData")
-                       or source.get("data")),
-        "name": _clean(image.get("name") or source.get("image_name")
-                       or source.get("imageName")),
+        "path": _s(image.get("path") or source.get("image_path")
+                   or source.get("imagePath") or source.get("path")),
+        "data": _s(image.get("data") or source.get("image_data")
+                   or source.get("imageData") or source.get("data")),
+        "name": _s(image.get("name") or source.get("image_name")
+                   or source.get("imageName")),
     }
 
 
@@ -154,14 +158,14 @@ def _mapped_location_id(scene_map, candidates) -> str:
     if not isinstance(scene_map, dict):
         return ""
     for candidate in candidates:
-        key = _clean(candidate)
+        key = _s(candidate)
         if not key or key not in scene_map:
             continue
         value = scene_map.get(key)
         if isinstance(value, dict):
             value = (value.get("location_id") or value.get("locationId")
                      or value.get("location") or value.get("id"))
-        value = _clean(value)
+        value = _s(value)
         if value:
             return value
     return ""
@@ -177,12 +181,12 @@ def apply_location_mappings(folder, board) -> dict:
     scene_map = refs.get("scene_map") or refs.get("sceneMap") or {}
     cleared = bool(refs.get("locations_cleared")
                    or refs.get("locationsCleared"))
-    by_id = {_clean(item.get("id")): item for item in locations
-             if isinstance(item, dict) and _clean(item.get("id"))}
-    by_name = {_clean(item.get("name") or item.get("label")).lower():
+    by_id = {_s(item.get("id")): item for item in locations
+             if isinstance(item, dict) and _s(item.get("id"))}
+    by_name = {_s(item.get("name") or item.get("label")).lower():
                item for item in locations
                if isinstance(item, dict)
-               and _clean(item.get("name") or item.get("label"))}
+               and _s(item.get("name") or item.get("label"))}
     session_scenes = segment_list(session)
     imported = 0
 
@@ -190,7 +194,7 @@ def apply_location_mappings(folder, board) -> dict:
         if not isinstance(scene, dict):
             continue
         prior = scene.get("location_ref")
-        prior_source = (_clean(prior.get("source"))
+        prior_source = (_s(prior.get("source"))
                         if isinstance(prior, dict) else "")
         if cleared:
             if prior_source in ("video_builder", ""):
@@ -200,9 +204,9 @@ def apply_location_mappings(folder, board) -> dict:
                          if index < len(session_scenes)
                          and isinstance(session_scenes[index], dict)
                          else {})
-        scene_id = _clean(session_scene.get("id")
-                          or scene.get("project_scene_id")
-                          or scene.get("id"))
+        scene_id = _s(session_scene.get("id")
+                      or scene.get("project_scene_id")
+                      or scene.get("id"))
         if scene_id:
             scene["project_scene_id"] = scene_id
         number = index + 1
@@ -214,10 +218,10 @@ def apply_location_mappings(folder, board) -> dict:
             direct = (session_scene.get("location_ref")
                       or session_scene.get("locationRef"))
             if isinstance(direct, dict):
-                location_id = _clean(direct.get("id")
-                                     or direct.get("name"))
+                location_id = _s(direct.get("id")
+                                 or direct.get("name"))
             else:
-                location_id = _clean(
+                location_id = _s(
                     session_scene.get("mapped_location")
                     or session_scene.get("location_id"))
         location = by_id.get(location_id) \
@@ -229,22 +233,22 @@ def apply_location_mappings(folder, board) -> dict:
         image = _reference_image(location)
         image["path"] = _abs_image_path(folder, image.get("path"))
         scene["location_ref"] = {
-            "id": _clean(location.get("id") or location_id),
-            "name": _clean(location.get("name") or location.get("label")
-                           or "Mapped location"),
-            "description": _clean(location.get("description")
-                                  or location.get("prompt")),
+            "id": _s(location.get("id") or location_id),
+            "name": _s(location.get("name") or location.get("label")
+                       or "Mapped location"),
+            "description": _s(location.get("description")
+                              or location.get("prompt")),
             "image": image,
             "source": "video_builder",
         }
         imported += 1
 
     board["project_location_catalog"] = [
-        {"id": _clean(item.get("id")),
-         "name": _clean(item.get("name") or item.get("label")
-                        or "Mapped location"),
-         "description": _clean(item.get("description")
-                               or item.get("prompt")),
+        {"id": _s(item.get("id")),
+         "name": _s(item.get("name") or item.get("label")
+                    or "Mapped location"),
+         "description": _s(item.get("description")
+                           or item.get("prompt")),
          "image": _reference_image(item)}
         for item in locations if isinstance(item, dict)]
     board["imported_location_count"] = imported
@@ -280,8 +284,8 @@ def normalize_scenes(items) -> list[dict]:
         if isinstance(item, str):
             lyric, item = item.strip(), {}
         elif isinstance(item, dict):
-            lyric = _clean(item.get("lyric_text") or item.get("lyrics")
-                           or item.get("text") or item.get("line"))
+            lyric = _s(item.get("lyric_text") or item.get("lyrics")
+                       or item.get("text") or item.get("line"))
         else:
             continue
         if not lyric and str(item.get("type") or "").lower() \
@@ -453,11 +457,11 @@ def current_builder_start_frame(folder, segment) -> dict:
         path = _abs_image_path(folder, raw_path)
         if path and os.path.isfile(path):
             return {"path": path, "source": source}
-    data_url = _clean(segment.get("custom_image_data"))
+    data_url = _s(segment.get("custom_image_data"))
     if re.match(r"^data:image/[A-Za-z0-9.+-]+;base64,", data_url,
                 flags=re.I):
         return {"data": data_url,
-                "name": _clean(segment.get("custom_image_name"))
+                "name": _s(segment.get("custom_image_name"))
                 or "custom_image.png",
                 "source": "custom image data"}
     return {}
