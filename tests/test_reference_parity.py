@@ -542,7 +542,8 @@ def test_builder_rehydrate_parity(tmp_path):
         for scene in range(1, rng.randrange(1, 4)):
             segments.append({
                 "id": f"s{scene}",
-                "label": rng.choice(["", "new scene", "Kept name"]),
+                "label": rng.choice(["", "new scene", "Kept name",
+                                     'Say "hi"', '"']),
                 "start": scene * 4.0, "end": scene * 4.0 + 4,
                 "approved_image_path": rand_path(scene),
                 "ref_image_path": rand_path(scene),

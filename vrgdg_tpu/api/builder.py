@@ -921,7 +921,7 @@ def _rehydrate_scene(layout: ProjectLayout, old_root: str, scene: int,
     index the default overlay label uses (``:1914-1916``)."""
     default_label = (f"Insert {ordinal or 1}" if overlay
                      else f"Scene {scene}")
-    label = _clean(seg.get("label"))
+    label = str(seg.get("label", "") or "").strip()  # content strip
     if not label or label.lower() == "new scene":
         seg["label"] = default_label
     for key in SEGMENT_MEDIA_KEYS:

@@ -147,7 +147,7 @@ def list_clips(folder_path, extensions="", roots=()) -> dict:
                 continue
             raw = _clean(item.get("path"))
             basename = (os.path.basename(raw) if raw
-                        else _clean(item.get("name")))
+                        else str(item.get("name", "") or "").strip())
             for candidate in filter(None, (
                     raw, os.path.join(folder, "remake", basename)
                     if basename else "")):
@@ -200,7 +200,7 @@ def stage_selected_remakes(folder, session) -> list[dict]:
             continue
         raw = _clean(item.get("path"))
         basename = (os.path.basename(raw) if raw
-                    else _clean(item.get("name")))
+                    else str(item.get("name", "") or "").strip())
         if not basename:
             continue
         main_path = os.path.join(folder, basename)
@@ -361,7 +361,7 @@ def prepare_remake_files(selected, output_folder) -> list[dict]:
     for item in selected:
         raw = _clean(item.get("path"))
         basename = (os.path.basename(raw) if raw
-                    else _clean(item.get("name")))
+                    else str(item.get("name", "") or "").strip())
         basename = basename or \
             f"video_{int(item.get('clip_number', 0) or 0):04d}.mp4"
         remake_path = _find_in_folder(remake_dir, item, basename) \
