@@ -50,11 +50,14 @@ def load_reference(filename, names, extra_globals=None):
     import json
     import math
     import re
+    import shutil
+    import tempfile
     import time
     from datetime import datetime
 
     namespace = {"json": json, "re": re, "os": os, "math": math,
-                 "time": time, "datetime": datetime, "base64": base64}
+                 "time": time, "datetime": datetime, "base64": base64,
+                 "shutil": shutil, "tempfile": tempfile}
     namespace.update(extra_globals or {})
     module = ast.Module(body=picked, type_ignores=[])
     exec(compile(module, path, "exec"), namespace)  # noqa: S102
