@@ -185,3 +185,33 @@ def test_builder_cli_lifecycle(tmp_path, capsys):
     cli.main(["builder", "delete", imported["project_folder"],
               "--output-root", root])
     assert _last_json(capsys)["deleted"]
+
+
+def test_builder_cli_save_without_session_keeps_timeline(tmp_path,
+                                                         capsys):
+    """`builder save` with no --session must not wipe an existing
+    project's scenes (e.g. when only attaching audio)."""
+    import wave
+
+    root = str(tmp_path / "out")
+    cli.main(["builder", "new", "keepme", "--output-root", root])
+    folder = _last_json(capsys)["project_folder"]
+    session_file = str(tmp_path / "sess.json")
+    with open(session_file, "w") as handle:
+        json.dump({"segments": [{"id": "a", "start": 0, "end": 4,
+                                 "label": "One"}]}, handle)
+    cli.main(["builder", "save", folder, "--session", session_file,
+              "--output-root", root])
+    _last_json(capsys)
+    wav = str(tmp_path / "a.wav")
+    with wave.open(wav, "wb") as handle:
+        handle.setnchannels(1)
+        handle.setsampwidth(2)
+        handle.setframerate(8000)
+        handle.writeframes(np.zeros(800, np.int16).tobytes())
+    cli.main(["builder", "save", folder, "--audio", wav,
+              "--output-root", root])
+    saved = _last_json(capsys)
+    assert [seg["label"] for seg in saved["session"]["segments"]] == \
+        ["One"]
+    assert saved["session"]["audio_path"].startswith(folder)

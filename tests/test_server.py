@@ -899,3 +899,49 @@ def test_api_docs_match_registered_routes():
             registered.add(path)
     missing = sorted(documented - registered)
     assert not missing, f"documented but unregistered: {missing}"
+
+
+def test_editor_media_serves_out_of_root_editor_folders(tmp_path):
+    """list_clips accepts arbitrary absolute folders, so the playback
+    URLs it emits must be servable: editor-managed folders (holding an
+    editor session) are allowed even outside the output root."""
+    base = str(tmp_path / "root")
+    os.makedirs(base)
+    outside = str(tmp_path / "elsewhere" / "renders")
+    os.makedirs(outside)
+    writer = cv2.VideoWriter(os.path.join(outside, "video_0001.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                             (48, 32))
+    for _ in range(4):
+        writer.write(np.zeros((32, 48, 3), np.uint8))
+    writer.release()
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            clip = os.path.join(outside, "video_0001.mp4")
+            # before the folder is editor-managed: refused
+            resp = await client.get("/vrgdg/video_editor/video",
+                                    params={"path": clip})
+            assert resp.status == 404
+            resp = await client.post("/vrgdg/video_editor/save_session",
+                                     json={"folder_path": outside,
+                                           "session": {"clips": {}}})
+            assert (await resp.json())["ok"]
+            resp = await client.post("/vrgdg/video_editor/list_clips",
+                                     json={"folder_path": outside})
+            body = await resp.json()
+            assert body["ok"] and len(body["clips"]) == 1
+            resp = await client.get("/vrgdg/video_editor/video",
+                                    params={"path": clip})
+            assert resp.status == 200
+            # arbitrary non-editor files stay refused
+            resp = await client.get("/vrgdg/video_editor/video",
+                                    params={"path": "/etc/passwd"})
+            assert resp.status in (400, 404)
+        finally:
+            await client.close()
+
+    _run(scenario())

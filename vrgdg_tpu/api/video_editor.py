@@ -535,3 +535,22 @@ def next_remake(session_path, srt_file, audio, queue_index: int = 0,
             f"{format_seconds(end_frame / fps)}; original moved to "
             f"{backup_path}"),
     }
+
+
+def is_editor_media(path) -> bool:
+    """True when ``path`` sits inside an editor-managed clips folder —
+    its directory (or a parent up to two levels, covering ``remake/``
+    and ``vrgdg_editor_frames/``) holds the editor session file. The
+    media GET routes use this so the playback URLs ``list_clips`` emits
+    for arbitrary absolute folders stay servable without opening the
+    whole filesystem."""
+    folder = os.path.dirname(os.path.normpath(os.path.abspath(
+        str(path or ""))))
+    for _level in range(3):
+        if os.path.isfile(session_path_for(folder)):
+            return True
+        parent = os.path.dirname(folder)
+        if parent == folder:
+            break
+        folder = parent
+    return False

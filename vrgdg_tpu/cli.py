@@ -393,8 +393,16 @@ def main(argv=None):
         elif args.action == "load":
             _print(mvb.load_session(args.target))
         elif args.action == "save":
-            session = (_read_json_arg(args.session, "session")
-                       if args.session else {"segments": []})
+            if args.session:
+                session = _read_json_arg(args.session, "session")
+            else:
+                # no --session: keep the existing timeline instead of
+                # overwriting it with an empty one (e.g. when only
+                # attaching audio)
+                try:
+                    session = mvb.load_session(args.target)["session"]
+                except (FileNotFoundError, ValueError):
+                    session = {"segments": []}
             _print(mvb.save_session(
                 {"project_folder": args.target,
                  "project_name": args.name,

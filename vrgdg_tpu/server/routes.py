@@ -397,14 +397,23 @@ def create_app(base_folder: str | None = None,
 
     _out_root = os.path.abspath(base_folder or paths.DEFAULT_OUTPUT_ROOT)
 
-    def _builder_route(route_path, fn):
-        @routes.post("/vrgdg/music_builder/" + route_path)
-        @_handler
-        async def handler(request, _fn=fn):
-            payload = await _json(request)
-            loop = asyncio.get_running_loop()
-            result = await loop.run_in_executor(None, lambda: _fn(payload))
-            return _ok(**result)
+    def _post_json_routes(prefix):
+        """Route factory: JSON body -> executor -> flat {"ok", **result}
+        responses (the reference's handler shape) under one prefix."""
+
+        def register(route_path, fn):
+            @routes.post(prefix + route_path)
+            @_handler
+            async def handler(request, _fn=fn):
+                payload = await _json(request)
+                loop = asyncio.get_running_loop()
+                result = await loop.run_in_executor(
+                    None, lambda: _fn(payload))
+                return _ok(**result)
+
+        return register
+
+    _builder_route = _post_json_routes("/vrgdg/music_builder/")
 
     _builder_route("analyze_audio",
                    lambda p: mvb.analyze_audio(p, _out_root))
@@ -569,14 +578,7 @@ def create_app(base_folder: str | None = None,
 
     from ..api import storyboard as sbd
 
-    def _storyboard_route(route_path, fn):
-        @routes.post("/vrgdg/storyboard/" + route_path)
-        @_handler
-        async def handler(request, _fn=fn):
-            payload = await _json(request)
-            loop = asyncio.get_running_loop()
-            result = await loop.run_in_executor(None, lambda: _fn(payload))
-            return _ok(**result)
+    _storyboard_route = _post_json_routes("/vrgdg/storyboard/")
 
     _storyboard_route("load",
                       lambda p: {"storyboard": sbd.load_storyboard(p)})
@@ -664,14 +666,7 @@ def create_app(base_folder: str | None = None,
 
     from ..api import prompt_creator as pcr
 
-    def _pc_route(route_path, fn):
-        @routes.post("/vrgdg/music_prompt_creator/" + route_path)
-        @_handler
-        async def handler(request, _fn=fn):
-            payload = await _json(request)
-            loop = asyncio.get_running_loop()
-            result = await loop.run_in_executor(None, lambda: _fn(payload))
-            return _ok(**result)
+    _pc_route = _post_json_routes("/vrgdg/music_prompt_creator/")
 
     _pc_route("save_outputs",
               lambda p: pcr.save_outputs(p, _out_root))
@@ -713,16 +708,12 @@ def create_app(base_folder: str | None = None,
 
     from ..api import start_storyboard as ssb
 
+    _ssb_post = _post_json_routes("/vrgdg/start_storyboard/")
+
     def _ssb_route(route_path, fn):
-        @routes.post("/vrgdg/start_storyboard/" + route_path)
-        @_handler
-        async def handler(request, _fn=fn):
-            payload = await _json(request)
-            loop = asyncio.get_running_loop()
-            folder = ssb.project_folder(payload.get("project_folder"))
-            result = await loop.run_in_executor(
-                None, lambda: _fn(folder, payload))
-            return _ok(**result)
+        # folder validation stats the disk — keep it in the executor
+        _ssb_post(route_path, lambda p, _fn=fn: _fn(
+            ssb.project_folder(p.get("project_folder")), p))
 
     _ssb_route("load",
                lambda f, p: {"storyboard": ssb.load_board(f)})
@@ -780,14 +771,7 @@ def create_app(base_folder: str | None = None,
 
     _editor_roots = (_out_root,)
 
-    def _editor_route(route_path, fn):
-        @routes.post("/vrgdg/video_editor/" + route_path)
-        @_handler
-        async def handler(request, _fn=fn):
-            payload = await _json(request)
-            loop = asyncio.get_running_loop()
-            result = await loop.run_in_executor(None, lambda: _fn(payload))
-            return _ok(**result)
+    _editor_route = _post_json_routes("/vrgdg/video_editor/")
 
     _editor_route("list_clips",
                   lambda p: ved.list_clips(p.get("folder_path"),
@@ -814,7 +798,8 @@ def create_app(base_folder: str | None = None,
             p.get("audio_path") or p.get("audio"),
             queue_index=int(p.get("queue_index", 0) or 0),
             fps=int(p.get("fps", 24) or 24),
-            tail_loss_frames=int(p.get("tail_loss_frames", 5) or 0),
+            tail_loss_frames=(5 if p.get("tail_loss_frames", 5) is None
+                              else int(p.get("tail_loss_frames", 5))),
             pre_frames=int(p.get("pre_frames", 0) or 0))
         audio = result.pop("audio", None)
         if audio is not None and p.get("audio_output"):
@@ -829,7 +814,16 @@ def create_app(base_folder: str | None = None,
     def _editor_media(request, allowed):
         path = os.path.normpath(os.path.abspath(
             str(request.query.get("path") or "").strip()))
-        if not paths._inside(_out_root, path) or not os.path.isfile(path):
+        # list_clips accepts arbitrary absolute folders (reference
+        # parity), so the URLs it emits must be servable: allow the
+        # managed root OR any folder the editor actually manages (one
+        # holding vrgdg_temp/editor_session.json at, or one level
+        # above, the file's directory — covering remake/ and
+        # vrgdg_editor_frames/ children).
+        if not paths._inside(_out_root, path) \
+                and not ved.is_editor_media(path):
+            raise FileNotFoundError("Media file was not found.")
+        if not os.path.isfile(path):
             raise FileNotFoundError("Media file was not found.")
         if os.path.splitext(path)[1].lower() not in allowed:
             raise ValueError("Unsupported media type.")
