@@ -135,7 +135,8 @@ def test_builder_capcut_extract_parity(tmp_path):
                         for _ in range(marker_count)],
                 }],
                 "beats": [{"id": "b1",
-                           "ai_beats": {"beats_path": ""}}],
+                           "ai_beats": {"beats_path": rng.choice(
+                               ["", "<cache>"])}}],
             },
             "tracks": [{"type": "audio", "segments": [{
                 "material_id": "a1",
@@ -143,6 +144,18 @@ def test_builder_capcut_extract_parity(tmp_path):
                     [["m1", "b1"], [], ["m1"]]),
             }]}],
         }
+        if draft["materials"]["beats"][0]["ai_beats"]["beats_path"] \
+                == "<cache>":
+            cache_path = str(tmp_path / f"cache{index}.json")
+            import json as json_mod
+
+            with open(cache_path, "w") as handle:
+                json_mod.dump(
+                    {"time": [rng.randrange(0, 60_000)
+                              for _ in range(rng.randrange(0, 6))],
+                     "value": [0.5] * 3}, handle)
+            draft["materials"]["beats"][0]["ai_beats"]["beats_path"] \
+                = cache_path
         mine = builder.extract_capcut_beats(dict(draft), "/tmp/d.json")
         theirs = ref["_extract_capcut_project_beats"](dict(draft),
                                                       "/tmp/d.json")

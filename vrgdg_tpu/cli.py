@@ -14,6 +14,8 @@ Subcommands:
   beats    — beat & impact analysis (beat_data JSON)
   scene-srt— beat-aligned scene-duration SRT from beat_data
   audio    — waveform toolkit (split / srt-split / delay / peaks)
+  builder  — music video builder project store (new / list / load /
+             save / delete / export / import / scan / analyze / mix)
   serve    — run the HTTP API server
 """
 
