@@ -1003,3 +1003,48 @@ def test_storyboard_save_export_parity(tmp_path, sb_ref):
             theirs_exp["video_prompts_json_path"]))
         assert scrub(mine_json, mine_root) == \
             scrub(ref_json, ref_root), f"case {case}"
+
+
+def test_llm_hygiene_parity():
+    """Repeat-failure detection, chat-text cleaning, and the full JSON
+    rescue chain against the reference's extracted implementations."""
+    editor_ref = load_reference(
+        "VRGDG_VideoEditorNodes.py",
+        ["_looks_like_gemma_repeat_failure", "_clean_visual_gemma_text",
+         "_clean_gemma_prompt_text"])
+    pc_ref = load_reference(
+        "VRGDG_MusicVideoPromptCreatorNodes.py",
+        ["_clean_llm_json_text", "_extract_json_object",
+         "_repair_json_like_text", "_parse_json_like_key_value_lines"],
+        extra_globals={"_clean_gemma_prompt_text":
+                       editor_ref["_clean_gemma_prompt_text"]})
+    rng = _rng(16)
+    samples = [
+        "completion-completion-completion", "a normal sentence.",
+        "word " * 30, "la la la la la la la la",
+        "<think>plan</think>Assistant: the real text",
+        "model\nthought: hmm\nFinal prompt: a red door",
+        "the cat sat. " * 8,
+        "<|start_of_turn|>model output here<|end_of_turn|>",
+        '```json\n{"segment1": "hi"}\n```',
+        'Sure! {segment1: "a", segment2: "b",}',
+        "segment1: first\nsegment2: second",
+        "no json here at all",
+    ]
+    for _ in range(250):
+        text = rng.choice(samples) + rng.choice(["", "\n\n" +
+                                                 rng.choice(samples)])
+        assert text_tools.looks_like_llm_repeat_failure(text) == \
+            editor_ref["_looks_like_gemma_repeat_failure"](text)
+        assert text_tools.clean_llm_chat_text(text) == \
+            editor_ref["_clean_visual_gemma_text"](text)
+        assert pc.clean_json_text(text) == \
+            pc_ref["_clean_llm_json_text"](text)
+        try:
+            theirs = pc_ref["_extract_json_object"](text)
+        except Exception as error:  # noqa: BLE001 — rescue chain
+            with pytest.raises(Exception):
+                pc.extract_json_object(text)
+            _ = error
+        else:
+            assert pc.extract_json_object(text) == theirs

@@ -67,8 +67,12 @@ def payload_bool(value, default: bool = False) -> bool:
 # ------------------------------------------------------------------
 
 def clean_json_text(text) -> str:
-    """Strip markdown fences and surrounding chatter (``:509-514``)."""
-    cleaned = str(text or "").strip()
+    """Strip chat-template wrappers, then markdown fences
+    (``:509-514``; the chat cleaning is
+    :func:`text_tools.clean_llm_chat_text`)."""
+    from ..runtime.text_tools import clean_llm_chat_text
+
+    cleaned = clean_llm_chat_text(text)
     cleaned = re.sub(r"^\s*```(?:json)?\s*", "", cleaned,
                      flags=re.IGNORECASE)
     cleaned = re.sub(r"\s*```\s*$", "", cleaned)

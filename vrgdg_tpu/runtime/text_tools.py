@@ -346,3 +346,106 @@ def extract_prompt_text(text, scene_number=None) -> str:
         for prompt in _prompt_values(parsed):
             return prompt
     return cleaned
+
+
+# --------------------------------------------------------------------------
+# LLM output hygiene (VRGDG_VideoEditorNodes.py:414-522)
+# --------------------------------------------------------------------------
+
+_REPEAT_MARKERS = (
+    "completion-completion-completion", "thought-thought-thought",
+    "de-facto-de-facto-de-facto", "de-fleshed", "cast-cast-cast",
+    "prompt-cast-cast", "thoughtthoughtthought",
+    "ownnessownnessownness", "nessnessnessness", "end_anow",
+    "thought_turn", "turn_turn", "<|channel>", "<channel|>",
+)
+
+_COMMON_WORDS = frozenset({"the", "and", "with", "that", "this",
+                           "from", "into", "while", "during"})
+
+
+def _max_count(items):
+    counts: dict = {}
+    for item in items:
+        counts[item] = counts.get(item, 0) + 1
+    return max(counts.values()) if counts else 0
+
+
+def looks_like_llm_repeat_failure(text) -> bool:
+    """Degenerate repeated/looping LLM output detector (``:414-480``):
+    known loop markers, character-level repeats, and token/phrase
+    frequency heuristics."""
+    sample = re.sub(r"\s+", " ", str(text or "").lower()).strip()
+    if not sample:
+        return False
+    compact = re.sub(r"[^a-z0-9_<>\-|]+", "", sample)
+    if any(marker in compact or marker in sample
+           for marker in _REPEAT_MARKERS):
+        return True
+    if re.search(r"([a-z]{2,16})\1{5,}", compact):
+        return True
+    if re.search(r"\b([a-zA-Z_]{3,})(?:[-\s]+\1){5,}\b", sample):
+        return True
+    tokens = [token.strip("_'") for token
+              in re.findall(r"[\w']+", sample, flags=re.UNICODE)
+              if token.strip("_'")]
+    if len(tokens) >= 16:
+        top = _max_count(tokens)
+        if top >= 10 and top / float(len(tokens))  >= 0.20:
+            return True
+        for size in (2, 3, 4):
+            if len(tokens) >= size * 4 and _max_count(
+                    " ".join(tokens[index:index + size])
+                    for index in range(len(tokens) - size + 1)) >= 8:
+                return True
+    words = re.findall(r"[a-zA-Z_][a-zA-Z_']{2,}", sample)
+    if len(words) < 18:
+        return False
+    repeated = [count for word, count in
+                ((word, words.count(word)) for word in set(words))
+                if word not in _COMMON_WORDS]
+    if repeated and max(repeated) >= 10 \
+            and max(repeated) / float(len(words)) >= 0.25:
+        return True
+    phrases = [" ".join(words[index:index + 2])
+               for index in range(len(words) - 1)]
+    return len(phrases) >= 12 and _max_count(phrases) >= 6
+
+
+_CHAT_CONTROL_PATTERNS = (
+    r"^\s*_?(?:user|assistant|model)?_?\s*"
+    r"(?:thought|analysis|reasoning)\s*[:=\-]?\s*",
+    r"^\s*_?(?:start_of_)?turn\s*",
+    r"^\s*<\|?start_of_turn\|?>\s*(?:model|assistant)?\s*",
+    r"\s*<\|?end_of_turn\|?>\s*",
+    r"_?\s*<\|channel>\s*(?:thought|analysis|reasoning)?\s*",
+    r"_?\s*<\|?channel\|?>\s*(?:thought|analysis|reasoning)?\s*",
+    r"_?\s*<channel\|>\s*(?:thought|analysis|reasoning)?\s*",
+    r"^\s*<?/?end[_\-][a-z0-9_\-]*>?\s*",
+    r"^\s*_?name\s*[:=]\s*",
+    r"^\s*\d+\s*(?:thought|analysis|reasoning)\s*[:\-]?\s*",
+    r"^\s*[-_]*\s*(?:thought|analysis|reasoning)\s*",
+    r"^\s*(?:thought|analysis|reasoning)\s*[:\-]?\s*",
+)
+
+
+def clean_llm_chat_text(text) -> str:
+    """Strip chat-template control tokens / think blocks / role labels
+    until stable, then keep the first paragraph (``:492-522``)."""
+    cleaned = str(text or "").strip()
+    cleaned = re.sub(r"<think>.*?</think>", "", cleaned,
+                     flags=re.IGNORECASE | re.DOTALL).strip()
+    cleaned = re.sub(r"^(?:Assistant|Answer|Final prompt)\s*:\s*", "",
+                     cleaned, flags=re.IGNORECASE).strip()
+    previous = None
+    while cleaned and previous != cleaned:
+        previous = cleaned
+        for pattern in _CHAT_CONTROL_PATTERNS:
+            cleaned = re.sub(pattern, "", cleaned,
+                             flags=re.IGNORECASE | re.DOTALL).strip()
+    cleaned = re.sub(r"^(?:Assistant|Answer|Final prompt)\s*:\s*", "",
+                     cleaned, flags=re.IGNORECASE).strip()
+    paragraphs = [part.strip()
+                  for part in re.split(r"\n\s*\n", cleaned)
+                  if part.strip()]
+    return paragraphs[0] if paragraphs else cleaned
