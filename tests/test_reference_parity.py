@@ -1048,3 +1048,144 @@ def test_llm_hygiene_parity():
             _ = error
         else:
             assert pc.extract_json_object(text) == theirs
+
+
+def test_prompt_creator_persistence_parity(tmp_path):
+    """save_outputs / draft save+load against the reference's extracted
+    persistence flow: identical returned payloads and file trees
+    (modulo timestamps/roots)."""
+    editor_ref = load_reference("VRGDG_VideoEditorNodes.py",
+                                ["_clean_gemma_prompt_text",
+                                 "_clean_visual_gemma_text"])
+
+    class _FakeFolderPaths:
+        @staticmethod
+        def get_output_directory():
+            return str(tmp_path / "ref_out")
+
+    builder_ref = load_reference(
+        "VRGDG_MusicVideoBuilderNodes.py",
+        ["_context_folder", "_prompts_folder", "_srt_path",
+         "_session_path", "_safe_project_name", "_images_folder"])
+    closure = [
+        "_save_prompt_creator_outputs", "_save_prompt_creator_draft",
+        "_load_prompt_creator_draft", "_project_folder_from_payload",
+        "_ensure_project_folders", "_draft_path",
+        "_payload_bool", "_extract_json_object",
+        "_clean_llm_json_text", "_repair_json_like_text",
+        "_parse_json_like_key_value_lines",
+        "_canonical_segment_mapping", "_canonical_prompt_mapping",
+        "_is_scene_label_only_prompt_mapping",
+        "_prepend_subject_to_prompts", "_strip_leading_subject",
+        "_normalize_inline_text", "_fixed_duration_srt_from_segments",
+        "_srt_total_duration_hint", "_format_srt_timestamp",
+        "_parse_srt_timestamp", "_write_prompt_creator_pointer",
+        "_read_text_file_if_exists",
+    ]
+    ref = load_reference(
+        "VRGDG_MusicVideoPromptCreatorNodes.py", closure,
+        extra_globals={
+            "folder_paths": _FakeFolderPaths,
+            "_clean_gemma_prompt_text":
+                editor_ref["_clean_gemma_prompt_text"],
+            **{name: builder_ref[name] for name in
+               ("_context_folder", "_prompts_folder", "_srt_path",
+                "_session_path", "_safe_project_name")}})
+    rng = _rng(17)
+    import copy
+    import json as json_mod
+
+    os.makedirs(tmp_path / "ref_out", exist_ok=True)
+    mine_root = str(tmp_path / "mine_out")
+
+    def scrub(value, roots):
+        # per-side roots, in order: [project_folder, output_root] ->
+        # the SAME placeholders on both sides so scrubbed trees compare
+        if isinstance(value, dict):
+            return {k: scrub(v, roots) for k, v in value.items()
+                    if k != "saved_at"}
+        if isinstance(value, list):
+            return [scrub(v, roots) for v in value]
+        if isinstance(value, str):
+            out = value
+            for placeholder, root in zip(("<proj>", "<base>"), roots):
+                out = out.replace(root, placeholder)
+            return out
+        return value
+
+    def tree(folder):
+        rows = {}
+        for root, _dirs, files in os.walk(folder):
+            for name in files:
+                rel = os.path.relpath(os.path.join(root, name), folder)
+                rows[rel] = os.path.getsize(os.path.join(root, name))
+        return rows
+
+    for case in range(25):
+        name = f"pcase{case}"
+        payload = {
+            "project_name": name,
+            "full_lyrics": rng.choice(["", "la la\nsecond line"]),
+            "style_theme": _rand_text(rng, 20),
+            "subject": rng.choice(["", "Ann"]),
+            "previous_subject": rng.choice(["", "Old Ann"]),
+            "append_subject_to_prompts": rng.choice([True, False,
+                                                     "yes", None]),
+            "segments": rng.choice([
+                "", {"segment1": "la"},
+                '{lyricSegment1: "one", segment2: "two",}']),
+            "prompts": rng.choice([
+                "", {"Prompt1": "a door"},
+                '```json\n{"Prompt1": "fenced door"}\n```']),
+            "i2v_motion_notes": rng.choice(["", {"Motion1": "pan"}]),
+            "srt_text": rng.choice(
+                ["", "1\n00:00:00,000 --> 00:00:02,000\nla\n"]),
+            "use_srt_durations": rng.choice([True, False]),
+            "fixed_scene_duration": rng.choice([2, 4]),
+        }
+        try:
+            theirs = ref["_save_prompt_creator_outputs"](
+                copy.deepcopy(payload))
+        except ValueError:
+            with pytest.raises(ValueError):
+                pc.save_outputs(copy.deepcopy(payload), mine_root)
+            continue
+        mine = pc.save_outputs(copy.deepcopy(payload), mine_root)
+        roots_mine = [mine["project_folder"], mine_root]
+        roots_ref = [theirs["project_folder"],
+                     str(tmp_path / "ref_out")]
+        assert json_mod.dumps(scrub(mine, roots_mine),
+                              sort_keys=True) == \
+            json_mod.dumps(scrub(theirs, roots_ref), sort_keys=True), \
+            f"case {case}"
+        mine_tree = tree(mine["project_folder"])
+        ref_tree = tree(theirs["project_folder"])
+        assert set(mine_tree) == set(ref_tree), f"case {case}"
+        for rel, size in mine_tree.items():
+            if rel.endswith("prompt_creator_output.json"):
+                continue  # carries saved_at
+            assert size == ref_tree[rel], f"case {case}: {rel}"
+
+        draft_payload = {**payload,
+                         "corrected_segments_text": rng.choice(
+                             ["", '{"segment1": "x"}']),
+                         "concept_prompts_text": rng.choice(
+                             ["", '{"Prompt1": "y"}'])}
+        mine_draft = pc.save_draft(
+            {**copy.deepcopy(draft_payload),
+             "project_folder": mine["project_folder"]}, mine_root)
+        ref_draft = ref["_save_prompt_creator_draft"](
+            {**copy.deepcopy(draft_payload),
+             "project_folder": theirs["project_folder"]})
+        assert json_mod.dumps(scrub(mine_draft, roots_mine),
+                              sort_keys=True) == \
+            json_mod.dumps(scrub(ref_draft, roots_ref),
+                           sort_keys=True), f"case {case} draft"
+        mine_load = pc.load_draft(
+            {"project_folder": mine["project_folder"]}, mine_root)
+        ref_load = ref["_load_prompt_creator_draft"](
+            {"project_folder": theirs["project_folder"]})
+        assert json_mod.dumps(scrub(mine_load, roots_mine),
+                              sort_keys=True) == \
+            json_mod.dumps(scrub(ref_load, roots_ref),
+                           sort_keys=True), f"case {case} load"

@@ -574,6 +574,37 @@ def save_draft(payload: dict, output_root: str | None = None) -> dict:
         elif kind == "bool":
             value = payload_bool(value, default)
         draft[key] = value
+    # LLM-runner settings are persisted verbatim so a reference user's
+    # draft round-trips (generation itself is out of scope here); the
+    # alias chains and defaults are the reference's (:1483-1492), and
+    # the API key is never stored
+    draft.update({
+        "text_gemma_runner": str(payload.get("text_gemma_runner")
+                                 or payload.get("text_runner")
+                                 or "builtin"),
+        "gemma_context_limit": payload.get(
+            "gemma_context_limit",
+            payload.get("n_ctx", payload.get("llm_max_tokens", 8000))),
+        "gemma_output_token_limit": payload.get(
+            "gemma_output_token_limit",
+            payload.get("llm_max_tokens", 8192)),
+        "lm_studio_base_url": str(payload.get("lm_studio_base_url")
+                                  or payload.get("lmstudio_base_url")
+                                  or "http://127.0.0.1:1234/v1"),
+        "lm_studio_model": str(payload.get("lm_studio_model")
+                               or payload.get("lmstudio_model") or ""),
+        "lm_studio_api_key": "",
+        "lm_studio_context_limit": payload.get(
+            "lm_studio_context_limit",
+            payload.get("lmstudio_context_limit", 32768)),
+        "lm_studio_output_token_limit": payload.get(
+            "lm_studio_output_token_limit",
+            payload.get("lmstudio_output_token_limit",
+                        payload.get("llm_max_tokens", 8192))),
+        "llm_api_provider": str(payload.get("llm_api_provider")
+                                or "openai"),
+        "llm_api_model": str(payload.get("llm_api_model") or ""),
+    })
     draft["saved_at"] = saved_at
     path = draft_path_for(layout.root)
     _write_json(path, draft)
