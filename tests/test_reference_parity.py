@@ -1189,3 +1189,81 @@ def test_prompt_creator_persistence_parity(tmp_path):
                               sort_keys=True) == \
             json_mod.dumps(scrub(ref_load, roots_ref),
                            sort_keys=True), f"case {case} load"
+
+
+def test_render_log_text_and_listing_parity(tmp_path):
+    """The render-log text report and the project listing against the
+    reference's extracted implementations."""
+    class _FakeFolderPaths:
+        @staticmethod
+        def get_output_directory():
+            return str(tmp_path / "out")
+
+    ref = load_reference(
+        "VRGDG_MusicVideoBuilderNodes.py",
+        ["_render_log_text", "_render_log_duration_text",
+         "_list_builder_projects", "_session_path"],
+        extra_globals={"folder_paths": _FakeFolderPaths})
+    rng = _rng(18)
+    for _ in range(120):
+        log = rng.choice([None, "junk", {
+            "id": _rand_text(rng, 12),
+            "status": rng.choice([None, "complete", "running"]),
+            "project_folder": "/p",
+            "mode_label": rng.choice(["", "Render All", None]),
+            "scene_scope": rng.choice(["", "one"]),
+            "total_ms": rng.choice([None, "x", rng.uniform(0, 1e7)]),
+            "summary": rng.choice([None, "bad", {
+                "total_ms": rng.uniform(0, 1e7),
+                "render_ms": rng.uniform(0, 1e6),
+                "completed_scenes": rng.choice([None, "3", 2]),
+                "target_scenes": rng.choice([None, 5]),
+                "average_render_ms": rng.uniform(0, 1e5),
+            }]),
+            "final_video_path": rng.choice(["", "/v.mp4"]),
+            "error": rng.choice(["", "boom"]),
+            "scenes": rng.choice([None, "no", [
+                {"scene_number": 1, "status": rng.choice([None, "done"]),
+                 "total_ms": rng.uniform(0, 1e6),
+                 "video_path": rng.choice(["", "/s1.mp4"]),
+                 "error": rng.choice(["", "eek"])},
+                "junk"]]),
+        }])
+        try:
+            theirs = ref["_render_log_text"](log)
+        except (TypeError, ValueError) as error:
+            with pytest.raises(type(error)):
+                builder.render_log_text(log)
+        else:
+            assert builder.render_log_text(log) == theirs
+
+    # project listing over a mixed output root
+    root = str(tmp_path / "out")
+    os.makedirs(root, exist_ok=True)
+    for name, with_session, segments in (
+            ("proj_a", True, [{}, {}]), ("proj_b", True, "junk"),
+            ("not_a_project", False, None), ("proj_c", True, [])):
+        folder = os.path.join(root, name)
+        os.makedirs(folder, exist_ok=True)
+        if with_session:
+            builder._write_json(
+                builder.ProjectLayout(folder).session_path,
+                {"segments": segments})
+    extra_root = str(tmp_path / "extra")
+    os.makedirs(extra_root)
+    builder._write_json(
+        builder.ProjectLayout(os.path.join(extra_root,
+                                           "outside")).session_path,
+        {"segments": [{}]})
+
+    for custom in ("", extra_root, "relative/skip"):
+        mine = builder.list_projects(root, custom)
+        theirs = ref["_list_builder_projects"](custom)
+        mine_rows = {(row["name"], row["scene_count"],
+                      row["can_delete"]) for row in mine["projects"]}
+        ref_rows = {(row["name"], row["scene_count"],
+                     row["can_delete"]) for row in theirs["projects"]}
+        assert mine_rows == ref_rows, custom
+        assert [os.path.basename(r) for r in mine["project_roots"]] \
+            == [os.path.basename(r)
+                for r in theirs["project_roots"]], custom
