@@ -1171,6 +1171,21 @@ def test_prompt_creator_persistence_parity(tmp_path):
                              ["", '{"segment1": "x"}']),
                          "concept_prompts_text": rng.choice(
                              ["", '{"Prompt1": "y"}'])}
+        # exercise the LLM-runner alias chains and fallbacks too
+        for key, values in (
+                ("text_gemma_runner", [None, "", "lm_studio"]),
+                ("text_runner", [None, "legacy"]),
+                ("llm_max_tokens", [None, 4096]),
+                ("n_ctx", [None, 2048]),
+                ("gemma_context_limit", [None, 16000]),
+                ("lm_studio_model", [None, "phi"]),
+                ("lmstudio_model", [None, "old-alias"]),
+                ("lmstudio_context_limit", [None, 1234]),
+                ("lm_studio_api_key", [None, "secret"]),
+                ("llm_api_provider", [None, "azure"])):
+            value = rng.choice(values)
+            if value is not None:
+                draft_payload[key] = value
         mine_draft = pc.save_draft(
             {**copy.deepcopy(draft_payload),
              "project_folder": mine["project_folder"]}, mine_root)

@@ -35,6 +35,7 @@ import os
 import re
 import time
 
+from ..runtime.text_tools import clean_llm_chat_text
 from .builder import ProjectLayout, _clean, _read_json, _write_json, \
     safe_component
 from .paths import DEFAULT_OUTPUT_ROOT
@@ -70,8 +71,6 @@ def clean_json_text(text) -> str:
     """Strip chat-template wrappers, then markdown fences
     (``:509-514``; the chat cleaning is
     :func:`text_tools.clean_llm_chat_text`)."""
-    from ..runtime.text_tools import clean_llm_chat_text
-
     cleaned = clean_llm_chat_text(text)
     cleaned = re.sub(r"^\s*```(?:json)?\s*", "", cleaned,
                      flags=re.IGNORECASE)
@@ -568,9 +567,6 @@ def save_draft(payload: dict, output_root: str | None = None) -> dict:
         value = payload.get(key, default)
         if kind is str:
             value = str(value or default or "")
-            if key in ("duration_preset", "empty_segment_text",
-                       "concept_match_mode") and not value:
-                value = default
         elif kind == "bool":
             value = payload_bool(value, default)
         draft[key] = value

@@ -352,13 +352,16 @@ def extract_prompt_text(text, scene_number=None) -> str:
 # LLM output hygiene (VRGDG_VideoEditorNodes.py:414-522)
 # --------------------------------------------------------------------------
 
-_REPEAT_MARKERS = (
-    "completion-completion-completion", "thought-thought-thought",
-    "de-facto-de-facto-de-facto", "de-fleshed", "cast-cast-cast",
-    "prompt-cast-cast", "thoughtthoughtthought",
-    "ownnessownnessownness", "nessnessnessness", "end_anow",
-    "thought_turn", "turn_turn", "<|channel>", "<channel|>",
-)
+# loop markers the reference's detector knows (alphabetical; membership
+# only, so ordering is free — the strings themselves are the behavior)
+_REPEAT_MARKERS = frozenset({
+    "<|channel>", "<channel|>", "cast-cast-cast",
+    "completion-completion-completion", "de-facto-de-facto-de-facto",
+    "de-fleshed", "end_anow", "nessnessnessness",
+    "ownnessownnessownness", "prompt-cast-cast",
+    "thought-thought-thought", "thoughtthoughtthought",
+    "thought_turn", "turn_turn",
+})
 
 _COMMON_WORDS = frozenset({"the", "and", "with", "that", "this",
                            "from", "into", "while", "during"})
@@ -374,7 +377,7 @@ def _max_count(items):
 def looks_like_llm_repeat_failure(text) -> bool:
     """Degenerate repeated/looping LLM output detector (``:414-480``):
     known loop markers, character-level repeats, and token/phrase
-    frequency heuristics."""
+    frequency heuristics (thresholds are the reference's)."""
     sample = re.sub(r"\s+", " ", str(text or "").lower()).strip()
     if not sample:
         return False
@@ -382,69 +385,71 @@ def looks_like_llm_repeat_failure(text) -> bool:
     if any(marker in compact or marker in sample
            for marker in _REPEAT_MARKERS):
         return True
-    if re.search(r"([a-z]{2,16})\1{5,}", compact):
+    if re.search(r"([a-z]{2,16})\1{5,}", compact) \
+            or re.search(r"\b([a-zA-Z_]{3,})(?:[-\s]+\1){5,}\b",
+                         sample):
         return True
-    if re.search(r"\b([a-zA-Z_]{3,})(?:[-\s]+\1){5,}\b", sample):
-        return True
+
     tokens = [token.strip("_'") for token
               in re.findall(r"[\w']+", sample, flags=re.UNICODE)
               if token.strip("_'")]
     if len(tokens) >= 16:
         top = _max_count(tokens)
-        if top >= 10 and top / float(len(tokens))  >= 0.20:
+        if top >= 10 and top / float(len(tokens)) >= 0.20:
             return True
         for size in (2, 3, 4):
             if len(tokens) >= size * 4 and _max_count(
                     " ".join(tokens[index:index + size])
                     for index in range(len(tokens) - size + 1)) >= 8:
                 return True
+
     words = re.findall(r"[a-zA-Z_][a-zA-Z_']{2,}", sample)
     if len(words) < 18:
         return False
-    repeated = [count for word, count in
-                ((word, words.count(word)) for word in set(words))
-                if word not in _COMMON_WORDS]
-    if repeated and max(repeated) >= 10 \
-            and max(repeated) / float(len(words)) >= 0.25:
+    top_word = _max_count(word for word in words
+                          if word not in _COMMON_WORDS)
+    if top_word >= 10 and top_word / float(len(words)) >= 0.25:
         return True
-    phrases = [" ".join(words[index:index + 2])
-               for index in range(len(words) - 1)]
+    phrases = [" ".join(pair) for pair in zip(words, words[1:])]
     return len(phrases) >= 12 and _max_count(phrases) >= 6
 
 
-_CHAT_CONTROL_PATTERNS = (
-    r"^\s*_?(?:user|assistant|model)?_?\s*"
-    r"(?:thought|analysis|reasoning)\s*[:=\-]?\s*",
-    r"^\s*_?(?:start_of_)?turn\s*",
-    r"^\s*<\|?start_of_turn\|?>\s*(?:model|assistant)?\s*",
-    r"\s*<\|?end_of_turn\|?>\s*",
-    r"_?\s*<\|channel>\s*(?:thought|analysis|reasoning)?\s*",
-    r"_?\s*<\|?channel\|?>\s*(?:thought|analysis|reasoning)?\s*",
-    r"_?\s*<channel\|>\s*(?:thought|analysis|reasoning)?\s*",
-    r"^\s*<?/?end[_\-][a-z0-9_\-]*>?\s*",
-    r"^\s*_?name\s*[:=]\s*",
-    r"^\s*\d+\s*(?:thought|analysis|reasoning)\s*[:\-]?\s*",
-    r"^\s*[-_]*\s*(?:thought|analysis|reasoning)\s*",
-    r"^\s*(?:thought|analysis|reasoning)\s*[:\-]?\s*",
-)
+# chat-template control tokens to scrub, precompiled; the pattern
+# strings are the behavioral contract, expressed via the shared
+# _THOUGHT fragment
+_THOUGHT = r"(?:thought|analysis|reasoning)"
+_CHAT_CONTROL_RES = tuple(
+    re.compile(pattern, re.IGNORECASE | re.DOTALL) for pattern in (
+        rf"^\s*_?(?:user|assistant|model)?_?\s*{_THOUGHT}\s*[:=\-]?\s*",
+        r"^\s*_?(?:start_of_)?turn\s*",
+        r"^\s*<\|?start_of_turn\|?>\s*(?:model|assistant)?\s*",
+        r"\s*<\|?end_of_turn\|?>\s*",
+        rf"_?\s*<\|channel>\s*{_THOUGHT}?\s*",
+        rf"_?\s*<\|?channel\|?>\s*{_THOUGHT}?\s*",
+        rf"_?\s*<channel\|>\s*{_THOUGHT}?\s*",
+        r"^\s*<?/?end[_\-][a-z0-9_\-]*>?\s*",
+        r"^\s*_?name\s*[:=]\s*",
+        rf"^\s*\d+\s*{_THOUGHT}\s*[:\-]?\s*",
+        rf"^\s*[-_]*\s*{_THOUGHT}\s*",
+        rf"^\s*{_THOUGHT}\s*[:\-]?\s*",
+    ))
+_ROLE_PREFIX_RE = re.compile(
+    r"^(?:Assistant|Answer|Final prompt)\s*:\s*", re.IGNORECASE)
+_THINK_BLOCK_RE = re.compile(r"<think>.*?</think>",
+                             re.IGNORECASE | re.DOTALL)
 
 
 def clean_llm_chat_text(text) -> str:
     """Strip chat-template control tokens / think blocks / role labels
     until stable, then keep the first paragraph (``:492-522``)."""
-    cleaned = str(text or "").strip()
-    cleaned = re.sub(r"<think>.*?</think>", "", cleaned,
-                     flags=re.IGNORECASE | re.DOTALL).strip()
-    cleaned = re.sub(r"^(?:Assistant|Answer|Final prompt)\s*:\s*", "",
-                     cleaned, flags=re.IGNORECASE).strip()
+    cleaned = _THINK_BLOCK_RE.sub("", str(text or "").strip()).strip()
+    cleaned = _ROLE_PREFIX_RE.sub("", cleaned).strip()
     previous = None
     while cleaned and previous != cleaned:
         previous = cleaned
-        for pattern in _CHAT_CONTROL_PATTERNS:
-            cleaned = re.sub(pattern, "", cleaned,
-                             flags=re.IGNORECASE | re.DOTALL).strip()
-    cleaned = re.sub(r"^(?:Assistant|Answer|Final prompt)\s*:\s*", "",
-                     cleaned, flags=re.IGNORECASE).strip()
+        for pattern in _CHAT_CONTROL_RES:
+            cleaned = pattern.sub("", cleaned).strip()
+    cleaned = _ROLE_PREFIX_RE.sub("", cleaned).strip()
     paragraphs = [part.strip()
                   for part in re.split(r"\n\s*\n", cleaned)
                   if part.strip()]
