@@ -186,10 +186,17 @@ _UPSCALE_CHOICES = {"original", "2k", "3k", "4k"}
 
 
 def _safe_name(value: Any, fallback: str) -> str:
-    name = "".join(ch for ch in str(value or "").strip()
-                   if ch.isalnum() or ch in ("-", "_", ".", " "))
-    name = name.strip().replace(" ", "_")
-    return name or fallback
+    """Reference output-name sanitizer
+    (``VRGDG_StandaloneVideoEnhancerNodes.py:26-31``): basename, stem
+    charset + strip, extension charset, length caps."""
+    import os
+    import re
+
+    name = os.path.basename(str(value or "").strip()) or fallback
+    stem, ext = os.path.splitext(name)
+    stem = re.sub(r"[^A-Za-z0-9._-]+", "_", stem).strip("._") or fallback
+    ext = re.sub(r"[^A-Za-z0-9.]+", "", ext)
+    return stem[:100] + ext[:12]
 
 
 @dataclass(frozen=True)
