@@ -1364,3 +1364,73 @@ def test_enhancer_settings_parity():
                 continue
             assert getattr(mine, key) == ref_value, \
                 f"{key}: {payload}"
+
+
+# ---------------------------------------------------------------- grid + cube
+
+
+def test_grid_layout_parity():
+    """The round-3 rewritten layout engine against the reference's
+    original: the vectorized composition search must emit the exact
+    rect lists the transcribed version produced (proving the rewrite is
+    structurally independent but behaviorally identical)."""
+    import numpy as np
+
+    from vrgdg_tpu.ops import grid
+
+    ref = load_reference(
+        "VRGDG_LTXICIngredientsGrid.py",
+        ["_grid_rects", "_image_aspect", "_row_partitions",
+         "_aspect_row_rects"],
+        extra_globals={"math": __import__("math")})
+    rng = _rng(21)
+
+    for count in list(range(0, 14)) + [20, 33]:
+        for columns in (None, 0, 1, 2, 5, count):
+            assert grid.grid_rects(count, columns) == \
+                pytest.approx(ref["_grid_rects"](count, columns))
+
+    class _FakeImage:
+        """PIL-Image-like: the reference reads ``image.size`` (w, h)."""
+
+        def __init__(self, h, w):
+            self.shape = (h, w, 3)
+            self.size = (w, h)
+
+    for _ in range(250):
+        count = rng.randrange(1, 13)
+        shapes = [(rng.randrange(8, 2000), rng.randrange(8, 2000), 3)
+                  for _ in range(count)]
+        width = rng.choice([512, 736, 1280, 1920])
+        height = rng.choice([256, 416, 720, 1080])
+        mine = grid.aspect_row_rects(shapes, width, height)
+        theirs = ref["_aspect_row_rects"](
+            [_FakeImage(h, w) for h, w, _c in shapes], width, height)
+        assert np.allclose(np.array(mine), np.array(theirs),
+                           atol=1e-9), (shapes, width, height)
+
+
+def test_cube_parser_and_palette_parity(tmp_path):
+    """.cube parsing and the palette-LUT generator against the
+    reference's originals."""
+    import numpy as np
+
+    from vrgdg_tpu.core import cube
+
+    ref = load_reference(
+        "VRGDG_IV_Adjustments.py",
+        ["_build_palette_lut", "_interpolate_palette",
+         "_parse_color_list", "_parse_hex_color", "NAMED_COLORS"],
+        extra_globals={"np": np, "torch": __import__("torch")})
+    rng = _rng(22)
+    for _ in range(60):
+        colors = ", ".join(
+            "#%02x%02x%02x" % (rng.randrange(256), rng.randrange(256),
+                               rng.randrange(256))
+            for _ in range(rng.randrange(1, 6)))
+        size = rng.choice([8, 16, 25, 33])
+        mine = cube.build_palette_lut(colors, size)  # -> LutData
+        theirs = np.asarray(ref["_build_palette_lut"](colors, size))
+        assert mine.table.shape == theirs.shape, (colors, size)
+        assert np.allclose(mine.table, theirs, atol=1e-6), \
+            (colors, size)
