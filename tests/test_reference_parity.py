@@ -1434,3 +1434,85 @@ def test_cube_parser_and_palette_parity(tmp_path):
         assert mine.table.shape == theirs.shape, (colors, size)
         assert np.allclose(mine.table, theirs, atol=1e-6), \
             (colors, size)
+
+
+def test_adjust_cube_and_prepare_parity(tmp_path):
+    """Adjust-settings normalization, .cube parsing (incl. malformed
+    inputs), and the guided-enhance %8 index rule against the
+    reference's extracted functions."""
+    import numpy as np
+
+    from vrgdg_tpu.core import cube, params
+    from vrgdg_tpu.jobs import prepare_restore
+
+    lut_ref = load_reference("VRGDG_LUTVideoTools.py",
+                             ["_normalize_adjust_settings"])
+    rng = _rng(23)
+    adjust_keys = tuple(params._ADJUST_RANGES) + ("enabled", "junk")
+    for _ in range(300):
+        payload = {key: _rand_scalar(rng)
+                   for key in adjust_keys if rng.random() < 0.7}
+        theirs = lut_ref["_normalize_adjust_settings"](dict(payload))
+        mine = params.AdjustSettings.normalize(dict(payload))
+        for key, ref_value in theirs.items():
+            if hasattr(mine, key):
+                assert getattr(mine, key) == pytest.approx(ref_value), \
+                    (key, payload)
+
+    # .cube parse: valid + malformed inputs behave identically
+    iv_ref = load_reference(
+        "VRGDG_IV_Adjustments.py", ["VRGDG_LUTS"],
+        extra_globals={"np": np, "torch": __import__("torch"),
+                       "folder_paths": None})
+    parse_cube_ref = iv_ref["VRGDG_LUTS"]._parse_cube_file
+    for case in range(60):
+        size = rng.choice([2, 3, 4])
+        lines = [f"TITLE \"t{case}\"", f"LUT_3D_SIZE {size}"]
+        if rng.random() < 0.3:
+            lines.append("DOMAIN_MIN 0.0 0.0 0.0")
+            lines.append("DOMAIN_MAX 1.0 1.0 1.0")
+        values = size ** 3
+        if rng.random() < 0.25:  # malformed: wrong value count
+            values += rng.choice([-1, 1])
+        for _i in range(values):
+            lines.append(" ".join(f"{rng.random():.6f}"
+                                  for _ in range(3)))
+        if rng.random() < 0.2:
+            lines.insert(1, "LUT_1D_SIZE 4")  # rejected 1D marker
+        path = str(tmp_path / f"c{case}.cube")
+        open(path, "w").write("\n".join(lines) + "\n")
+        try:
+            ref_table = parse_cube_ref(path)
+        except Exception as error:  # noqa: BLE001
+            with pytest.raises(Exception):
+                cube.parse_cube(path)
+            _ = error
+        else:
+            mine = cube.parse_cube(path)
+            ref_np = np.asarray(ref_table[0] if isinstance(ref_table,
+                                                           tuple)
+                                else ref_table)
+            if ref_np.ndim == 4:
+                assert np.allclose(mine.table, ref_np, atol=1e-6)
+
+    # guided-enhance %8 != 1 conditioning rule
+    ve_ref = load_reference(
+        "VRGDG_VideoEnhanceNodes.py",
+        ["VRGDGVideoEnhanceCollectLTXInputs"],
+        extra_globals={"VIDEO_ENHANCE_CONTEXT": "VIDEO_ENHANCE_CONTEXT"})
+    safe_ref = ve_ref["VRGDGVideoEnhanceCollectLTXInputs"] \
+        ._safe_indices
+    for _ in range(300):
+        frame_count = rng.randrange(1, 300)
+        indices = sorted({rng.randrange(0, frame_count)
+                          for _ in range(rng.randrange(1, 8))})
+        try:
+            theirs = safe_ref(list(indices), frame_count)
+        except ValueError:
+            with pytest.raises(ValueError):
+                prepare_restore.safe_conditioning_indices(
+                    list(indices), frame_count)
+        else:
+            assert prepare_restore.safe_conditioning_indices(
+                list(indices), frame_count) == theirs, \
+                (indices, frame_count)
