@@ -1516,3 +1516,59 @@ def test_adjust_cube_and_prepare_parity(tmp_path):
             assert prepare_restore.safe_conditioning_indices(
                 list(indices), frame_count) == theirs, \
                 (indices, frame_count)
+
+
+def test_frame_batch_utils_parity():
+    """Pad-with-frame, trim-image-batch, the preroll helper, and the
+    batch splitter against the reference nodes (torch tensors in, numpy
+    comparisons out)."""
+    import numpy as np
+    import torch
+
+    from vrgdg_tpu.runtime import video_io
+
+    gv_ref = load_reference(
+        "GeneralVideoNodes.py",
+        ["VRGDG_PadVideoWithLastFrame", "VRGDG_TrimImageBatch"],
+        extra_globals={"torch": torch})
+    preroll_ref = load_reference("video_preroll.py",
+                                 ["add_preroll_frames"])
+    pad_node = gv_ref["VRGDG_PadVideoWithLastFrame"]()
+    trim_node = gv_ref["VRGDG_TrimImageBatch"]()
+    rng = _rng(24)
+
+    for _ in range(200):
+        frames = rng.randrange(0, 20)
+        batch = np.arange(frames * 4 * 4 * 3, dtype=np.float32) \
+            .reshape(frames or 1, 4, 4, 3)[:frames] \
+            if frames else np.zeros((0, 4, 4, 3), np.float32)
+        pad_frames = rng.randrange(0, 6)
+        pad_front = rng.random() < 0.5
+        theirs = pad_node.pad_video(torch.from_numpy(batch.copy()),
+                                    pad_frames, pad_front)[0].numpy()
+        mine = video_io.pad_frames_array(batch.copy(), pad_frames,
+                                         pad_front=pad_front)
+        assert np.array_equal(mine, theirs), (frames, pad_frames,
+                                              pad_front)
+
+        if frames:
+            frames_per_scene = rng.randrange(0, 25)
+            preroll = rng.randrange(0, 8)
+            chunk_index = rng.randrange(0, 3)
+            theirs = trim_node.run(torch.from_numpy(batch.copy()),
+                                   frames_per_scene, preroll,
+                                   chunk_index)[0].numpy()
+            mine = video_io.trim_image_batch(batch.copy(),
+                                             frames_per_scene,
+                                             preroll, chunk_index)
+            assert np.array_equal(mine, theirs), \
+                (frames, frames_per_scene, preroll, chunk_index)
+
+    for _ in range(100):
+        frames_per_scene = rng.randrange(1, 200)
+        chunk_index = rng.randrange(0, 4)
+        preroll = rng.randrange(0, 12)
+        assert video_io.add_preroll_frames(frames_per_scene,
+                                           chunk_index, preroll) == \
+            preroll_ref["add_preroll_frames"](frames_per_scene,
+                                              chunk_index, preroll)
