@@ -6,6 +6,11 @@ reference's pure functions are AST-extracted (tests/reference_oracle.py)
 and fuzz-compared against the framework's re-derivations on seeded
 random payloads, so behavioral parity is checked against the reference
 itself rather than against hand-written expectations.
+
+Divergences this harness caught (all fixed): SRT labels and other
+content fields losing trailing quotes to the path cleaner, drafts
+dropping the LLM-runner settings, and the enhancer output-name
+sanitizer drifting from the reference's basename/charset/length rules.
 """
 
 import random
