@@ -450,15 +450,11 @@ def parse_srt_segments(srt_text) -> list[dict]:
         label = label or f"Scene {len(segments) + 1}"
         segments.append({
             "id": f"srt_{len(segments) + 1}_{int(start * 1000)}",
-            "start": round(start, 3),
-            "end": round(end, 3),
+            "start": round(start, 3), "end": round(end, 3),
             "label": label[:80] or f"Scene {len(segments) + 1}",
             "notes": label,
-            "t2i_prompt": "",
-            "i2v_prompt": "",
-            "ref_image_path": "",
-            "use_vision_reference": False,
-            "image": None,
+            "t2i_prompt": "", "i2v_prompt": "", "ref_image_path": "",
+            "use_vision_reference": False, "image": None,
             "source": "srt",
         })
     return segments
@@ -2814,77 +2810,94 @@ def default_audio_srt_paths(output_root: str | None = None,
 # CapCut beat import
 # --------------------------------------------------------------------------
 
+def _capcut_dicts(field) -> list[dict]:
+    """The dict entries of a possibly-absent CapCut list field."""
+    return [item for item in (field or []) if isinstance(item, dict)]
+
+
+def _capcut_nonneg_seconds(raw, divisor: float) -> float | None:
+    """A CapCut time value scaled to seconds, 6-decimal rounded; None
+    for malformed or negative input."""
+    try:
+        seconds = float(raw or 0) / divisor
+    except (TypeError, ValueError):
+        return None
+    return round(seconds, 6) if seconds >= 0 else None
+
+
+def _capcut_audio_binding(draft: dict, materials: dict) -> tuple[dict, set]:
+    """The draft's primary audio binding: the material record behind the
+    first segment on any audio track, plus the set of extra-material ids
+    that segment references (markers/beats link through these)."""
+    segment: dict = {}
+    for track in _capcut_dicts(draft.get("tracks")):
+        if str(track.get("type") or "").lower() != "audio":
+            continue
+        segments = _capcut_dicts(track.get("segments"))
+        if segments:
+            segment = segments[0]
+            break
+    wanted = str(segment.get("material_id") or "")
+    # later duplicate ids shadow earlier ones, hence the reversed scan
+    material = next(
+        (item for item in reversed(_capcut_dicts(materials.get("audios")))
+         if str(item.get("id") or "") and str(item.get("id")) == wanted),
+        {})
+    refs = {str(v) for v in (segment.get("extra_material_refs") or [])
+            if str(v)}
+    return material, refs
+
+
+def _linked_first(items: list[dict], referenced: set) -> list[dict]:
+    """Entries whose id the audio segment references, else all of them."""
+    hits = [it for it in items if str(it.get("id") or "") in referenced]
+    return hits or items
+
+
 def extract_capcut_beats(draft, draft_path: str = "") -> dict | None:
     """Beat markers out of one CapCut draft JSON (``:2946-3025``):
-    timeline markers when they pair with the AI beat cache, otherwise
-    the raw cache times."""
+    timeline markers when they pair one-for-one (within 1) with the AI
+    beat cache, otherwise the raw cache times. The schema walk
+    (materials -> audios / tracks -> extra_material_refs ->
+    time_marks / beats -> ai_beats) is dictated by CapCut's draft
+    format; behavior is locked by the oracle fuzz suite."""
     if not isinstance(draft, dict):
         return None
     materials = (draft.get("materials")
                  if isinstance(draft.get("materials"), dict) else {})
-    audio_materials = {
-        str(item.get("id") or ""): item
-        for item in materials.get("audios", []) or []
-        if isinstance(item, dict) and str(item.get("id") or "")}
-    audio_segments = [
-        seg for track in draft.get("tracks", []) or []
-        if isinstance(track, dict)
-        and str(track.get("type") or "").lower() == "audio"
-        for seg in track.get("segments", []) or []
-        if isinstance(seg, dict)]
-    audio_segment = audio_segments[0] if audio_segments else {}
-    audio_material = audio_materials.get(
-        str(audio_segment.get("material_id") or ""), {})
-    referenced = {str(value) for value
-                  in audio_segment.get("extra_material_refs", []) or []
-                  if str(value)}
+    audio_material, referenced = _capcut_audio_binding(draft, materials)
 
-    time_marks = [item for item in materials.get("time_marks", []) or []
-                  if isinstance(item, dict)]
-    linked_marks = [item for item in time_marks
-                    if str(item.get("id") or "") in referenced]
-    marker_times = set()
-    for collection in linked_marks or time_marks:
-        for marker in collection.get("mark_items", []) or []:
-            if not isinstance(marker, dict):
-                continue
-            time_range = (marker.get("time_range")
-                          if isinstance(marker.get("time_range"), dict)
-                          else {})
-            try:
-                seconds = float(time_range.get("start") or 0) / 1e6
-            except (TypeError, ValueError):
-                continue
-            if seconds >= 0:
-                marker_times.add(round(seconds, 6))
-    marker_times = sorted(marker_times)
+    marker_times = sorted({
+        seconds
+        for collection in _linked_first(
+            _capcut_dicts(materials.get("time_marks")), referenced)
+        for marker in _capcut_dicts(collection.get("mark_items"))
+        for seconds in [_capcut_nonneg_seconds(
+            (marker.get("time_range")
+             if isinstance(marker.get("time_range"), dict)
+             else {}).get("start"), 1e6)]
+        if seconds is not None})
 
-    beat_materials = [item for item in materials.get("beats", []) or []
-                      if isinstance(item, dict)]
-    linked_beats = [item for item in beat_materials
-                    if str(item.get("id") or "") in referenced]
-    beat_material = (linked_beats or beat_materials or [{}])[0]
-    ai_beats = (beat_material.get("ai_beats")
-                if isinstance(beat_material.get("ai_beats"), dict)
+    beat_entries = _linked_first(_capcut_dicts(materials.get("beats")),
+                                 referenced) or [{}]
+    ai_beats = (beat_entries[0].get("ai_beats")
+                if isinstance(beat_entries[0].get("ai_beats"), dict)
                 else {})
-    cache_path = os.path.normpath(
-        _clean(ai_beats.get("beats_path")) or "")
-    cache_times, beat_values = [], []
+    cache_path = os.path.normpath(_clean(ai_beats.get("beats_path")) or "")
+    cache_times: list[float] = []
+    beat_values: list = []
     if cache_path and os.path.isfile(cache_path):
         cache = _read_json(cache_path)
         if isinstance(cache, dict):
-            for value in cache.get("time", []) or []:
-                try:
-                    seconds = float(value) / 1000.0
-                except (TypeError, ValueError):
-                    continue
-                if seconds >= 0:
-                    cache_times.append(round(seconds, 6))
-            beat_values = list(cache.get("value", []) or [])
+            cache_times = [
+                s for raw in (cache.get("time") or [])
+                for s in [_capcut_nonneg_seconds(raw, 1000.0)]
+                if s is not None]
+            beat_values = list(cache.get("value") or [])
 
-    if marker_times and (not cache_times
-                         or abs(len(marker_times)
-                                - len(cache_times)) <= 1):
+    markers_match_cache = (not cache_times
+                           or abs(len(marker_times) - len(cache_times)) <= 1)
+    if marker_times and markers_match_cache:
         beats, source = marker_times, "timeline_markers"
     else:
         beats, source = sorted(set(cache_times)), "ai_beat_cache"

@@ -48,18 +48,18 @@ _NUMBERED_KEY = (r"[A-Za-z_]*(?:Prompt|prompt|I2V|i2v|Motion|motion|"
                  r"Segments)")
 
 
+_TRUTHY = frozenset({"true", "1", "yes", "on", "y"})
+_FALSY = frozenset({"false", "0", "no", "off", "n", ""})
+
+
 def payload_bool(value, default: bool = False) -> bool:
-    if isinstance(value, bool):
-        return value
-    if value is None:
-        return default
-    if isinstance(value, (int, float)):
+    """Tolerant payload-boolean coercion (word lists per ``:554-566``)."""
+    if isinstance(value, (bool, int, float)):
         return bool(value)
-    text = str(value).strip().lower()
-    if text in {"true", "1", "yes", "on", "y"}:
-        return True
-    if text in {"false", "0", "no", "off", "n", ""}:
-        return False
+    if value is not None:
+        text = str(value).strip().lower()
+        if text in _TRUTHY or text in _FALSY:
+            return text in _TRUTHY
     return default
 
 

@@ -25,18 +25,10 @@ import numpy as np
 from .colorspace import LUMA_B, LUMA_G, LUMA_R
 
 NAMED_COLORS = {
-    "black": "#000000",
-    "white": "#ffffff",
-    "red": "#ff0000",
-    "green": "#00ff00",
-    "blue": "#0000ff",
-    "yellow": "#ffff00",
-    "cyan": "#00ffff",
-    "magenta": "#ff00ff",
-    "orange": "#ffa500",
-    "purple": "#800080",
-    "pink": "#ffc0cb",
-    "teal": "#008080",
+    "black": "#000000", "white": "#ffffff", "red": "#ff0000",
+    "green": "#00ff00", "blue": "#0000ff", "yellow": "#ffff00",
+    "cyan": "#00ffff", "magenta": "#ff00ff", "orange": "#ffa500",
+    "purple": "#800080", "pink": "#ffc0cb", "teal": "#008080",
 }
 
 SUPPORTED_LUT_EXTENSIONS = (".cube",)

@@ -289,14 +289,10 @@ def auto_batch_size(width: int, height: int) -> int:
     """Resolution-tiered frame batch size (reference:
     ``VRGDG_StandaloneVideoEnhancerNodes.py:200-210``)."""
     pixels = max(1, int(width) * int(height))
-    if pixels <= 1280 * 720:
-        return 16
-    if pixels <= 1920 * 1080:
-        return 8
-    if pixels <= 2560 * 1440:
-        return 4
-    if pixels <= 3200 * 1800:
-        return 2
+    for tier_pixels, batch in ((1280 * 720, 16), (1920 * 1080, 8),
+                               (2560 * 1440, 4), (3200 * 1800, 2)):
+        if pixels <= tier_pixels:
+            return batch
     return 1
 
 

@@ -561,12 +561,16 @@ def preview_frame(source_path: str, timestamp: float, settings,
     metadata = video_io.probe_video(source_path)
     capture = cv2.VideoCapture(source_path)
     try:
-        capture.set(cv2.CAP_PROP_POS_MSEC, max(0.0, float(timestamp)) * 1000.0)
-        ok, frame = capture.read()
-        if not ok:
-            capture.set(cv2.CAP_PROP_POS_FRAMES, 0)
+        # ms-accurate seek first, then fall back to the first frame
+        seeks = ((cv2.CAP_PROP_POS_MSEC,
+                  max(0.0, float(timestamp)) * 1000.0),
+                 (cv2.CAP_PROP_POS_FRAMES, 0.0))
+        for prop, position in seeks:
+            capture.set(prop, position)
             ok, frame = capture.read()
-        if not ok:
+            if ok:
+                break
+        else:
             raise RuntimeError("Could not decode the selected preview frame.")
     finally:
         capture.release()

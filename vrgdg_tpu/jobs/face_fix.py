@@ -49,7 +49,7 @@ import shutil
 import subprocess
 import time
 import uuid
-from typing import Callable, Sequence
+from typing import Callable, NamedTuple, Sequence
 
 import numpy as np
 
@@ -85,15 +85,20 @@ def box_iou(a, b) -> float:
 
 def expanded_region(box, width: int, height: int,
                     scale: float = 4.0) -> tuple[int, int, int, int]:
-    """Square re-scan window around the last tracked face (``:43-51``)."""
+    """Square re-scan window around the last tracked face.
+
+    Behavior spec (``:43-51``): a square of side ``scale`` x the box's
+    long edge, centered on the box, rounded to pixels, clipped to the
+    frame, and kept at least 1 px wide/tall even for degenerate input.
+    """
     x, y, w, h = box
-    cx, cy = x + w / 2.0, y + h / 2.0
-    side = max(w, h) * scale
-    left = max(0, int(round(cx - side / 2.0)))
-    top = max(0, int(round(cy - side / 2.0)))
-    right = min(width, int(round(cx + side / 2.0)))
-    bottom = min(height, int(round(cy + side / 2.0)))
-    return (left, top, max(left + 1, right), max(top + 1, bottom))
+    half = 0.5 * scale * max(w, h)
+    center = (x + 0.5 * w, y + 0.5 * h)
+    lo = [int(round(c - half)) for c in center]
+    hi = [int(round(c + half)) for c in center]
+    left, top = max(lo[0], 0), max(lo[1], 0)
+    right, bottom = min(hi[0], width), min(hi[1], height)
+    return (left, top, max(right, left + 1), max(bottom, top + 1))
 
 
 def initial_regions(width: int, height: int) -> list[tuple[int, int, int, int]]:
@@ -249,6 +254,80 @@ def smooth_box(previous, current, alpha: float = SMOOTH_ALPHA):
         return tuple(float(v) for v in current[:4])
     return tuple(previous[i] * (1.0 - alpha) + float(current[i]) * alpha
                  for i in range(4))
+
+
+class Observation(NamedTuple):
+    """One frame's tracking outcome (see :class:`FaceTracker`)."""
+    chosen: tuple | None   # (x, y, w, h, score) to composite, or None
+    detected: bool         # a real detection (not a carried ghost)
+    misses: int            # consecutive carried frames incl. this one
+    strength: float        # tracking-strength ladder value
+
+    @property
+    def carried(self) -> bool:
+        return self.chosen is not None and not self.detected
+
+
+class FaceTracker:
+    """Temporal single-face track with bounded dropout carry.
+
+    Independent re-derivation of the tracking *behavior* of
+    ``/root/reference/VRGDG_FaceFix.py:411-475``, expressed as explicit
+    track state instead of loop-local counters. The contract:
+
+    - a hit resets the carry counter, opens a new run when the track was
+      dormant (run ids increase globally across the clip), and EMA-smooths
+      the track box toward the detection;
+    - a miss while a track is live is tolerated for up to ``CARRY_LIMIT``
+      consecutive frames by re-issuing the current track box as a
+      zero-confidence ghost at decaying strength (``CARRY_STRENGTH``);
+    - one more miss drops the track and closes the run.
+    """
+
+    CARRY_LIMIT = 2
+    #: tracking-strength ladder: index = carried frames so far (a real
+    #: detection is strength 1.0, a lapsed track 0.0).
+    CARRY_STRENGTH = (0.65, 0.30)
+
+    def __init__(self) -> None:
+        self.box: tuple | None = None     # last smoothed (x, y, w, h)
+        self.misses = 0                   # carried frames in a row
+        self.run_id: int | None = None    # open run, None while dormant
+        self.runs_opened = 0
+        self.carried_frames = 0
+        self.skipped_frames = 0
+
+    def search_regions(self, width: int, height: int) -> list[tuple]:
+        """Where to look next frame: the standard tiling when dormant, a
+        4.5x window around the track otherwise (``:424-427``)."""
+        if self.box is None:
+            return initial_regions(width, height)
+        return [expanded_region(self.box, width, height, 4.5)]
+
+    def observe(self, hit: tuple | None) -> Observation:
+        """Advance the track by one frame given the selected detection
+        (or None) and return what to composite."""
+        if hit is not None:
+            if self.run_id is None:
+                self.run_id = self.runs_opened
+                self.runs_opened += 1
+            self.misses = 0
+            self.box = smooth_box(self.box, hit)
+            return Observation(hit, True, 0, 1.0)
+        if self.box is not None and self.misses < self.CARRY_LIMIT:
+            ghost = (*self.box, 0.0)
+            strength = self.CARRY_STRENGTH[self.misses]
+            self.misses += 1
+            self.carried_frames += 1
+            # Reference arithmetic smooths the box toward the ghost too
+            # (a float-exact no-op only up to EMA rounding).
+            self.box = smooth_box(self.box, ghost)
+            return Observation(ghost, False, self.misses, strength)
+        self.box = None
+        self.misses = 0
+        self.run_id = None
+        self.skipped_frames += 1
+        return Observation(None, False, 0, 0.0)
 
 
 def square_crop_box(face_box, width: int, height: int,
@@ -559,73 +638,46 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
     capture.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
 
     entries: list[dict] = []
-    previous_face = None
-    missed_count = 0
-    active_run = None
-    next_run_index = 0
-    carried_frames = skipped_frames = close_skipped_frames = 0
+    tracker = FaceTracker()
+    close_skipped_frames = 0
     try:
         for frame_number in range(start_frame, end_frame + 1):
             ok, frame = capture.read()
             if not ok:
                 break
-            regions = (initial_regions(width, height) if previous_face is None
-                       else [expanded_region(previous_face, width, height,
-                                             4.5)])
-            candidates = detect_with_rotation(detector, frame, confidence,
-                                              regions, rotation_assist)
-            chosen = select_tracked(candidates, previous_face, width, height,
-                                    minimum_pixels)
-            detected = chosen is not None
-            if detected:
-                missed_count = 0
-                if active_run is None:
-                    active_run = next_run_index
-                    next_run_index += 1
-            elif previous_face is not None and missed_count < 2:
-                # carry the last box through short detector dropouts
-                missed_count += 1
-                chosen = (*previous_face, 0.0)
-                carried_frames += 1
-            else:
-                chosen = None
-                previous_face = None
-                missed_count = 0
-                active_run = None
-                skipped_frames += 1
+            candidates = detect_with_rotation(
+                detector, frame, confidence,
+                tracker.search_regions(width, height), rotation_assist)
+            obs = tracker.observe(
+                select_tracked(candidates, tracker.box, width, height,
+                               minimum_pixels))
 
             base_name = f"frame_{frame_number:06d}.png"
             original_path = os.path.join(originals_folder, base_name)
             cv2.imwrite(original_path, frame)
-            tracking_strength = (1.0 if detected
-                                 else (0.65 if missed_count == 1
-                                       else (0.30 if missed_count == 2
-                                             else 0.0)))
             entry = {
                 "index": len(entries),
                 "frame_number": frame_number,
                 "time": frame_number / fps,
                 "original_path": original_path,
-                "detected": detected,
-                "carried": bool(chosen is not None and not detected),
-                "missed_count": (missed_count
-                                 if chosen is not None and not detected
-                                 else 0),
-                "run_index": active_run,
-                "confidence": float(chosen[4]) if chosen is not None else 0.0,
+                "detected": obs.detected,
+                "carried": obs.carried,
+                "missed_count": obs.misses if obs.carried else 0,
+                "run_index": tracker.run_id,
+                "confidence": (float(obs.chosen[4])
+                               if obs.chosen is not None else 0.0),
             }
-            if chosen is not None:
-                previous_face = smooth_box(previous_face, chosen)
-                face_width_percent = float(previous_face[2]) / width * 100.0
+            if obs.chosen is not None:
+                face_width_percent = float(tracker.box[2]) / width * 100.0
                 dist_strength = distance_repair_strength(
                     face_width_percent, repair_distance, custom_threshold)
-                entry["tracking_strength"] = tracking_strength
+                entry["tracking_strength"] = obs.strength
                 entry["distance_strength"] = dist_strength
                 entry["face_width_percent"] = face_width_percent
-                entry["composite_strength"] = tracking_strength * dist_strength
-                if detected and dist_strength <= 0.0:
+                entry["composite_strength"] = obs.strength * dist_strength
+                if obs.detected and dist_strength <= 0.0:
                     close_skipped_frames += 1
-                crop_box = square_crop_box(previous_face, width, height,
+                crop_box = square_crop_box(tracker.box, width, height,
                                            padding)
                 left, top, right, bottom = crop_box
                 crop = frame[top:bottom, left:right]
@@ -637,7 +689,7 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
                     "crop_path": crop_path,
                     "enhanced_path": os.path.join(enhanced_folder, base_name),
                     "crop_box": list(crop_box),
-                    "face_box": [round(v, 3) for v in previous_face],
+                    "face_box": [round(v, 3) for v in tracker.box],
                 })
             else:
                 entry.update({
@@ -655,7 +707,7 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
                                           or 16)))
     runs: list[dict] = []
     anchors: list[dict] = []
-    for run_index in range(next_run_index):
+    for run_index in range(tracker.runs_opened):
         run_entries = [e for e in entries if e.get("run_index") == run_index]
         if not run_entries:
             continue
@@ -734,19 +786,14 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
                          "range.")
 
     manifest = {
-        "version": 1,
-        "job_id": job_id,
+        "version": 1, "job_id": job_id,
         "video_path": video_path,
-        "project_folder": project_folder,
-        "job_folder": job_folder,
-        "fps": fps,
-        "width": width,
-        "height": height,
+        "project_folder": project_folder, "job_folder": job_folder,
+        "fps": fps, "width": width, "height": height,
         "total_video_frames": total_frames,
         "start_frame": start_frame,
         "end_frame": entries[-1]["frame_number"],
-        "start_time": start_time,
-        "end_time": end_time,
+        "start_time": start_time, "end_time": end_time,
         "whole_scene": whole_scene and not preview_only,
         "enhance_size": ENHANCE_SIZE,
         "anchor_interval": anchor_interval,
@@ -754,8 +801,8 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
         "runs": runs,
         "anchors": anchors,
         "ltx_settings": ltx_settings,
-        "carried_frames": carried_frames,
-        "skipped_frames": skipped_frames,
+        "carried_frames": tracker.carried_frames,
+        "skipped_frames": tracker.skipped_frames,
         "close_skipped_frames": close_skipped_frames,
         "settings": {
             "confidence": confidence,
@@ -781,8 +828,8 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
         "fps": fps,
         "start_frame": start_frame,
         "end_frame": entries[-1]["frame_number"],
-        "carried_frames": carried_frames,
-        "skipped_frames": skipped_frames,
+        "carried_frames": tracker.carried_frames,
+        "skipped_frames": tracker.skipped_frames,
         "close_skipped_frames": close_skipped_frames,
         "face_run_count": len(runs),
         "runs": runs,
@@ -839,14 +886,21 @@ def _encode_crop_video(crops_folder: str, output_path: str, fps: float,
 # accept endpoints
 # --------------------------------------------------------------------------
 
+def _picked(items, raw_index, what: str) -> int:
+    """Bounds-checked index into a manifest list (shared by the accept/
+    collect endpoints; IndexError text matches the reference routes)."""
+    index = int(-1 if raw_index is None else raw_index)
+    if not 0 <= index < len(items):
+        raise IndexError(f"Face Fix {what} is out of range: {index}")
+    return index
+
+
 def accept_enhanced_crop(payload) -> dict:
     """Collect one externally enhanced 512 crop into the manifest
     (``:641-687``)."""
     manifest_path, manifest = _load_manifest(payload)
-    index = int(payload.get("index", -1))
     entries = manifest.get("entries") or []
-    if index < 0 or index >= len(entries):
-        raise IndexError(f"Face Fix crop index is out of range: {index}")
+    index = _picked(entries, payload.get("index", -1), "crop index")
     source_path = _resolve_image_path(payload.get("image"))
     target_path = os.path.abspath(str(entries[index].get("enhanced_path")
                                       or ""))
@@ -875,14 +929,10 @@ def accept_enhanced_crop(payload) -> dict:
 def accept_enhanced_anchor(payload) -> dict:
     """Collect one enhanced anchor for a run (``:690-743``)."""
     manifest_path, manifest = _load_manifest(payload)
-    run_index = int(payload.get("run_index", -1))
     runs = manifest.get("runs") or []
-    if run_index < 0 or run_index >= len(runs):
-        raise IndexError(f"Face Fix run index is out of range: {run_index}")
-    order = int(payload.get("order", -1))
+    run_index = _picked(runs, payload.get("run_index", -1), "run index")
     anchors = runs[run_index].get("anchors") or []
-    if order < 0 or order >= len(anchors):
-        raise IndexError(f"Face Fix anchor order is out of range: {order}")
+    order = _picked(anchors, payload.get("order", -1), "anchor order")
     source_path = _resolve_image_path(payload.get("image"))
     target_path = os.path.abspath(str(anchors[order].get("enhanced_path")
                                       or ""))
@@ -920,10 +970,8 @@ def build_ltx_inputs(payload) -> dict:
     workflow JSON; the workflow itself is out of scope (SURVEY.md section
     2.5), so any external enhancer consumes this dict instead."""
     manifest_path, manifest = _load_manifest(payload)
-    run_index = int(payload.get("run_index", -1))
     runs = manifest.get("runs") or []
-    if run_index < 0 or run_index >= len(runs):
-        raise IndexError(f"Face Fix run index is out of range: {run_index}")
+    run_index = _picked(runs, payload.get("run_index", -1), "run index")
     run = runs[run_index]
     anchors = run.get("anchors") or []
     if not anchors or any(
@@ -974,10 +1022,8 @@ def accept_ltx_frames(payload) -> dict:
     import cv2
 
     manifest_path, manifest = _load_manifest(payload)
-    run_index = int(payload.get("run_index", -1))
     runs = manifest.get("runs") or []
-    if run_index < 0 or run_index >= len(runs):
-        raise IndexError(f"Face Fix run index is out of range: {run_index}")
+    run_index = _picked(runs, payload.get("run_index", -1), "run index")
     run = runs[run_index]
     all_entries = manifest.get("entries") or []
     entries = [e for e in all_entries if e.get("run_index") == run_index]

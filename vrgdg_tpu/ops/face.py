@@ -90,28 +90,23 @@ def padded_square_box(candidate: FaceCandidate, frame_width: int,
     distorted) back inside the frame."""
     side = max(candidate.width, candidate.height) \
         * (1.0 + 2.0 * float(crop_padding_factor))
-    side = max(float(minimum_face_pixels), side)
+    half = max(float(minimum_face_pixels), side) / 2.0
     cx = candidate.x + candidate.width / 2.0
     cy = candidate.y + candidate.height / 2.0
-    left = int(round(cx - side / 2.0))
-    top = int(round(cy - side / 2.0))
-    right = int(round(cx + side / 2.0))
-    bottom = int(round(cy + side / 2.0))
-    if left < 0:
-        right -= left
-        left = 0
-    if top < 0:
-        bottom -= top
-        top = 0
-    if right > frame_width:
-        left -= right - frame_width
-        right = frame_width
-    if bottom > frame_height:
-        top -= bottom - frame_height
-        bottom = frame_height
-    left, top = max(0, left), max(0, top)
-    right, bottom = min(frame_width, right), min(frame_height, bottom)
+    left, right = _shift_span(int(round(cx - half)), int(round(cx + half)),
+                              frame_width)
+    top, bottom = _shift_span(int(round(cy - half)), int(round(cy + half)),
+                              frame_height)
     return left, top, right, bottom
+
+
+def _shift_span(lo: int, hi: int, limit: int) -> tuple[int, int]:
+    """Translate ``[lo, hi)`` into ``[0, limit)`` preserving its length;
+    an oversized span is cropped to the full axis. Equivalent to the
+    shift-then-clamp sequence in the reference crop helpers."""
+    span = hi - lo
+    lo = max(0, min(lo, limit - span))
+    return lo, min(limit, lo + span)
 
 
 DetectorFn = Callable[["object", tuple[int, int, int, int]],

@@ -101,17 +101,12 @@ def probe_video(path) -> dict:
         capture.release()
     stat = os.stat(path)
     return {
-        "path": path,
-        "name": os.path.basename(path),
-        "width": width,
-        "height": height,
-        "fps": fps,
-        "frame_count": frame_count,
+        "path": path, "name": os.path.basename(path),
+        "width": width, "height": height,
+        "fps": fps, "frame_count": frame_count,
         "duration": frame_count / fps if frame_count > 0 else 0.0,
-        "codec": codec,
-        "has_audio": media_has_audio(path),
-        "size": int(stat.st_size),
-        "mtime": float(stat.st_mtime),
+        "codec": codec, "has_audio": media_has_audio(path),
+        "size": int(stat.st_size), "mtime": float(stat.st_mtime),
     }
 
 
