@@ -1606,3 +1606,240 @@ def test_srt_merger_parity():
         lyrics_json = __import__("json").dumps(lyrics)
         assert srt_tools.merge_srt_lyrics(srt_text, lyrics_json) == \
             merge_ref(srt_text, lyrics_json)[0], (srt_text, lyrics)
+
+
+def test_beat_scene_duration_parity(tmp_path):
+    """`generate_scene_srt` vs the reference `BeatSceneDurationNode`
+    (GeneralVideoNodes.py:2375-2748) across presets x seeds x synthetic
+    beat grids covering intros, forced windows, tail chunks, and the
+    short-first-scene merge. Compares the emitted SRT text verbatim
+    (same truncating timestamp format, same RNG consumption)."""
+    import json
+
+    from vrgdg_tpu.runtime.beats import SCENE_PRESETS, generate_scene_srt
+
+    ref = load_reference(
+        "GeneralVideoNodes.py", ["BeatSceneDurationNode"],
+        extra_globals={"__file__": str(tmp_path / "node.py"),
+                       "print": lambda *a, **k: None,
+                       "random": random})
+    node = ref["BeatSceneDurationNode"]()
+
+    rng = _rng(31)
+    for trial in range(90):
+        # beat grid: sorted times with mixed gaps; occasional big gaps
+        # trigger forced windows, a late first beat triggers intros
+        first = rng.choice([0.0, 0.0, rng.uniform(0.2, 14.0)])
+        times, cursor = [], first
+        for _ in range(rng.randrange(1, 40)):
+            times.append(round(cursor, 4))
+            gap = (rng.uniform(6.0, 28.0) if rng.random() < 0.12
+                   else rng.uniform(0.25, 2.2))
+            cursor += gap
+        beats = [{"time": t,
+                  "impact": round(rng.uniform(0.05, 1.0), 4),
+                  "downbeat": rng.random() < 0.25}
+                 for t in times]
+        duration = round(times[-1] + rng.choice(
+            [0.0, rng.uniform(0.1, 4.0), rng.uniform(4.0, 40.0)]), 4)
+        data = {"beats": beats, "duration": duration}
+        if rng.random() < 0.2:
+            del data["duration"]  # song_end falls back to the last beat
+
+        min_d = rng.choice([0.5, 1.0, 2.0, 3.0])
+        max_d = min_d + rng.choice([1.0, 3.0, 8.0])
+        bias = rng.choice([0.0, 0.3, 0.7, 1.0])
+        preset = SCENE_PRESETS[trial % len(SCENE_PRESETS)]
+        seed = trial * 13 + 5
+
+        ref_text, _ = node.generate(json.dumps(data), min_d, max_d, bias,
+                                    preset, seed, f"case_{trial}")
+        mine = generate_scene_srt(data, min_d, max_d, bias, preset, seed)
+        assert mine["srt_text"] == ref_text, \
+            (trial, preset, min_d, max_d, bias, seed, data)
+
+
+def _random_items_text(rng):
+    """Items text in one of the picker's accepted formats."""
+    words = ["push in", "orbit", "follow", "crane", "tilt-up", "low angle",
+             "wide", "macro", "dolly", ""]
+    count = rng.randrange(0, 7)
+    chosen = [rng.choice(words) for _ in range(count)]
+    style = rng.randrange(6)
+    if style == 0:
+        return "\n".join(chosen)
+    if style == 1:
+        return ", ".join(chosen)
+    if style == 2:
+        return " | ".join(w for w in chosen if w)
+    if style == 3:
+        return __import__("json").dumps([w for w in chosen if w])
+    if style == 4:
+        return __import__("json").dumps({"items": chosen})
+    return "\n\n".join(w for w in chosen if w)  # blank-line chunks
+
+
+def test_cycling_text_picker_parity():
+    """pick_text vs the reference VRGDG_CyclingTextPicker
+    (VRGDG_GeneralNodes.py:2473-2786) across formats, modes, seeds and
+    pick counts (incl. the cross-cycle no-repeat swap)."""
+    import ast as ast_mod
+
+    from vrgdg_tpu.runtime import text_pickers as tp
+
+    ref = load_reference("VRGDG_GeneralNodes.py",
+                         ["VRGDG_CyclingTextPicker"],
+                         extra_globals={"ast": ast_mod, "random": random})
+    node = ref["VRGDG_CyclingTextPicker"]()
+
+    rng = _rng(41)
+    modes = ("index", "random", "random no repeat", "weird")
+    splits = ("auto", "json/python", "line", "blank line", "comma", "pipe")
+    formats = ("auto", "lines", "comma", "sentence")
+    for trial in range(300):
+        items = _random_items_text(rng)
+        kwargs = dict(
+            index=rng.randrange(-3, 40),
+            items=items,
+            label=rng.choice(["", "Camera Motion", "  padded  "]),
+            max_items=rng.choice([0, 0, 1, 2, 5]),
+            split_mode=rng.choice(splits),
+            selection_mode=rng.choice(modes),
+            seed=rng.randrange(-5, 10**6),
+            multi_format=rng.choice(formats),
+            two_item_template=rng.choice(
+                ["", "start with {item1} then follow with {item2}",
+                 "{item2} after {item1}", "{items}!", "{broken"]),
+            keep_empty=rng.random() < 0.3,
+            pick_count=rng.choice([1, 1, 2, 3, 7]),
+        )
+        theirs = node.run(**kwargs)
+        mine = tp.pick_text(**kwargs)
+        assert (mine["formatted_text"], mine["selected_item"],
+                mine["selected_items"], mine["wrapped_index"],
+                mine["item_count"]) == theirs, (trial, kwargs)
+
+
+def test_multi_cycling_picker_parity():
+    """run_multi_picker vs VRGDG_MultiCyclingTextPicker
+    (VRGDG_GeneralNodes.py:2789-3144): presets, # directives, joiners."""
+    import ast as ast_mod
+
+    from vrgdg_tpu.runtime import text_pickers as tp
+
+    ref = load_reference("VRGDG_GeneralNodes.py",
+                         ["VRGDG_CyclingTextPicker",
+                          "VRGDG_MultiCyclingTextPicker"],
+                         extra_globals={"ast": ast_mod, "random": random})
+    node = ref["VRGDG_MultiCyclingTextPicker"]()
+
+    rng = _rng(42)
+    presets = list(tp.PRESET_ITEMS) + ["Custom", "Nope"]
+    for trial in range(80):
+        count = rng.randrange(0, 5)
+        joiner = rng.choice(["newline", "blank line", "comma", "pipe"])
+        kwargs, specs = {}, []
+        for i in range(1, count + 1):
+            items = rng.choice([
+                "", _random_items_text(rng),
+                "# LABEL: Vibe\n# PICK_COUNT: 2\nsunny\nrainy\nfoggy",
+                "# VRGDG_SELECTION_MODE: random\nup\ndown\nleft\nright",
+                "# TEMPLATE: {item1} into {item2}\nfast\nslow\nsteady",
+            ])
+            spec = dict(preset=rng.choice(presets), items=items,
+                        label=rng.choice(["", "L" + str(i)]),
+                        index=rng.randrange(0, 30),
+                        seed=rng.randrange(0, 999),
+                        selection_mode=rng.choice(
+                            ["index", "random", "random no repeat"]),
+                        two_item_template="start with {item1} then follow"
+                                          " with {item2}",
+                        pick_count=rng.choice([1, 1, 2, 3]))
+            specs.append(spec)
+            for key, value in spec.items():
+                kwargs[f"{key}_{i}"] = value
+        theirs = node.run(picker_count=count, joiner=joiner, **kwargs)
+        mine = tp.run_multi_picker(specs, joiner)
+        assert mine["combined_formatted_text"] == theirs[0], \
+            (trial, joiner, specs)
+        ref_results = __import__("json").loads(theirs[1]) if count else []
+        for got, want in zip(mine["results"], ref_results):
+            assert got["formatted_text"] == want["formatted_text"]
+            assert got["selected_items"] == want["selected_items"]
+            assert got["wrapped_index"] == want["wrapped_index"]
+
+
+def test_lora_dataset_pair_parity(tmp_path):
+    """save_pair / save_ic_pair vs the reference writers
+    (VRGDG_LoraDatasetCreatorNodes.py:262-338): identical folder layout,
+    file naming, caption files, and manifest/metadata JSON (timestamps
+    normalized, image payloads compared decoded)."""
+    import cv2
+    import numpy as np
+    from PIL import Image
+
+    from vrgdg_tpu.api import lora_dataset as lds
+
+    ref = load_reference(
+        "VRGDG_LoraDatasetCreatorNodes.py",
+        ["_save_pair", "_save_ic_pair", "_project_folders",
+         "_safe_dataset_folder"],
+        extra_globals={
+            "Image": Image,
+            "_resolve_comfy_image_path": lambda info: info["path"]
+            if isinstance(info, dict) else str(info),
+            "datetime": __import__("datetime").datetime,
+            "timezone": __import__("datetime").timezone,
+        })
+
+    def _png(name, value):
+        path = str(tmp_path / name)
+        cv2.imwrite(path, np.full((6, 6, 3), value, np.uint8))
+        return path
+
+    img_a, img_b = _png("a.png", 30), _png("b.png", 220)
+    rng = _rng(43)
+    theirs_root = str(tmp_path / "ref_proj")
+    mine_root = str(tmp_path / "my_proj")
+    for trial in range(12):
+        payload = {
+            "index": rng.choice([1, 1, 2, 3, trial + 1]),
+            "image": img_a if rng.random() < 0.5 else img_b,
+            "caption": rng.choice(["  a cat  ", "b", "", "multi word"]),
+            "art_style": "oil", "trigger_word": "zzq",
+            "trigger_phrase": "thick strokes", "seed": trial,
+            "concept": f"c{trial}", "prompt": f"p{trial}",
+        }
+        theirs = ref["_save_pair"]({**payload,
+                                    "dataset_folder": theirs_root})
+        mine = lds.save_pair({**payload, "dataset_folder": mine_root})
+        with open(theirs["caption_path"], encoding="utf-8") as handle:
+            want_caption = handle.read()
+        with open(mine["caption_path"], encoding="utf-8") as handle:
+            assert handle.read() == want_caption
+        want = __import__("json").load(open(theirs["manifest_path"]))
+        got = __import__("json").load(open(mine["manifest_path"]))
+        want.pop("updated_at"), got.pop("updated_at")
+        assert got == want, (trial, payload)
+        assert (np.array_equal(cv2.imread(theirs["image_path"]),
+                               cv2.imread(mine["image_path"])))
+
+    theirs_root2 = str(tmp_path / "ref_ic")
+    mine_root2 = str(tmp_path / "my_ic")
+    for trial in range(8):
+        payload = {
+            "index": rng.choice([1, 2, trial + 1]),
+            "reference": img_a, "target": img_b,
+            "instruction": rng.choice(["  make  it night ", "v",
+                                       "", "a  b\tc"]),
+        }
+        theirs = ref["_save_ic_pair"]({**payload,
+                                       "dataset_folder": theirs_root2})
+        mine = lds.save_ic_pair({**payload, "dataset_folder": mine_root2})
+        want = __import__("json").load(open(theirs["metadata_path"]))
+        got = __import__("json").load(open(mine["metadata_path"]))
+        assert got == want, (trial, payload)
+        with open(theirs["instruction_path"], encoding="utf-8") as handle:
+            want_line = handle.read()
+        with open(mine["instruction_path"], encoding="utf-8") as handle:
+            assert handle.read() == want_line

@@ -990,3 +990,52 @@ def test_editor_save_frame_and_storyboard_reference_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_release_notes_and_picker_and_lora_routes(tmp_path):
+    """Round-4 surfaces: health release summary, /vrgdg/update/status
+    (VRGDG_UpdateRoutes.py:65-93 schema), the LoRA pair store, and the
+    cycling-picker endpoints."""
+    src = str(tmp_path / "src.png")
+    cv2.imwrite(src, np.full((8, 8, 3), 90, np.uint8))
+
+    async def scenario():
+        app = create_app(base_folder=str(tmp_path / "root"))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            body = await (await client.get("/vrgdg/health")).json()
+            assert body["ok"] and body["product"] == "vrgdg_tpu"
+            assert body["latest_release"]["version"]
+
+            body = await (await client.get("/vrgdg/update/status")).json()
+            assert body["release_notes"]["schema_version"] == 1
+            assert isinstance(body["release_notes"]["releases"], list)
+            assert body["release_notes_source"] == "local"
+
+            resp = await client.post(
+                "/vrgdg/lora_dataset/save_pair",
+                json={"dataset_folder": str(tmp_path / "ds"),
+                      "index": 1, "image": src, "caption": "cap"})
+            body = await resp.json()
+            assert body["ok"] and os.path.isfile(body["image_path"])
+            body = await (await client.post(
+                "/vrgdg/lora_dataset/list",
+                json={"dataset_folder": str(tmp_path / "ds")})).json()
+            assert "image_001.png" in body["files"]
+
+            body = await (await client.post(
+                "/vrgdg/text_tools/pick",
+                json={"index": 1, "items": "a\nb\nc",
+                      "label": "Cam"})).json()
+            assert body["result"]["formatted_text"] == "Cam = b"
+            body = await (await client.post(
+                "/vrgdg/text_tools/multi_pick",
+                json={"pickers": [{"preset": "Weather", "index": 0}],
+                      "joiner": "comma"})).json()
+            assert body["result"]["combined_formatted_text"].startswith(
+                "Weather = ")
+        finally:
+            await client.close()
+
+    _run(scenario())

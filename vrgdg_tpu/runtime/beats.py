@@ -331,6 +331,15 @@ def format_srt_time(seconds: float) -> str:
             f"{whole % 60:02},{ms:03}")
 
 
+def _srt_text_roundtrip(seconds: float) -> float:
+    """``to_seconds(format_time(seconds))`` — format to SRT text and
+    parse back, exactly like the reference's merge helper
+    (``GeneralVideoNodes.py:2448-2451``)."""
+    clock, ms = format_srt_time(seconds).split(",")
+    hours, minutes, secs = (int(part) for part in clock.split(":"))
+    return hours * 3600 + minutes * 60 + secs + int(ms) / 1000.0
+
+
 def _render_srt(blocks: list[tuple[float, float]]) -> str:
     lines = []
     for index, (start, end) in enumerate(blocks, 1):
@@ -455,9 +464,20 @@ def generate_scene_blocks(beat_data: dict | str, min_duration: float = 2.0,
     if clock < song_end:
         blocks.append((clock, song_end))
 
-    if len(blocks) >= 2 and blocks[0][1] - blocks[0][0] < 1.5:
-        blocks = [(blocks[0][0], blocks[1][1])] + blocks[2:]
-        stats["merged_short_first"] = True
+    # Short-first-scene merge. The reference implements this by parsing
+    # its own rendered SRT text back into seconds
+    # (``GeneralVideoNodes.py:2453-2489``), so whenever the merge runs,
+    # EVERY boundary is quantized through the truncating millisecond
+    # format — which is not idempotent (2.0571 -> "02,057" -> 2.057 ->
+    # "02,056"). Reproduced faithfully: the merge decision uses the
+    # text-derived duration and a triggered merge rewrites all blocks
+    # with text-derived values (caught by the round-4 oracle fuzz).
+    if len(blocks) >= 2:
+        quantized = [(_srt_text_roundtrip(s), _srt_text_roundtrip(e))
+                     for s, e in blocks]
+        if quantized[0][1] - quantized[0][0] < 1.5:
+            blocks = [(quantized[0][0], quantized[1][1])] + quantized[2:]
+            stats["merged_short_first"] = True
     return blocks, stats
 
 

@@ -903,10 +903,76 @@ def create_app(base_folder: str | None = None,
                     ff.accept_ltx_frames)
     _face_fix_route("/vrgdg/face_fix/finalize", ff.finalize_face_fix)
 
+    # ---------------- LoRA dataset pair store ----------------
+    # Non-LLM slice of /root/reference/VRGDG_LoraDatasetCreatorNodes.py
+    # (:262-338): pair writers + manifest. LLM captioning and desktop
+    # folder pickers stay out of scope.
+
+    from ..api import lora_dataset as lds
+
+    def _flat_json_route(route_path, fn):
+        # reference-style flat {"ok": true, **result} responses
+        @routes.post(route_path)
+        @_handler
+        async def handler(request, _fn=fn):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(None, lambda: _fn(payload))
+            return _ok(**result)
+
+    _flat_json_route("/vrgdg/lora_dataset/save_pair", lds.save_pair)
+    _flat_json_route("/vrgdg/lora_dataset/save_ic_pair", lds.save_ic_pair)
+    _flat_json_route("/vrgdg/lora_dataset/list", lds.list_dataset)
+
+    # ---------------- cycling text pickers ----------------
+    # The reference exposes these as graph nodes only
+    # (VRGDG_GeneralNodes.py:2473-3151); here they get the natural HTTP
+    # surface for the same deterministic selection math.
+
+    from ..runtime import text_pickers as tp
+
+    _sync_json_route("/vrgdg/text_tools/pick",
+                     lambda p: tp.pick_text(
+                         p.get("index", 0), p.get("items", ""),
+                         label=p.get("label", ""),
+                         max_items=int(p.get("max_items", 0) or 0),
+                         split_mode=p.get("split_mode", "auto"),
+                         selection_mode=p.get("selection_mode", "index"),
+                         seed=p.get("seed", 0),
+                         multi_format=p.get("multi_format", "auto"),
+                         two_item_template=p.get(
+                             "two_item_template",
+                             tp.DEFAULT_TWO_ITEM_TEMPLATE),
+                         keep_empty=bool(p.get("keep_empty", False)),
+                         pick_count=int(p.get("pick_count", 1) or 1)))
+    _sync_json_route("/vrgdg/text_tools/multi_pick",
+                     lambda p: tp.run_multi_picker(
+                         p.get("pickers") or [],
+                         p.get("joiner", "newline")))
+
+    # ---------------- health + release notes ----------------
+    # Release-notes schema parity: VRGDG_UpdateRoutes.py:65-93 (the git
+    # self-update itself is excluded; this is the observability surface).
+
+    from ..release_notes import latest_release, load_release_notes
+
     @routes.get("/vrgdg/health")
     @_handler
     def health(request):
-        return _ok(version=_version(), backend=api.device_name())
+        notes, _source = load_release_notes()
+        latest = latest_release(notes) or {}
+        return _ok(version=_version(), backend=api.device_name(),
+                   product=notes.get("product"),
+                   latest_release={key: latest.get(key)
+                                   for key in ("version", "date", "title")}
+                   if latest else None)
+
+    @routes.get("/vrgdg/update/status")
+    @_handler
+    def update_status(request):
+        notes, source = load_release_notes()
+        return _ok(version=_version(), release_notes=notes,
+                   release_notes_source=source)
 
     # ---------------- web UI ----------------
     # Thin control panel standing in for the reference's ComfyUI browser
