@@ -95,3 +95,59 @@ def test_two_process_initialize_executes():
     # single-device reference bit-for-bit on both ranks
     assert "rank0 GRADE OK shape=(8, 12, 16, 3)" in outputs[0]
     assert "rank1 GRADE OK shape=(8, 12, 16, 3)" in outputs[1]
+
+
+def test_distributed_segment_scheduler_byte_identical(tmp_path):
+    """Two worker processes render the enhancer job's segments i::2 into
+    one shared job folder (atomic-commit protocol), rank 0 concats — and
+    the result is byte-identical to a single-process render of the same
+    job (SURVEY §2.7 "segment = shard unit"; VERDICT r3 item 3)."""
+    import subprocess
+    import sys
+
+    import cv2
+    import numpy as np
+
+    source = str(tmp_path / "clip.mp4")
+    writer = cv2.VideoWriter(source, cv2.VideoWriter_fourcc(*"mp4v"),
+                             12.0, (64, 48))
+    rng = np.random.default_rng(3)
+    for _ in range(240):  # 20 s @ 12 fps -> 4 segments of 5 s
+        writer.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "dist_render_worker.py")
+    dist_base = str(tmp_path / "dist")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(rank), "2", dist_base, source],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for rank in (0, 1)]
+    outputs = []
+    for rank, proc in enumerate(procs):
+        out, _ = proc.communicate(timeout=300)
+        outputs.append(out)
+        assert proc.returncode == 0, f"rank{rank} failed:\n{out[-2000:]}"
+    assert "rank1 SHARDS OK" in outputs[1]
+    dist_output = next(line.split("=", 1)[1]
+                       for line in outputs[0].splitlines()
+                       if line.startswith("OUTPUT="))
+
+    # single-process reference with identical settings
+    from tests.dist_render_worker import SETTINGS
+    from vrgdg_tpu.jobs import enhancer
+
+    single_base = str(tmp_path / "single")
+    registry = enhancer.JobRegistry()
+    enhancer.render_job("single_job",
+                        {"source_path": source,
+                         "settings": dict(SETTINGS)},
+                        registry=registry, base_folder=single_base)
+    snap = registry.snapshot("single_job")
+    assert snap["status"] == "complete", snap.get("error")
+
+    with open(dist_output, "rb") as handle:
+        dist_bytes = handle.read()
+    with open(snap["output_path"], "rb") as handle:
+        single_bytes = handle.read()
+    assert dist_bytes == single_bytes

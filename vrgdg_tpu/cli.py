@@ -86,6 +86,14 @@ def main(argv=None):
                    help="initialize jax.distributed first (multi-host; see "
                         "vrgdg_tpu.parallel.distributed for the env "
                         "contract)")
+    p.add_argument("--shard-index", type=int, default=None,
+                   help="segment-scheduler rank: render segments "
+                        "shard_index::shard_count into the shared job "
+                        "folder; rank 0 finalizes (run one process per "
+                        "rank with identical settings)")
+    p.add_argument("--shard-count", type=int, default=1)
+    p.add_argument("--job-id", default="shards",
+                   help="shared job id for --shard-index runs")
 
     p = sub.add_parser("face-fix", help="distant-face repair job engine")
     p.add_argument("action",
@@ -244,6 +252,12 @@ def main(argv=None):
         from .jobs import enhancer as enh
         payload = {"source_path": args.input,
                    "settings": json.loads(args.settings)}
+        if args.shard_index is not None:
+            result = enh.render_job_shards(
+                args.job_id, payload, args.shard_index, args.shard_count,
+                base_folder=args.output_root)
+            _print(result)
+            return
         snap = enh.start_render(payload, args.resume,
                                 base_folder=args.output_root)
         job_id = snap["job_id"]

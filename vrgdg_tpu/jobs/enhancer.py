@@ -497,6 +497,142 @@ def render_job(job_id: str, payload: dict, resume: bool = False,
                         message=f"Render failed: {exc}")
 
 
+def render_job_shards(job_id: str, payload: dict, process_index: int,
+                      process_count: int, registry: JobRegistry = JOBS,
+                      base_folder: str | None = None,
+                      wait_timeout: float = 900.0) -> dict:
+    """Distributed segment scheduler: shard *segments across processes*.
+
+    SURVEY.md section 2.7/5.7 ("segment = shard unit", the video analog of
+    context parallelism): every participating process computes the same
+    segment plan from the shared payload, rank ``i`` renders segments
+    ``i::process_count`` into the SHARED job folder using the same
+    ``.partial.mp4`` -> ``os.replace`` commit protocol as
+    :func:`render_job`, and rank 0 — whose committed-file scan is the
+    completion barrier — concatenates and finalizes once every segment
+    file exists. Within each rank's device step the frame axis may
+    additionally be mesh-sharded (``mesh_for_settings``), so the two
+    sharding levels compose.
+
+    Coordination is entirely filesystem-based (atomic renames on one
+    shared folder): no collective is needed because segments are
+    independent and the per-frame-seeded grain contract makes output
+    bytes independent of which process rendered which segment —
+    ``tests/test_distributed.py`` asserts the 2-process output is
+    byte-identical to the single-process one. Resume works per rank by
+    skipping committed files; a dead worker surfaces as rank 0's wait
+    timeout with the missing segment list.
+
+    Returns the final snapshot (rank 0) or a per-rank summary.
+    """
+    if process_count < 1 or not 0 <= process_index < process_count:
+        raise ValueError("process_index/process_count are inconsistent.")
+    cancel_event = registry.cancel_event(job_id)
+    job_folder = os.path.join(jobs_folder(base_folder), job_id)
+    segments_folder = os.path.join(job_folder, "segments")
+    os.makedirs(segments_folder, exist_ok=True)
+
+    source_path = video_io.normalize_video_path(payload.get("source_path"))
+    metadata = video_io.probe_video(source_path)
+    settings = EnhancerSettings.normalize(payload.get("settings"))
+    out_w, out_h = output_dimensions(metadata["width"], metadata["height"],
+                                     settings.upscale_resolution)
+    fingerprint = mf.settings_fingerprint(source_path, settings.to_dict(),
+                                          metadata["frame_count"])
+    mesh = mesh_for_settings(settings)
+    frames_per_segment = max(1, int(round(
+        float(metadata["fps"]) * settings.segment_seconds)))
+    total_segments = max(1, int(math.ceil(
+        metadata["frame_count"] / frames_per_segment)))
+
+    if process_index == 0:
+        # One manifest writer (rank 0) avoids read-modify-write races;
+        # completion truth is the committed segment files themselves.
+        mf.write_manifest(job_folder, {
+            "version": 1, "job_id": job_id, "fingerprint": fingerprint,
+            "source_path": source_path, "settings": settings.to_dict(),
+            "metadata": metadata, "process_count": process_count,
+            "total_segments": total_segments, "completed_segments": [],
+        })
+
+    def _committed(index: int) -> str:
+        return os.path.join(segments_folder, mf.segment_file_name(index))
+
+    mine = list(range(process_index, total_segments, process_count))
+    rendered = []
+    registry.update(job_id, status="running", stage="enhancing",
+                    process_index=process_index,
+                    process_count=process_count,
+                    total_segments=total_segments,
+                    segments_assigned=len(mine))
+    for segment_index in mine:
+        if cancel_event.is_set():
+            raise InterruptedError("Render canceled.")
+        segment_path = _committed(segment_index)
+        if os.path.isfile(segment_path):
+            continue  # resume: another run already committed it
+        start = segment_index * frames_per_segment
+        end = min(metadata["frame_count"], start + frames_per_segment)
+        partial_path = (segment_path
+                        + f".rank{process_index}.partial.mp4")
+        if os.path.isfile(partial_path):
+            os.remove(partial_path)
+        _render_segment(source_path, partial_path, start, end, metadata,
+                        settings, job_id, cancel_event, registry,
+                        mesh=mesh)
+        os.replace(partial_path, segment_path)
+        rendered.append(segment_index)
+
+    if process_index != 0:
+        registry.update(job_id, status="complete", stage="complete",
+                        message=f"rank {process_index} rendered "
+                                f"{len(rendered)} segment(s)")
+        return {"job_id": job_id, "process_index": process_index,
+                "segments_rendered": rendered}
+
+    # Rank 0: completion barrier = every segment file committed on disk.
+    deadline = time.time() + float(wait_timeout)
+    while True:
+        missing = [i for i in range(total_segments)
+                   if not os.path.isfile(_committed(i))]
+        if not missing:
+            break
+        if cancel_event.is_set():
+            raise InterruptedError("Render canceled.")
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"Distributed render timed out waiting for segments "
+                f"{missing[:8]}{'...' if len(missing) > 8 else ''} — a "
+                "worker process likely died; re-run to resume.")
+        time.sleep(0.2)
+
+    stem = os.path.splitext(settings.output_name)[0] or "enhanced_video"
+    output_name = f"{stem}_{time.strftime('%Y%m%d_%H%M%S')}.mp4"
+    output_path = os.path.join(root_folder(base_folder), output_name)
+    concat_result = video_io.concat_videos(
+        [_committed(i) for i in range(total_segments)], output_path,
+        metadata["fps"], out_w, out_h, source_audio_path=source_path,
+        preserve_audio=settings.preserve_audio, crf=settings.encode_crf,
+        preset=settings.encode_preset, cancel_event=cancel_event,
+        log_path=os.path.join(job_folder, "ffmpeg.log"))
+    output_metadata = video_io.probe_video(output_path)
+    mf.write_manifest(job_folder, {
+        "version": 1, "job_id": job_id, "fingerprint": fingerprint,
+        "source_path": source_path, "settings": settings.to_dict(),
+        "metadata": metadata, "process_count": process_count,
+        "total_segments": total_segments, "completed_segments": [],
+        "output_path": output_path, "status": "complete",
+        "checkpoints_cleaned": True,
+    })
+    shutil.rmtree(segments_folder, ignore_errors=True)
+    registry.update(job_id, status="complete", stage="complete",
+                    progress=1.0, output_path=output_path,
+                    output_metadata=output_metadata,
+                    encode_backend=concat_result["backend"],
+                    audio_preserved=concat_result["audio"])
+    return registry.snapshot(job_id)
+
+
 def start_render(payload: dict, resume_job_id: str = "",
                  registry: JobRegistry = JOBS,
                  base_folder: str | None = None) -> dict:
