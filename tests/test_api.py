@@ -161,3 +161,20 @@ def test_lut_catalog_examples_paired():
     assert len(catalog["luts"]) >= 12
     for item in catalog["luts"]:
         assert item["example_name"], f"{item['name']} has no example image"
+
+
+def test_dispatch_depth_invariance(media, tmp_path, monkeypatch):
+    """Pipelined dispatch (depth>1) must produce byte-identical output to
+    the synchronous loop (depth 1) — only scheduling changes."""
+    out1 = str(tmp_path / "d1.mp4")
+    out3 = str(tmp_path / "d3.mp4")
+    monkeypatch.setenv("VRGDG_DISPATCH_DEPTH", "1")
+    r1 = api.apply_lut_to_video(media["video"], "teal_orange.cube",
+                                output_path=out1, batch_size=3)
+    assert r1["dispatch_depth"] == 1
+    monkeypatch.setenv("VRGDG_DISPATCH_DEPTH", "3")
+    r3 = api.apply_lut_to_video(media["video"], "teal_orange.cube",
+                                output_path=out3, batch_size=3)
+    assert r3["dispatch_depth"] == 3
+    with open(out1, "rb") as a, open(out3, "rb") as b:
+        assert a.read() == b.read()

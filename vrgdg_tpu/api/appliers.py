@@ -17,6 +17,7 @@ import os
 import subprocess
 import tempfile
 import time
+from collections import deque
 
 import jax
 import numpy as np
@@ -111,6 +112,7 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
                            batch_size=8, replace_source=False,
                            thumbnail_path="", preserve_audio=True,
                            encode_crf=23, encode_preset="medium",
+                           dispatch_depth=2,
                            extra_fields: dict | None = None) -> dict:
     """Generic decode -> jitted effect -> encode loop with the reference's
     codec fallback, browser re-encode and telemetry semantics."""
@@ -133,14 +135,44 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
 
     metadata = video_io.probe_video(input_path)
     fps, width, height = metadata["fps"], metadata["width"], metadata["height"]
+    # VRGDG_DISPATCH_DEPTH overrides the pipelining depth (1 = the
+    # synchronous reference-style loop; used by the A/B harness)
+    dispatch_depth = int(os.environ.get("VRGDG_DISPATCH_DEPTH")
+                         or dispatch_depth)
     started = time.perf_counter()
     counters = {"frames": 0}
     timer = profiling.StageTimer()
 
     def producer():
+        import jax.numpy as jnp
+
         counters["frames"] = 0
         reader = video_io.VideoReader(input_path, batch_size=batch_size,
                                       as_float=False)
+        # JAX dispatch is asynchronous: submitting batch k+1 before
+        # forcing batch k's result overlaps its upload + compute with the
+        # previous download/encode (and with the next decode).  Depth 2 =
+        # classic double buffering; depth 1 reproduces the synchronous
+        # loop.  Output order is preserved by the FIFO.  On the remote
+        # tunnel this overlaps the two transfer directions; on
+        # direct-attached hardware it hides the (sub-ms) dispatch cost
+        # and keeps the chip busy during encode.
+        depth = max(1, int(dispatch_depth))
+        in_flight: deque = deque()
+
+        def submit(frame_index, batch):
+            # uint8 both ways across the host<->device hop (4x fewer
+            # bytes each direction); the [0,1] float math runs on
+            # device, bit-identical to the host paths
+            float_batch = video_io.dequantize_on_device(jnp.asarray(batch))
+            return video_io.quantize_on_device(effect(float_batch,
+                                                      frame_index))
+
+        def force(device_out):
+            out = np.asarray(device_out)
+            counters["frames"] += out.shape[0]
+            return out
+
         with reader, video_io.PrefetchingReader(reader) as prefetch:
             iterator = iter(prefetch)
             while True:
@@ -150,16 +182,15 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
                     break
                 frame_index, batch = item
                 with timer.stage("device"):
-                    # uint8 both ways across the host<->device hop (4x
-                    # fewer bytes each direction); the [0,1] float math
-                    # runs on device, bit-identical to the host paths
-                    import jax.numpy as jnp
-
-                    float_batch = video_io.dequantize_on_device(
-                        jnp.asarray(batch))
-                    out = np.asarray(video_io.quantize_on_device(
-                        effect(float_batch, frame_index)))
-                counters["frames"] += out.shape[0]
+                    in_flight.append(submit(frame_index, batch))
+                    if len(in_flight) < depth:
+                        continue
+                    out = force(in_flight.popleft())
+                with timer.stage("encode"):
+                    yield out
+            while in_flight:
+                with timer.stage("device"):
+                    out = force(in_flight.popleft())
                 with timer.stage("encode"):
                     yield out
 
@@ -199,6 +230,7 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
         "encoder": encoder,
         "browser_friendly": bool(ffmpeg_result.get("ok")),
         "ffmpeg_encode": ffmpeg_result,
+        "dispatch_depth": max(1, int(dispatch_depth)),
         # per-stage wall-clock breakdown (SURVEY section 5.1): decode =
         # waiting on the prefetching reader, device = jitted effect incl.
         # host<->device transfer, encode = cv2 write (downstream of yield)
