@@ -1,0 +1,108 @@
+"""Two-phase Pallas fused grade (kernels/grade_pallas) vs the XLA path.
+
+Runs in interpret mode on the CPU suite; the hardware PRNG is stubbed to
+zeros there, so grain-on cases check plumbing/clipping only and the
+numerics are locked with grain disabled (they share every other formula
+with the XLA path — same trilerp, LAB constants, clip points; only the
+stats reduction order differs). tests/tpu_checks.py repeats the
+comparison on the real chip including grain statistics.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vrgdg_tpu.core.cube import build_palette_lut
+from vrgdg_tpu.core.params import (ColorMatchParams, GrainParams, LUTParams,
+                                   SharpenParams)
+from vrgdg_tpu.ops.color_match import lab_statistics
+from vrgdg_tpu.ops.grade import GradeConfig, grade
+
+
+@pytest.fixture(scope="module")
+def stack():
+    lut = build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 17)
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.uniform(0, 1, (2, 32, 256, 3))
+                         .astype(np.float32))
+    reference = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3))
+                            .astype(np.float32))
+    return lut, frames, lab_statistics(reference)
+
+
+def _config(grain=None, **overrides):
+    base = dict(
+        lut=LUTParams.normalize(8.0),
+        color_match=ColorMatchParams.normalize(0.7),
+        sharpen=SharpenParams.normalize(1.5, border="zero"),
+        grain=grain,
+    )
+    base.update(overrides)
+    return GradeConfig(**base)
+
+
+def test_fused_pallas_matches_xla_without_grain(stack):
+    lut, frames, ref_stats = stack
+    want = grade(frames, _config(), lut=lut, ref_stats=ref_stats)
+    got = grade(frames, _config(fused_mode="pallas"), lut=lut,
+                ref_stats=ref_stats)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    err = float(jnp.max(jnp.abs(got - want)))
+    # identical formulas; only the LAB stats reduce in tile partials
+    assert err < 2e-5, err
+
+
+def test_fused_pallas_partial_strengths(stack):
+    lut, frames, ref_stats = stack
+    config = _config(lut=LUTParams.normalize(3.5),
+                     color_match=ColorMatchParams.normalize(0.25),
+                     sharpen=SharpenParams.normalize(6.0, border="zero"))
+    want = grade(frames, config, lut=lut, ref_stats=ref_stats)
+    got = grade(frames, GradeConfig(**{**config.__dict__,
+                                       "fused_mode": "pallas"}),
+                lut=lut, ref_stats=ref_stats)
+    assert float(jnp.max(jnp.abs(got - want))) < 2e-5
+
+
+def test_fused_pallas_grain_plumbing(stack):
+    """Interpreted PRNG emits zero bits -> Box-Muller yields a constant
+    noise field; assert the path runs, stays in range, and differs from
+    grain-off by a bounded amount."""
+    lut, frames, ref_stats = stack
+    grain = GrainParams.normalize(0.05, 0.5, seed=11)
+    got = grade(frames, _config(grain=grain, fused_mode="pallas"),
+                lut=lut, ref_stats=ref_stats, frame_start=7)
+    base = grade(frames, _config(fused_mode="pallas"), lut=lut,
+                 ref_stats=ref_stats)
+    assert float(jnp.min(got)) >= 0.0 and float(jnp.max(got)) <= 1.0
+    # zero-bit Box-Muller -> sqrt(-2 log 1) = 0 noise on u1=1... the
+    # stubbed stream keeps the delta within the intensity budget either way
+    assert float(jnp.max(jnp.abs(got - base))) <= 0.05 * 3.0 + 1e-6
+
+
+def test_fused_pallas_rejects_unsupported(stack):
+    lut, frames, ref_stats = stack
+    with pytest.raises(ValueError, match="color-match"):
+        grade(frames, GradeConfig(lut=LUTParams.normalize(8.0),
+                                  sharpen=SharpenParams.normalize(
+                                      1.5, border="zero"),
+                                  fused_mode="pallas"),
+              lut=lut, ref_stats=ref_stats)
+    with pytest.raises(ValueError, match="border"):
+        grade(frames, _config(sharpen=SharpenParams.normalize(1.5),
+                              fused_mode="pallas"),
+              lut=lut, ref_stats=ref_stats)
+    with pytest.raises(ValueError, match="height"):
+        grade(jnp.zeros((1, 30, 256, 3), jnp.float32),
+              _config(fused_mode="pallas"), lut=lut, ref_stats=ref_stats)
+
+
+def test_fused_pallas_rejected_on_mesh(stack):
+    from vrgdg_tpu.parallel import grade_on_mesh, make_mesh
+
+    lut, frames, ref_stats = stack
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="mesh"):
+        grade_on_mesh(frames, _config(fused_mode="pallas"), mesh, lut=lut,
+                      ref_stats=ref_stats)

@@ -1843,3 +1843,115 @@ def test_lora_dataset_pair_parity(tmp_path):
             want_line = handle.read()
         with open(mine["instruction_path"], encoding="utf-8") as handle:
             assert handle.read() == want_line
+
+
+def test_prompt_group_parsing_parity(tmp_path):
+    """parse_prompt_groups / build_batch_prompt / next_batch_file_index vs
+    the reference VRGDG_GeneralPromptBatcher's text math
+    (VRGDG_GeneralNodes.py:607-1035) across JSON, groups-array, near-JSON
+    and numbered plain-text inputs."""
+    import json as json_mod
+
+    from vrgdg_tpu.runtime import text_tools as tt
+
+    ref = load_reference(
+        "VRGDG_GeneralNodes.py", ["VRGDG_GeneralPromptBatcher"],
+        extra_globals={"folder_paths": None, "PromptServer": None,
+                       "any_typ": object(),
+                       "IMAGE2VIDEO_BATCH_FOLDER_PREFIX":
+                       "Image2Video_Batch_"})
+    node = ref["VRGDG_GeneralPromptBatcher"]()
+
+    rng = _rng(51)
+    labels = ["prompt", "segment", "group", "lyricSegment", "index",
+              "Scene", "x"]
+
+    def rand_groups_json(as_wrapper):
+        items = []
+        for i in range(rng.randrange(0, 6)):
+            style = rng.randrange(3)
+            if style == 0:
+                items.append({"index": rng.randrange(1, 9),
+                              "text": _rand_text(rng, 12)})
+            elif style == 1:
+                items.append({"name": f"{rng.choice(labels)}_"
+                                      f"{rng.randrange(1, 9)}",
+                              "value": _rand_text(rng, 8)})
+            else:
+                items.append(_rand_text(rng, 6))
+        if as_wrapper:
+            return json_mod.dumps({"story_summary": _rand_text(rng, 10),
+                                   "groups": items})
+        return json_mod.dumps(items)
+
+    def rand_plain():
+        lines = []
+        for i in range(rng.randrange(0, 8)):
+            style = rng.randrange(4)
+            if style == 0:
+                lines.append(f"{rng.randrange(1, 9)}: {_rand_text(rng, 6)}")
+            elif style == 1:
+                lines.append(f"{rng.choice(labels)} "
+                             f"{rng.randrange(1, 9)} - {_rand_text(rng, 5)}")
+            elif style == 2:
+                lines.append(_rand_text(rng, 6))
+            else:
+                lines.append("")
+        return "\n".join(lines)
+
+    def rand_near_json():
+        # objects with trailing commas / unquoted bits -> strict JSON fails
+        objs = []
+        for i in range(rng.randrange(1, 4)):
+            if rng.random() < 0.5:
+                objs.append('{"index": %d, "text": "%s",}'
+                            % (rng.randrange(1, 9), _rand_text(rng, 4)))
+            else:
+                objs.append('{"text": "%s"}' % _rand_text(rng, 4))
+        return '{"groups": [' + ", ".join(objs) + "]}"
+
+    cases = []
+    for _ in range(120):
+        kind = rng.randrange(5)
+        if kind == 0:
+            cases.append(rand_groups_json(True))
+        elif kind == 1:
+            cases.append(rand_groups_json(False))
+        elif kind == 2:
+            cases.append(rand_plain())
+        elif kind == 3:
+            cases.append(rand_near_json())
+        else:
+            cases.append(json_mod.dumps(
+                {f"{rng.choice(labels)}{rng.randrange(1, 9)}":
+                 _rand_text(rng, 5)
+                 for _ in range(rng.randrange(0, 5))}))
+    cases += ["", "   ", "{", "[]", "{}",
+              '{"groups": [', "{\n1: a\nb\n\n2: c"]
+    for case in cases:
+        assert tt.parse_prompt_groups(case) == \
+            node._parse_input_groups(case), case
+
+    # batch-prompt assembly
+    for _ in range(40):
+        grouped = {name: {i: (_rand_text(rng, 4) if rng.random() < 0.7
+                              else rng.choice(["", "{}", "null", None]))
+                          for i in range(1, 6)}
+                   for name in ("input_1", "input_2", "input_3",
+                                "input_4")}
+        indices = sorted(rng.sample(range(1, 6), rng.randrange(1, 5)))
+        g1 = rng.choice(["", "  ", _rand_text(rng, 6)])
+        g2 = rng.choice(["", _rand_text(rng, 6)])
+        assert tt.build_batch_prompt(indices, grouped, g1, g2) == \
+            node._build_prompt(indices, grouped, g1, g2)
+
+    # next batch file index
+    folder = tmp_path / "batches"
+    folder.mkdir()
+    assert tt.next_batch_file_index(str(folder), "Batch") == \
+        node._next_batch_index(str(folder), "Batch") == 0
+    for name in ("Batch_0.txt", "Batch_7.json", "Batch_3", "Other_9.txt",
+                 "Batch_x.txt"):
+        (folder / name).write_text("x")
+    assert tt.next_batch_file_index(str(folder), "Batch") == \
+        node._next_batch_index(str(folder), "Batch") == 8

@@ -322,6 +322,47 @@ def main() -> int:
     check("enhancer cancel->resume byte equality on chip",
           enhancer_cancel_resume_byte_equality)
 
+    def fused_pallas_grade_parity():
+        from vrgdg_tpu.core.cube import build_palette_lut
+        from vrgdg_tpu.core.params import (ColorMatchParams, GrainParams,
+                                           LUTParams, SharpenParams)
+        from vrgdg_tpu.ops.color_match import lab_statistics
+        from vrgdg_tpu.ops.grade import GradeConfig, grade
+
+        lut = build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 33)
+        rng = np.random.default_rng(9)
+        frames = jnp.asarray(rng.uniform(0, 1, (2, 144, 1152, 3))
+                             .astype(np.float32))
+        ref_stats = lab_statistics(jnp.asarray(
+            rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+        base = dict(lut=LUTParams.normalize(8.0),
+                    color_match=ColorMatchParams.normalize(0.7),
+                    sharpen=SharpenParams.normalize(1.5, border="zero"))
+        want = grade(frames, GradeConfig(**base), lut=lut,
+                     ref_stats=ref_stats)
+        got = grade(frames, GradeConfig(**base, fused_mode="pallas"),
+                    lut=lut, ref_stats=ref_stats)
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 2e-5, f"fused pallas diverged from XLA: {err}"
+
+        # with grain: real hardware noise obeying the channel contract
+        grain_cfg = GradeConfig(**base, fused_mode="pallas",
+                                grain=GrainParams.normalize(0.02, 1.0,
+                                                            seed=5))
+        noisy = grade(frames, grain_cfg, lut=lut, ref_stats=ref_stats)
+        noise = (np.asarray(noisy) - np.asarray(got)).reshape(-1, 3)
+        # clipping trims tails; check ordering and rough scale instead
+        stds = noise.std(axis=0)
+        assert stds[1] > 0.005, f"no grain noise: {stds}"
+        assert stds[0] > 1.4 * stds[1], f"R scaling missing: {stds}"
+        assert stds[2] > stds[0], f"B scaling missing: {stds}"
+        again = grade(frames, grain_cfg, lut=lut, ref_stats=ref_stats)
+        assert np.array_equal(np.asarray(noisy), np.asarray(again)), \
+            "fused pallas grain is not deterministic"
+
+    check("fused two-phase pallas grade parity + grain on chip",
+          fused_pallas_grade_parity)
+
     print("[tpu_checks] ALL OK")
     return 0
 

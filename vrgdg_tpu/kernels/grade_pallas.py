@@ -1,0 +1,369 @@
+"""Two-phase Pallas consumer for the fused grade stack (post-gather).
+
+The XLA fused grade (ops/grade.py) runs the post-gather stages —
+trilerp, color match (LAB stats + transfer), sharpen, grain — as ~4
+XLA loop fusions at ~62% HBM utilization plus data-formatting passes
+(BASELINE.md round-3 op profile). The color-match statistics force a
+full-batch barrier, so a single megakernel is impossible, but TWO
+kernels around that barrier cover everything after the LUT gather:
+
+- **Phase 1** (grid over flat pixel tiles): trilinear interpolation from
+  the compacted corner planes + LUT strength blend + RGB->CIELAB, writing
+  LAB planes and per-tile partial sums (sum, sum of squares per channel
+  per frame) for the statistics.
+- **XLA between**: reduce the partials to per-frame mean/std and fold the
+  whole color-match transfer into one affine map per channel:
+  ``lab' = A*lab + B`` with ``A = s*sigma_ref/sigma + (1-s)``,
+  ``B = s*(mu_ref - mu*sigma_ref/sigma)`` (a dozen scalars).
+- **Phase 2** (grid over (frame, row-tile)): affine LAB transfer ->
+  LAB->RGB -> clip -> unsharp (3x3 zero-border box mean, via a manually
+  DMA'd row window with one halo row each side) -> hardware-PRNG film
+  grain -> final clamp, writing channel planes.
+
+Numerics: identical formulas to the XLA path (same colorspace constants,
+same clip points); only reduction order (tile partials vs jnp.var) and
+the grain stream differ. Grain keeps the determinism contract — noise
+depends only on (seed + absolute frame index, row tile, position) — but
+draws from the hardware PRNG stream like kernels/grain_pallas, so
+outputs match the XLA path exactly only with grain disabled; with grain
+they match distributionally. Locked by tests/test_grade_pallas.py
+(interpret mode) and tests/tpu_checks.py (on chip).
+
+Supported config shape: LUT(bundle) + color match + unsharp(zero) +
+optional grain — exactly the benchmark's fused stack. ops/grade.py
+falls back to the XLA path for anything else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import colorspace as cs
+
+LANES = 128
+
+
+def _phase1_sublanes(pixels: int) -> int:
+    """Largest tile height (sublanes) that divides the flat pixel count:
+    big tiles amortize program boundaries (16-sublane tiles measured
+    69 ms/4K-batch vs XLA's 62 — overhead, not math)."""
+    rows = pixels // LANES
+    for sub in (128, 96, 80, 64, 48, 40, 32, 24, 16, 8):
+        if rows % sub == 0:
+            return sub
+    return 8
+P2_ROWS = 16              # phase-2 tile rows; part of the grain contract
+
+_TWO_PI = 6.283185307179586
+
+
+# --------------------------------------------------------------------------
+# colorspace on channel-plane blocks (same constants as core/colorspace)
+# --------------------------------------------------------------------------
+
+def _lab_from_rgb_planes(r, g, b):
+    def lin(x):
+        return jnp.where(x > 0.04045, ((x + 0.055) / 1.055) ** 2.4,
+                         x / 12.92)
+
+    rl, gl, bl = lin(r), lin(g), lin(b)
+    white = cs._XYZ_WHITE
+    m = cs._RGB2XYZ
+    t = [(rl * row[0] + gl * row[1] + bl * row[2]) / w
+         for row, w in zip(m, white)]
+
+    def ft(x):
+        # Mosaic has no cbrt primitive; the branch is only selected for
+        # x > eps ~ 0.009, where pow(x, 1/3) matches cbrt to ~1 ulp.
+        root = jnp.maximum(x, 1e-30) ** (1.0 / 3.0)
+        return jnp.where(x > cs._LAB_EPS, root,
+                         cs._LAB_KAPPA * x + cs._LAB_OFFSET)
+
+    fx, fy, fz = ft(t[0]), ft(t[1]), ft(t[2])
+    return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
+def _rgb_from_lab_planes(lab_l, lab_a, lab_b):
+    fy = (lab_l + 16.0) / 116.0
+    fx = lab_a / 500.0 + fy
+    fz = jnp.maximum(fy - lab_b / 200.0, 0.0)
+
+    def t_of(f):
+        return jnp.where(f > cs._LAB_FT_CUT, f ** 3,
+                         (f - cs._LAB_OFFSET) / cs._LAB_KAPPA)
+
+    white = cs._XYZ_WHITE
+    xyz = [t_of(f) * w for f, w in zip((fx, fy, fz), white)]
+    m = cs._XYZ2RGB
+
+    def srgb(row):
+        linear = jnp.maximum(
+            xyz[0] * row[0] + xyz[1] * row[1] + xyz[2] * row[2], 0.0)
+        return jnp.where(linear > 0.0031308,
+                         1.055 * linear ** (1.0 / 2.4) - 0.055,
+                         12.92 * linear)
+
+    return srgb(m[0]), srgb(m[1]), srgb(m[2])
+
+
+# --------------------------------------------------------------------------
+# phase 1: trilerp + blend + LAB + stat partials
+# --------------------------------------------------------------------------
+
+def _phase1_kernel(g_ref, frac_ref, src_ref, lab_ref, part_ref, *,
+                   batch: int, blend: float):
+    """Blocks: g (24B, S, 128) plane-major rows ((3j+c)*B + b);
+    frac/src (3B, S, 128) rows (axis_or_channel*B + b);
+    lab out (3B, S, 128) FRAME-major rows (b*3 + c);
+    partials out: (1, 8, 128) block per tile — Mosaic cannot store
+    scalars to VMEM, so the 6 sums per frame are placed on lanes
+    ``b*8 + {0..5}`` of a lane-masked vector ([sL, sa, sb, sL2, sa2,
+    sb2] per frame; every sublane carries the same value)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    acc = jnp.zeros((8, LANES), jnp.float32)
+    for b in range(batch):
+        fr = frac_ref[0 * batch + b]
+        fg = frac_ref[1 * batch + b]
+        fb = frac_ref[2 * batch + b]
+        out = []
+        for c in range(3):
+            def corner(j):
+                return g_ref[(3 * j + c) * batch + b]
+
+            c00 = corner(0) * (1.0 - fb) + corner(1) * fb
+            c01 = corner(2) * (1.0 - fb) + corner(3) * fb
+            c10 = corner(4) * (1.0 - fb) + corner(5) * fb
+            c11 = corner(6) * (1.0 - fb) + corner(7) * fb
+            c0 = c00 * (1.0 - fg) + c01 * fg
+            c1 = c10 * (1.0 - fg) + c11 * fg
+            graded = jnp.clip(c0 * (1.0 - fr) + c1 * fr, 0.0, 1.0)
+            src = src_ref[c * batch + b]
+            out.append(src * (1.0 - blend) + graded * blend)
+        lab = _lab_from_rgb_planes(*out)
+        for c in range(3):
+            lab_ref[b * 3 + c] = lab[c]
+            acc += jnp.where(lane == b * 8 + c, jnp.sum(lab[c]), 0.0)
+            acc += jnp.where(lane == b * 8 + 3 + c,
+                             jnp.sum(lab[c] * lab[c]), 0.0)
+    part_ref[0] = acc
+
+
+# --------------------------------------------------------------------------
+# phase 2: affine LAB transfer -> RGB -> unsharp -> grain
+# --------------------------------------------------------------------------
+
+def _uniform_from_bits(bits):
+    # Mosaic has no uint32->float32 convert; see kernels/grain_pallas.
+    mantissa = jax.lax.shift_right_logical(bits, jnp.uint32(9))
+    f = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
+    return 2.0 - f
+
+
+def _phase2_kernel(coeff_ref, seed_ref, lab_hbm, out_ref, scratch, sem,
+                   *, height: int, width: int, sharpen_strength: float,
+                   grain_intensity: float, saturation_mix: float):
+    """Grid (B, H // P2_ROWS). ``lab_hbm`` is the padded (B, 3, H+2, W)
+    LAB planes (one zero row top/bottom); scratch holds the DMA'd
+    (3, P2_ROWS + 2, W) window. Output block: (1, 3, P2_ROWS, W)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    # DMA slice sizes must be 8-aligned along the sublane dim, so copy a
+    # 24-row window (the array is padded to H + 8 rows); only the first
+    # P2_ROWS + 2 rows (center + one halo each side) are consumed.
+    dma = pltpu.make_async_copy(
+        lab_hbm.at[b, :, pl.ds(t * P2_ROWS, P2_ROWS + 8), :],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    # Affine color-match transfer, then LAB -> RGB (clipped).
+    lab = [scratch[c, :P2_ROWS + 2] * coeff_ref[b, c]
+           + coeff_ref[b, 3 + c] for c in range(3)]
+    rgb = [jnp.clip(p, 0.0, 1.0) for p in _rgb_from_lab_planes(*lab)]
+
+    # Rows outside the real frame contribute zero to the blur (border
+    # "zero"); padded-row LAB went through the affine map, so mask here.
+    shape = rgb[0].shape  # (P2_ROWS + 2, W)
+    row_global = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                  + t * P2_ROWS - 1)
+    in_frame = jnp.logical_and(row_global >= 0, row_global < height)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+    sharp = []
+    for p in rgb:
+        masked = jnp.where(in_frame, p, 0.0)
+        # horizontal 3-tap with zero outside [0, W): circular rolls with
+        # the wrapped column masked off
+        left = jnp.where(col == 0, 0.0, pltpu.roll(masked, 1, axis=1))
+        right = jnp.where(col == width - 1, 0.0,
+                          pltpu.roll(masked, shape[1] - 1, axis=1))
+        hsum = left + masked + right
+        # vertical 3-tap over the halo window -> center rows only
+        blur = (hsum[0:P2_ROWS] + hsum[1:P2_ROWS + 1]
+                + hsum[2:P2_ROWS + 2]) / 9.0
+        center = p[1:P2_ROWS + 1]
+        sharp.append(jnp.clip(
+            center + sharpen_strength * (center - blur), 0.0, 1.0))
+
+    if grain_intensity > 0.0:
+        pltpu.prng_seed(seed_ref[0] + b, t)
+        tile_shape = sharp[0].shape  # (P2_ROWS, W)
+        noise = []
+        for _c in range(3):
+            u1 = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits(tile_shape), jnp.uint32))
+            u2 = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits(tile_shape), jnp.uint32))
+            noise.append(jnp.sqrt(-2.0 * jnp.log(u1))
+                         * jnp.cos(_TWO_PI * u2))
+        gray = noise[1]
+        for c, channel_scale in enumerate((2.0, 1.0, 3.0)):
+            grain = (saturation_mix * noise[c] * channel_scale
+                     + (1.0 - saturation_mix) * gray)
+            out_ref[0, c] = jnp.clip(
+                sharp[c] + grain * grain_intensity, 0.0, 1.0)
+    else:
+        for c in range(3):
+            out_ref[0, c] = sharp[c]
+
+
+# --------------------------------------------------------------------------
+# host-side wiring
+# --------------------------------------------------------------------------
+
+def supported_shape(height: int, width: int) -> bool:
+    return height % P2_ROWS == 0 and width % LANES == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blend", "match_strength", "sharpen_strength",
+                     "grain_intensity", "saturation_mix", "interpret"))
+def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
+                      ref_std, seed_plus_start, *, blend: float,
+                      match_strength: float, sharpen_strength: float,
+                      grain_intensity: float, saturation_mix: float,
+                      interpret: bool = False):
+    """The full post-gather stack for a BHWC [0,1] batch.
+
+    XLA does coords + the corner-bundle gather (same code path and
+    layouts as ops/lut.apply_lut_bundle — the gather/relayout floor is
+    unchanged); the two Pallas phases replace the post-gather loop
+    fusions. Returns BHWC float32.
+    """
+    from jax import lax
+
+    from ..ops.lut import _BUNDLE_DNUMS
+
+    batch, height, width, _ = frames.shape
+    pixels = height * width
+    size = round(bundle.shape[0] ** (1.0 / 3.0))
+    max_index = size - 1
+
+    src = frames[..., :3].astype(jnp.float32)
+    pm = jnp.transpose(src.reshape(batch, pixels, 3), (2, 0, 1))
+    span = jnp.maximum(domain_max - domain_min, 1e-6)
+    coords = (jnp.clip((pm - domain_min[:, None, None])
+                       / span[:, None, None], 0.0, 1.0) * max_index)
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo = lo.astype(jnp.int32)
+    cell = (lo[2] * size + lo[1]) * size + lo[0]
+    g = lax.gather(bundle, cell[..., None], _BUNDLE_DNUMS,
+                   slice_sizes=(1, 24),
+                   mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    g = g.astype(jnp.float32)                      # (24, B, P)
+
+    sub = _phase1_sublanes(pixels)
+    tiles = pixels // (sub * LANES)
+    as_tiles = (lambda a, rows:
+                a.reshape(rows, tiles, sub, LANES))
+    g_t = as_tiles(g.reshape(24 * batch, pixels), 24 * batch)
+    frac_t = as_tiles(frac.reshape(3 * batch, pixels), 3 * batch)
+    src_t = as_tiles(pm.reshape(3 * batch, pixels), 3 * batch)
+
+    lab_t, partials = pl.pallas_call(
+        functools.partial(_phase1_kernel, batch=batch, blend=blend),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((24 * batch, 1, sub, LANES),
+                         lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * batch, 1, sub, LANES),
+                         lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * batch, 1, sub, LANES),
+                         lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3 * batch, 1, sub, LANES),
+                         lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3 * batch, tiles, sub, LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 8, LANES), jnp.float32),
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(g_t, frac_t, src_t)
+
+    # -------- stats barrier: partials -> per-frame affine (A, B) --------
+    # every sublane of a partials row carries the same masked value;
+    # read sublane 0, lanes [0, 8B)
+    sums = jnp.sum(partials[:, 0, :8 * batch], axis=0).reshape(batch, 8)
+    n = float(pixels)
+    mean = sums[:, 0:3] / n
+    var = jnp.maximum(sums[:, 3:6] - n * mean * mean, 0.0) / (n - 1.0)
+    std = jnp.sqrt(var) + 1e-5
+    rmean = ref_mean.reshape(-1, 3)
+    rstd = ref_std.reshape(-1, 3)
+    gain = rstd / std
+    a_coef = match_strength * gain + (1.0 - match_strength)
+    b_coef = match_strength * (rmean - mean * gain)
+    coeff = jnp.concatenate([a_coef, b_coef,
+                             jnp.zeros((batch, 2), jnp.float32)], axis=1)
+
+    # -------- phase 2 over a padded (B, 3, H+2, W) plane layout --------
+    lab_planes = lab_t.reshape(batch, 3, height, width)
+    # 1 halo row on top; 7 extra bottom rows so every tile's DMA window
+    # (P2_ROWS + 8 rows, 8-aligned) stays in bounds
+    lab_padded = jnp.pad(lab_planes, ((0, 0), (0, 0), (1, 7), (0, 0)))
+
+    out_planes = pl.pallas_call(
+        functools.partial(
+            _phase2_kernel, height=height, width=width,
+            sharpen_strength=sharpen_strength,
+            grain_intensity=grain_intensity,
+            saturation_mix=saturation_mix),
+        grid=(batch, height // P2_ROWS),
+        in_specs=[
+            # per-frame affine coefficients: whole (B, 8) scalar table in
+            # SMEM, indexed by the frame program id in-kernel (blocked
+            # specs must tile (8, 128) even in SMEM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 3, P2_ROWS, width),
+                               lambda b, t: (b, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 3, height, width),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, P2_ROWS + 8, width), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(coeff, seed_plus_start, lab_padded)
+
+    return jnp.transpose(out_planes, (0, 2, 3, 1))

@@ -91,6 +91,16 @@ class GradeConfig:
     # reference implementation and is rejected on mesh paths
     # (parallel/mesh.py) because its frame indexing uses pl.program_id.
     grain_mode: str = "threefry"
+    # "xla" (default) = the post-gather stages run as XLA loop fusions;
+    # "pallas" = the two-phase Pallas consumer (kernels/grade_pallas):
+    # trilerp+LAB+stat-partials, then affine-transfer+unsharp+grain.
+    # Only the benchmark's stack shape is supported (LUT bundle + color
+    # match + unsharp/zero + optional grain, 3-channel frames, H%16==0,
+    # W%128==0) — anything else raises.  Grain uses the hardware PRNG
+    # stream (same determinism contract, different stream), so outputs
+    # equal the XLA path exactly only with grain disabled.  Rejected on
+    # mesh paths for the same pl.program_id reason as grain_mode.
+    fused_mode: str = "xla"
 
     @property
     def any_enabled(self) -> bool:
@@ -98,9 +108,51 @@ class GradeConfig:
                     self.sharpen, self.grain))
 
 
+def _fused_pallas_supported(config: GradeConfig, frames) -> str:
+    """Empty string when the two-phase Pallas path can run, else why not."""
+    from ..kernels.grade_pallas import supported_shape
+
+    if config.lut is None or config.lut_mode != "bundle":
+        return "fused_mode='pallas' needs the bundle LUT stage enabled"
+    if config.adjust is not None:
+        return "fused_mode='pallas' does not support the adjust stage"
+    if config.color_match is None:
+        return "fused_mode='pallas' needs the color-match stage enabled"
+    if (config.sharpen is None or config.sharpen.kind != "unsharp"
+            or config.sharpen.border != "zero"):
+        return "fused_mode='pallas' needs sharpen kind='unsharp' border='zero'"
+    if frames.shape[-1] != 3:
+        return "fused_mode='pallas' needs 3-channel frames"
+    if not supported_shape(frames.shape[1], frames.shape[2]):
+        return ("fused_mode='pallas' needs height %% 16 == 0 and "
+                "width %% 128 == 0")
+    return ""
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _grade_impl(frames, config: GradeConfig, lut_table, domain_min,
                 domain_max, ref_mean, ref_std, frame_start):
+    if config.fused_mode == "pallas":
+        from ..kernels.grade_pallas import fused_post_gather
+
+        reason = _fused_pallas_supported(config, frames)
+        if reason:
+            raise ValueError(reason)
+        grain = config.grain if (config.grain is not None
+                                 and config.grain.intensity > 0) else None
+        seed_plus_start = (
+            jnp.asarray(0 if grain is None else grain.seed, jnp.int32)
+            + frame_start.astype(jnp.int32)).reshape(1)
+        return fused_post_gather(
+            frames, lut_table, domain_min, domain_max, ref_mean, ref_std,
+            seed_plus_start,
+            blend=min(max(float(config.lut.strength), 0.0), 10.0) / 10.0,
+            match_strength=float(config.color_match.match_strength),
+            sharpen_strength=float(config.sharpen.strength),
+            grain_intensity=0.0 if grain is None else float(grain.intensity),
+            saturation_mix=(0.5 if grain is None
+                            else float(grain.saturation_mix)),
+            interpret=jax.default_backend() != "tpu")
     out = frames
     if config.lut is not None:
         if config.lut_mode == "bundle":

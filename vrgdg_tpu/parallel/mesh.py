@@ -104,6 +104,11 @@ def grade_on_mesh(frames: jnp.ndarray, config, mesh: Mesh, *, lut=None,
     """
     from ..ops.grade import grade
 
+    if getattr(config, "fused_mode", "xla") == "pallas":
+        raise ValueError(
+            "fused_mode='pallas' is not supported on mesh-sharded grades "
+            "(its grain/tiling indexing uses pl.program_id); use the "
+            "default 'xla' fused mode.")
     if getattr(config, "grain_mode", "threefry") == "pallas" and \
             getattr(config, "grain", None) is not None:
         # The Pallas kernel derives absolute frame indices from

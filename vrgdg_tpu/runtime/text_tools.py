@@ -454,3 +454,252 @@ def clean_llm_chat_text(text) -> str:
                   for part in re.split(r"\n\s*\n", cleaned)
                   if part.strip()]
     return paragraphs[0] if paragraphs else cleaned
+
+
+# --------------------------------------------------------------------------
+# Prompt-group parsing (VRGDG_GeneralPromptBatcher, VRGDG_GeneralNodes.py
+# :607-1035): turn messy LLM output — JSON with a "groups" array,
+# near-JSON, numbered plain text — into an {index: text} mapping, plus
+# the batch-prompt assembly. The ComfyUI auto-queue/popup driver around
+# it stays out of scope; these are the deterministic text math.
+# --------------------------------------------------------------------------
+
+_GROUP_INDEX_RE = re.compile(
+    r'(?i)^\s*["\']?(?:lyricsegment|prompt|segment|group|index)'
+    r'\s*[_#:\-\s]*([0-9]+)')
+_LINE_GROUP_RE = re.compile(r"^\s*#?\s*([0-9]+)\s*[:.)-]\s*")
+_GROUPS_KEY_RE = re.compile(r'(?i)"groups"\s*:\s*\[')
+_NEAR_JSON_INDEX_RE = re.compile(r'(?i)"index"\s*:\s*([0-9]+)')
+_JSON_NOISE_LINES = frozenset(("[", "]", "{", "}", "],", "},"))
+
+
+def group_index_of(text, loose: bool = False):
+    """Leading group index of a label like ``prompt_3`` / ``Segment #2``
+    (``:716-731``); ``loose`` also accepts any bare number."""
+    if text is None:
+        return None
+    match = _GROUP_INDEX_RE.search(str(text))
+    if match:
+        return int(match.group(1))
+    if loose:
+        match = re.search(r"\b([0-9]+)\b", str(text))
+        if match:
+            return int(match.group(1))
+    return None
+
+
+def _index_from_record(record: dict):
+    for key in ("index", "id", "name"):
+        found = group_index_of(record.get(key), loose=True)
+        if found is not None:
+            return found
+    return None
+
+
+def _groups_from_json(data) -> dict:
+    """Decoded JSON -> {index: rendered text} (``:733-779``)."""
+    if isinstance(data, list):
+        out = {}
+        for position, item in enumerate(data, start=1):
+            if isinstance(item, dict):
+                index = _index_from_record(item)
+                out[position if index is None else index] = json.dumps(
+                    item, ensure_ascii=False, indent=2)
+            else:
+                out[position] = str(item).strip()
+        return {key: value for key, value in out.items() if value}
+    if isinstance(data, dict):
+        for key in ("groups", "items", "prompts", "segments", "lines"):
+            if isinstance(data.get(key), list):
+                return _groups_from_json(data[key])
+        out = {}
+        cursor = 1
+        for key, value in data.items():
+            index = group_index_of(key, loose=True)
+            if index is None and isinstance(value, dict):
+                index = _index_from_record(value)
+            if index is None:
+                while cursor in out:
+                    cursor += 1
+                index = cursor
+            rendered = (json.dumps(value, ensure_ascii=False, indent=2)
+                        if isinstance(value, (dict, list))
+                        else str(value).strip())
+            if rendered:
+                out[index] = rendered
+        return out
+    return {}
+
+
+def _balanced_span(text: str, start: int, open_ch: str,
+                   close_ch: str) -> int:
+    """End index (exclusive) of the bracketed span opening at ``start``,
+    honoring JSON string escapes; -1 when unterminated."""
+    depth = 0
+    in_string = False
+    escaped = False
+    for position in range(start, len(text)):
+        ch = text[position]
+        if in_string:
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
+                in_string = False
+            continue
+        if ch == '"':
+            in_string = True
+        elif ch == open_ch:
+            depth += 1
+        elif ch == close_ch:
+            depth -= 1
+            if depth == 0:
+                return position + 1
+    return -1
+
+
+def _groups_array_text(text: str):
+    """The balanced ``[...]`` following a ``"groups":`` key (``:837-871``);
+    an unterminated array returns the tail."""
+    match = _GROUPS_KEY_RE.search(text)
+    if not match:
+        return None
+    start = text.find("[", match.start())
+    if start < 0:
+        return None
+    end = _balanced_span(text, start, "[", "]")
+    return text[start:end] if end > 0 else text[start:]
+
+
+def _groups_from_near_json(groups_text: str) -> dict:
+    """Top-level ``{...}`` objects inside a groups-array text that fails
+    strict JSON (``:873-935``): decode each object alone, or fall back to
+    its raw text with a regex'd index."""
+    out = {}
+    cursor = 0
+    fallback_seq = 1
+    while True:
+        start = groups_text.find("{", cursor)
+        if start < 0:
+            break
+        end = _balanced_span(groups_text, start, "{", "}")
+        if end < 0:
+            break
+        raw = groups_text[start:end]
+        cursor = end
+        try:
+            obj = json.loads(raw)
+            index = group_index_of(obj.get("index"), loose=True)
+            rendered = json.dumps(obj, ensure_ascii=False, indent=2)
+        except Exception:
+            match = _NEAR_JSON_INDEX_RE.search(raw)
+            index = int(match.group(1)) if match else None
+            rendered = raw.strip()
+        if rendered:
+            out[fallback_seq if index is None else index] = rendered
+            fallback_seq += 1
+    return out
+
+
+def _groups_from_plain_text(text: str) -> dict:
+    """Numbered plain text -> groups (``:797-835``): explicit labels or
+    line-leading numbers open a group and collect following lines; with
+    no numbering, blank-line blocks (or single lines) are enumerated."""
+    out: dict[int, list] = {}
+    current = None
+    brace_pending = False
+    for line in text.splitlines():
+        raw = line.rstrip()
+        if not raw.strip():
+            continue
+        if raw.strip() == "{":
+            brace_pending = True
+            continue
+        index = group_index_of(raw)
+        if index is None:
+            match = _LINE_GROUP_RE.search(raw)
+            index = int(match.group(1)) if match else None
+        if index is not None:
+            current = index
+            out.setdefault(current, [])
+            if brace_pending:
+                out[current].append("{")
+                brace_pending = False
+            out[current].append(raw)
+        elif current is not None:
+            out[current].append(raw)
+    if out:
+        return {key: "\n".join(lines).strip()
+                for key, lines in out.items() if lines}
+    blocks = [block.strip() for block in re.split(r"\n\s*\n+", text)
+              if block.strip()]
+    if not blocks:
+        return {}
+    if len(blocks) == 1:
+        blocks = [line.strip() for line in text.splitlines()
+                  if line.strip()]
+    kept = [block for block in blocks
+            if block not in _JSON_NOISE_LINES]
+    return {position + 1: block for position, block in enumerate(kept)}
+
+
+def parse_prompt_groups(value) -> dict:
+    """Messy grouped-prompt text -> {index: text} (``_parse_input_groups``,
+    ``:937-963``): a ``"groups"`` array wins (strict JSON, then near-JSON
+    object scan, then plain-text parse INSIDE the array only — wrapper
+    keys like story_summary never leak); else whole-value JSON; else
+    plain text."""
+    if not isinstance(value, str):
+        return {}
+    cleaned = value.strip()
+    if not cleaned:
+        return {}
+    groups_text = _groups_array_text(cleaned)
+    if groups_text:
+        try:
+            return _groups_from_json(json.loads(groups_text))
+        except Exception:
+            near = _groups_from_near_json(groups_text)
+            return near or _groups_from_plain_text(groups_text)
+    if cleaned[:1] in "{[":
+        try:
+            return _groups_from_json(json.loads(cleaned))
+        except Exception:
+            pass
+    return _groups_from_plain_text(cleaned)
+
+
+def _meaningful_group_value(value) -> bool:
+    text = str(value).strip() if value is not None else ""
+    return bool(text) and text not in ("{}", "[]", '""', "null", "None")
+
+
+def build_batch_prompt(batch_indices, grouped_inputs, global_input_1=None,
+                       global_input_2=None) -> str:
+    """Assemble one batch prompt (``_build_prompt``, ``:1006-1022``):
+    global sections first, then per-group ``### Group N`` sections with
+    each non-empty input."""
+    sections = [text.strip() for text in (global_input_1, global_input_2)
+                if isinstance(text, str) and text.strip()]
+    for index in batch_indices:
+        parts = [f"### Group {index}"]
+        for name in ("input_1", "input_2", "input_3", "input_4"):
+            value = grouped_inputs.get(name, {}).get(index)
+            if _meaningful_group_value(value):
+                parts.append(f"{name}:\n{value}")
+        sections.append("\n\n".join(parts))
+    return "\n\n".join(sections).strip()
+
+
+def next_batch_file_index(output_path: str, file_prefix: str) -> int:
+    """Next ``{prefix}_N`` file number in a batch folder (``:970-987``)."""
+    if not os.path.isdir(output_path):
+        return 0
+    pattern = re.compile(rf"^{re.escape(file_prefix)}_(\d+)(?:\..+)?$")
+    highest = -1
+    for name in os.listdir(output_path):
+        match = pattern.match(name)
+        if match and os.path.isfile(os.path.join(output_path, name)):
+            highest = max(highest, int(match.group(1)))
+    return highest + 1
