@@ -189,6 +189,15 @@ def build_stack():
             sharpen=SharpenParams.normalize(1.5, border="zero"),
             grain=GrainParams.normalize(0.05, 0.5, seed=42),
             grain_mode="pallas"),
+        # the round-4 two-phase Pallas post-gather consumer
+        # (kernels/grade_pallas): same stack, kernels replace the XLA
+        # loop fusions after the gather
+        fused_pallas2=GradeConfig(
+            lut=LUTParams.normalize(8.0),
+            color_match=ColorMatchParams.normalize(0.7),
+            sharpen=SharpenParams.normalize(1.5, border="zero"),
+            grain=GrainParams.normalize(0.05, 0.5, seed=42),
+            fused_mode="pallas"),
         adjust_only=GradeConfig(adjust=AdjustSettings.normalize(
             {"exposure": 10, "contrast": 12, "saturation": 8,
              "vignette": 20})),
@@ -336,6 +345,7 @@ def main():
     if jax.default_backend() == "tpu":
         cfgs.append(("fused_4k_pallas_grain", "fused_pallas_grain",
                      2, 2160, 3840))
+        cfgs.append(("fused_4k_pallas2", "fused_pallas2", 2, 2160, 3840))
     for name, key, batch, h, w in cfgs:
         fps, used_batch = measure(steps[key], batch, h, w)
         detail[name] = {"fps": round(fps, 2), "batch": used_batch}
@@ -380,7 +390,15 @@ def main():
 
     oracle_fps = bench_oracle_cpu()
     a100_fps = a100_estimate()
+    # headline = the fastest supported implementation of the full stack:
+    # the two-phase Pallas consumer (fused_mode="pallas") when it beats
+    # the XLA fusion path (r4: 36.8 vs 32.0 fps on v5e)
     fused = detail["fused_4k"]["fps"]
+    headline_mode = "xla"
+    pallas2 = detail.get("fused_4k_pallas2", {}).get("fps", 0.0)
+    if pallas2 > fused:
+        fused = pallas2
+        headline_mode = "pallas-two-phase"
     log(f"[bench] oracle_cpu={oracle_fps:.3f} fps  "
         f"a100_estimate={a100_fps:.0f} fps (analytic)")
 
@@ -401,6 +419,7 @@ def main():
         "configs": detail,
         "stage_ms_per_4k_frame": stage_ms,
         "lut_mode": "bundle (exact trilinear, one row-gather/pixel)",
+        "headline_mode": headline_mode,
     }))
 
 

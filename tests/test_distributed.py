@@ -151,3 +151,29 @@ def test_distributed_segment_scheduler_byte_identical(tmp_path):
     with open(snap["output_path"], "rb") as handle:
         single_bytes = handle.read()
     assert dist_bytes == single_bytes
+
+
+def test_segment_scheduler_rank0_times_out_on_missing_worker(tmp_path):
+    """If a worker never commits its segments, rank 0's wait must fail
+    with the missing-segment diagnosis instead of hanging."""
+    import cv2
+    import numpy as np
+    import pytest
+
+    from tests.dist_render_worker import SETTINGS
+    from vrgdg_tpu.jobs import enhancer
+
+    source = str(tmp_path / "clip.mp4")
+    writer = cv2.VideoWriter(source, cv2.VideoWriter_fourcc(*"mp4v"),
+                             12.0, (48, 32))
+    for _ in range(120):  # 2 segments of 5 s
+        writer.write(np.zeros((32, 48, 3), np.uint8))
+    writer.release()
+
+    registry = enhancer.JobRegistry()
+    with pytest.raises(TimeoutError, match="segments"):
+        enhancer.render_job_shards(
+            "half_job", {"source_path": source,
+                         "settings": dict(SETTINGS)},
+            0, 2, registry=registry, base_folder=str(tmp_path / "base"),
+            wait_timeout=1.5)

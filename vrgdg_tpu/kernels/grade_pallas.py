@@ -94,7 +94,8 @@ def _rgb_from_lab_planes(lab_l, lab_a, lab_b):
     fz = jnp.maximum(fy - lab_b / 200.0, 0.0)
 
     def t_of(f):
-        return jnp.where(f > cs._LAB_FT_CUT, f ** 3,
+        # explicit multiplies: Mosaic lowers `f ** 3` as a pow
+        return jnp.where(f > cs._LAB_FT_CUT, f * f * f,
                          (f - cs._LAB_OFFSET) / cs._LAB_KAPPA)
 
     white = cs._XYZ_WHITE
@@ -115,10 +116,12 @@ def _rgb_from_lab_planes(lab_l, lab_a, lab_b):
 # phase 1: trilerp + blend + LAB + stat partials
 # --------------------------------------------------------------------------
 
-def _phase1_kernel(g_ref, frac_ref, src_ref, lab_ref, part_ref, *,
-                   batch: int, blend: float):
+def _phase1_kernel(domain_ref, g_ref, src_ref, lab_ref, part_ref, *,
+                   batch: int, blend: float, max_index: int):
     """Blocks: g (24B, S, 128) plane-major rows ((3j+c)*B + b);
-    frac/src (3B, S, 128) rows (axis_or_channel*B + b);
+    src (3B, S, 128) rows (channel*B + b); domain: SMEM (2, 3) carrying
+    [dmin, span] per channel — lattice fracs are recomputed from src
+    in-kernel, cheaper than round-tripping three frac planes to HBM;
     lab out (3B, S, 128) FRAME-major rows (b*3 + c);
     partials out: (1, 8, 128) block per tile — Mosaic cannot store
     scalars to VMEM, so the 6 sums per frame are placed on lanes
@@ -127,9 +130,18 @@ def _phase1_kernel(g_ref, frac_ref, src_ref, lab_ref, part_ref, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     acc = jnp.zeros((8, LANES), jnp.float32)
     for b in range(batch):
-        fr = frac_ref[0 * batch + b]
-        fg = frac_ref[1 * batch + b]
-        fb = frac_ref[2 * batch + b]
+
+        def frac_of(axis, _b=b):
+            # multiply by the precomputed reciprocal span: XLA computes
+            # the gather cell from the SAME expression, and multiplies
+            # (unlike divisions) round identically in both compilers, so
+            # the in-kernel frac can never disagree with the cell floor
+            coords = jnp.clip(
+                (src_ref[axis * batch + _b] - domain_ref[0, axis])
+                * domain_ref[1, axis], 0.0, 1.0) * float(max_index)
+            return coords - jnp.floor(coords)
+
+        fr, fg, fb = frac_of(0), frac_of(1), frac_of(2)
         out = []
         for c in range(3):
             def corner(j):
@@ -266,36 +278,42 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     size = round(bundle.shape[0] ** (1.0 / 3.0))
     max_index = size - 1
 
+    sub = _phase1_sublanes(pixels)
+    tiles = pixels // (sub * LANES)
+
+    # Everything below works in the kernel's tiled view from the start:
+    # ONE channel-extraction transpose lands (3, B, tiles, sub, 128),
+    # the coords/frac math stays in that layout, and the gather takes
+    # 4-D batch indices so its output is ALREADY (24, B, tiles, sub,
+    # 128) — the profiled round-1 version reshaped (24B, P) into tiles
+    # after the fact, and those relayouts cost ~12 ms/4K-batch.
     src = frames[..., :3].astype(jnp.float32)
-    pm = jnp.transpose(src.reshape(batch, pixels, 3), (2, 0, 1))
-    span = jnp.maximum(domain_max - domain_min, 1e-6)
-    coords = (jnp.clip((pm - domain_min[:, None, None])
-                       / span[:, None, None], 0.0, 1.0) * max_index)
-    lo = jnp.floor(coords)
-    frac = coords - lo
-    lo = lo.astype(jnp.int32)
-    cell = (lo[2] * size + lo[1]) * size + lo[0]
+    pm = jnp.transpose(src.reshape(batch, tiles, sub, LANES, 3),
+                       (4, 0, 1, 2, 3))
+    inv_span = 1.0 / jnp.maximum(domain_max - domain_min, 1e-6)
+    wide = (slice(None),) + (None,) * 4
+    coords = (jnp.clip((pm - domain_min[wide]) * inv_span[wide], 0.0, 1.0)
+              * max_index)
+    lo = jnp.floor(coords).astype(jnp.int32)
+    cell = (lo[2] * size + lo[1]) * size + lo[0]   # (B, tiles, sub, 128)
     g = lax.gather(bundle, cell[..., None], _BUNDLE_DNUMS,
                    slice_sizes=(1, 24),
                    mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    g = g.astype(jnp.float32)                      # (24, B, P)
+    g = g.astype(jnp.float32)              # (24, B, tiles, sub, 128)
 
-    sub = _phase1_sublanes(pixels)
-    tiles = pixels // (sub * LANES)
-    as_tiles = (lambda a, rows:
-                a.reshape(rows, tiles, sub, LANES))
-    g_t = as_tiles(g.reshape(24 * batch, pixels), 24 * batch)
-    frac_t = as_tiles(frac.reshape(3 * batch, pixels), 3 * batch)
-    src_t = as_tiles(pm.reshape(3 * batch, pixels), 3 * batch)
+    # merging the two leading dims keeps the physical layout
+    g_t = g.reshape(24 * batch, tiles, sub, LANES)
+    src_t = pm.reshape(3 * batch, tiles, sub, LANES)
+    domain = jnp.stack([domain_min.astype(jnp.float32),
+                        inv_span.astype(jnp.float32)])    # (2, 3)
 
     lab_t, partials = pl.pallas_call(
-        functools.partial(_phase1_kernel, batch=batch, blend=blend),
+        functools.partial(_phase1_kernel, batch=batch, blend=blend,
+                          max_index=max_index),
         grid=(tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((24 * batch, 1, sub, LANES),
-                         lambda t: (0, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * batch, 1, sub, LANES),
                          lambda t: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * batch, 1, sub, LANES),
@@ -315,7 +333,7 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
             jax.ShapeDtypeStruct((tiles, 8, LANES), jnp.float32),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(g_t, frac_t, src_t)
+    )(domain, g_t, src_t)
 
     # -------- stats barrier: partials -> per-frame affine (A, B) --------
     # every sublane of a partials row carries the same masked value;
