@@ -1955,3 +1955,50 @@ def test_prompt_group_parsing_parity(tmp_path):
         (folder / name).write_text("x")
     assert tt.next_batch_file_index(str(folder), "Batch") == \
         node._next_batch_index(str(folder), "Batch") == 8
+
+
+def test_save_text_concat_sidecar_parity(tmp_path):
+    """The concat saver's Prompt{N} sidecar math vs the reference class
+    (VRGDG_GeneralNodes.py:3152-3260)."""
+    import json as json_mod
+
+    from vrgdg_tpu.api import text_files as tfl
+
+    ref = load_reference("VRGDG_GeneralNodes.py",
+                         ["VRGDG_SaveTextAdvancedConcat"],
+                         extra_globals={"folder_paths": None,
+                                        "any_typ": object(),
+                                        "print": lambda *a, **k: None})
+    node = ref["VRGDG_SaveTextAdvancedConcat"]()
+
+    rng = _rng(61)
+    texts = ["", "  ", "a\n\nb", "line\n  \ntrail  ", "one",
+             "x\r\ny", None, {"k": "v"}]
+    for case in texts:
+        assert tfl._clean_prompt_for_json(case) == \
+            node._clean_prompt_for_json(case), case
+
+    for trial in range(40):
+        existing = {f"Prompt{rng.randrange(1, 9)}": _rand_text(rng, 5)
+                    for _ in range(rng.randrange(0, 5))}
+        if rng.random() < 0.4:
+            existing["oddKey"] = _rand_text(rng, 3)
+        if rng.random() < 0.3:
+            existing[f"Prompt{rng.randrange(1, 9)}"] = "   "
+        json_path = str(tmp_path / f"sc_{trial}.json")
+        if rng.random() < 0.8:
+            with open(json_path, "w", encoding="utf-8") as handle:
+                json_mod.dump(existing, handle)
+        fallback = rng.choice(["", "fallback text\n\nmore"])
+        want_state = node._load_existing_prompt_json(json_path, fallback)
+        got_state = tfl._prompt_sidecar_state(json_path, fallback)
+        assert got_state == want_state, (trial, existing)
+        addition = rng.choice(["", "new  \n\nprompt", "solo"])
+        want_json, want_str = node._build_prompt_json(want_state, addition)
+        got = dict(got_state)
+        cleaned = tfl._clean_prompt_for_json(addition)
+        if cleaned:
+            got[f"Prompt{len(got) + 1}"] = cleaned
+        assert got == want_json
+        assert json_mod.dumps(got, ensure_ascii=False,
+                              indent=2) == want_str

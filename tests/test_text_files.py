@@ -9,6 +9,8 @@ VRGDG_GeneralNodes2.py:1220-1250 (ConceptPrompts handoff).
 import os
 import time
 
+import json
+
 import pytest
 
 from vrgdg_tpu.api import text_files as tfl
@@ -114,3 +116,55 @@ def test_shared_concept_prompts(tmp_path):
          "w").write('{"Prompt1": "hi"}')
     result = tfl.load_shared_concept_prompts(root)
     assert "Prompt1" in result["text"]
+
+
+def test_save_text_advanced_incremental_and_overwrite(tmp_path):
+    from vrgdg_tpu.api import text_files as tfl
+
+    root = str(tmp_path)
+    first = tfl.save_text_advanced(
+        {"folder_name": "story", "file_name": "scene", "text": "one"},
+        output_root=root)
+    second = tfl.save_text_advanced(
+        {"folder_name": "story", "file_name": "scene", "text": "two"},
+        output_root=root)
+    assert first["file_path"].endswith("scene_001.txt")
+    assert second["file_path"].endswith("scene_002.txt")
+    over = tfl.save_text_advanced(
+        {"folder_name": "story", "file_name": "scene", "text": "o",
+         "overwrite": True}, output_root=root)
+    assert over["file_path"].endswith(os.sep + "scene.txt")
+    # dict payloads render as pretty JSON
+    data = tfl.save_text_advanced(
+        {"folder_name": "story", "file_name": "j", "text": {"a": 1},
+         "overwrite": True}, output_root=root)
+    assert json.loads(data["text"]) == {"a": 1}
+
+
+def test_save_text_concat_appends_and_numbers_sidecar(tmp_path):
+    from vrgdg_tpu.api import text_files as tfl
+
+    root = str(tmp_path)
+    base = {"folder_name": "story", "file_name": "tale", "concat": True}
+    one = tfl.save_text_concat({**base, "text": "chapter one\n"},
+                               output_root=root)
+    assert one["text"] == "chapter one\n"
+    assert one["json"] == {"Prompt1": "chapter one"}
+    two = tfl.save_text_concat({**base, "text": "\nchapter two"},
+                               output_root=root)
+    assert two["text"] == "chapter one\n\nchapter two"
+    assert two["json"] == {"Prompt1": "chapter one",
+                           "Prompt2": "chapter two"}
+    with open(two["file_path"], encoding="utf-8") as handle:
+        assert handle.read() == two["text"]
+    # empty addition keeps the existing text and sidecar
+    three = tfl.save_text_concat({**base, "text": ""}, output_root=root)
+    assert three["text"] == two["text"]
+    assert three["json"] == two["json"]
+    # sidecar renumbering skips blank entries and odd keys
+    with open(two["json_path"], "w", encoding="utf-8") as handle:
+        json.dump({"Prompt3": "c", "Prompt1": "a", "weird": "w",
+                   "Prompt2": "  "}, handle)
+    four = tfl.save_text_concat({**base, "text": "d"}, output_root=root)
+    assert four["json"] == {"Prompt1": "a", "Prompt2": "c",
+                            "Prompt3": "w", "Prompt4": "d"}

@@ -23,6 +23,7 @@ routes:
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -231,3 +232,142 @@ def load_shared_concept_prompts(output_root=None) -> dict:
     with open(path, "r", encoding="utf-8-sig") as handle:
         # response contract: {"text", "path"} (GeneralVideoNodes2:1246)
         return {"path": path, "text": handle.read()}
+
+
+# ------------------------------------------------------------------
+# advanced text savers (VRGDG_SaveTextAdvanced :1922-1960,
+# VRGDG_SaveTextAdvancedConcat :3152-3260)
+# ------------------------------------------------------------------
+
+def coerce_text_payload(text) -> str:
+    """Tolerant text coercion (``_coerce_text_payload``, ``:1852-1859``):
+    dict/list payloads render as pretty JSON."""
+    if text is None:
+        return ""
+    if isinstance(text, str):
+        return text
+    if isinstance(text, (dict, list)):
+        return json.dumps(text, ensure_ascii=False, indent=2)
+    return str(text)
+
+
+def next_incremental_file_name(folder_path: str, base_name: str) -> str:
+    """``{base}_NNN.txt`` with the next free number.
+
+    The reference's non-overwrite save calls
+    ``_next_incremental_prefixed_file_name`` (``:1948``, ``:3222``) which
+    is never defined anywhere in the pack — a latent NameError on that
+    branch. This implements the evidently intended behavior (numbered
+    siblings that never clobber) rather than the crash."""
+    taken = set()
+    pattern = re.compile(rf"^{re.escape(base_name)}_(\d+)\.txt$",
+                         re.IGNORECASE)
+    if os.path.isdir(folder_path):
+        for name in os.listdir(folder_path):
+            match = pattern.match(name)
+            if match:
+                taken.add(int(match.group(1)))
+    number = 1
+    while number in taken:
+        number += 1
+    return f"{base_name}_{number:03d}.txt"
+
+
+def _manual_folder(folder_name, output_root=None) -> str:
+    folder = os.path.normpath(os.path.join(
+        text_files_root(output_root), sanitize_segment(folder_name)))
+    os.makedirs(folder, exist_ok=True)
+    return folder
+
+
+def save_text_advanced(payload: dict, output_root=None) -> dict:
+    """Folder-based text save with overwrite/incremental naming
+    (``VRGDG_SaveTextAdvanced.run``, ``:1942-1960``)."""
+    folder = _manual_folder(payload.get("folder_name", "story"),
+                            output_root)
+    base = sanitize_segment(payload.get("file_name", "text"), "text")
+    if payload.get("overwrite"):
+        name = f"{base}.txt"
+    else:
+        name = next_incremental_file_name(folder, base)
+    path = os.path.normpath(os.path.join(folder, name))
+    text = coerce_text_payload(payload.get("text"))
+    with open(path, "w", encoding="utf-8") as handle:
+        handle.write(text)
+    return {"text": text, "file_path": path}
+
+
+def _clean_prompt_for_json(text) -> str:
+    """Drop blank lines / trailing whitespace (``:3171-3176``)."""
+    return "\n".join(line.rstrip()
+                     for line in str(text or "").splitlines()
+                     if line.strip()).strip()
+
+
+def _prompt_sidecar_state(json_path: str, existing_text: str) -> dict:
+    """Renumbered ``Prompt{N}`` mapping from the JSON sidecar, falling
+    back to the existing text as Prompt1 (``:3178-3204``)."""
+    if os.path.isfile(json_path):
+        try:
+            with open(json_path, "r", encoding="utf-8") as handle:
+                loaded = json.load(handle)
+            if isinstance(loaded, dict):
+                def order_key(key):
+                    return (int(key[6:])
+                            if re.fullmatch(r"Prompt\d+", key) else 999999)
+
+                prompts = [str(loaded[key])
+                           for key in sorted(loaded, key=order_key)
+                           if str(loaded[key]).strip()]
+                if prompts:
+                    return {f"Prompt{i}": prompt
+                            for i, prompt in enumerate(prompts, start=1)}
+        except Exception:
+            pass
+    cleaned = _clean_prompt_for_json(existing_text)
+    return {"Prompt1": cleaned} if cleaned else {}
+
+
+def save_text_concat(payload: dict, output_root=None) -> dict:
+    """Concat-mode story saver with a ``Prompt{N}`` JSON sidecar
+    (``VRGDG_SaveTextAdvancedConcat.run``, ``:3212-3260``): concat
+    appends with a blank-line separator and extends the sidecar; plain
+    saves follow the advanced naming rules."""
+    folder = _manual_folder(payload.get("folder_name", "story"),
+                            output_root)
+    base = sanitize_segment(payload.get("file_name", "story"), "text")
+    concat = bool(payload.get("concat"))
+    if concat or payload.get("overwrite"):
+        name = f"{base}.txt"
+    else:
+        name = next_incremental_file_name(folder, base)
+    path = os.path.normpath(os.path.join(folder, name))
+    json_path = os.path.splitext(path)[0] + ".json"
+    text_to_add = coerce_text_payload(payload.get("text"))
+    saved_text = text_to_add
+    existing_text = ""
+    if concat and os.path.isfile(path):
+        try:
+            with open(path, "r", encoding="utf-8") as handle:
+                existing_text = handle.read()
+        except UnicodeDecodeError:
+            with open(path, "r", encoding="utf-8-sig") as handle:
+                existing_text = handle.read()
+        if existing_text and text_to_add:
+            saved_text = (existing_text.rstrip("\r\n") + "\n\n"
+                          + text_to_add.lstrip("\r\n"))
+        elif existing_text:
+            saved_text = existing_text
+    with open(path, "w", encoding="utf-8") as handle:
+        handle.write(saved_text)
+
+    prompt_json = dict(_prompt_sidecar_state(json_path, existing_text)
+                       if concat else {})
+    cleaned = _clean_prompt_for_json(text_to_add)
+    if cleaned:
+        prompt_json[f"Prompt{len(prompt_json) + 1}"] = cleaned
+    rendered = json.dumps(prompt_json, ensure_ascii=False, indent=2)
+    with open(json_path, "w", encoding="utf-8") as handle:
+        handle.write(rendered)
+    return {"text": saved_text, "file_path": path, "json": prompt_json,
+            "json_string": rendered, "json_path": json_path}

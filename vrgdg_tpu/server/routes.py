@@ -625,6 +625,13 @@ def create_app(base_folder: str | None = None,
                               else ""),
             output_root=_out_root))
 
+    # advanced savers (VRGDG_SaveTextAdvanced{,Concat} — node-only in the
+    # reference, natural POST surface here)
+    _sync_json_route("/vrgdg/text_files/save_advanced",
+                     lambda p: tfl.save_text_advanced(p, _out_root))
+    _sync_json_route("/vrgdg/text_files/save_concat",
+                     lambda p: tfl.save_text_concat(p, _out_root))
+
     @routes.get("/vrgdg/audio/list")
     @_handler
     def audio_list(request):
