@@ -93,9 +93,22 @@ def test_fused_pallas_rejects_unsupported(stack):
         grade(frames, _config(sharpen=SharpenParams.normalize(1.5),
                               fused_mode="pallas"),
               lut=lut, ref_stats=ref_stats)
-    with pytest.raises(ValueError, match="height"):
-        grade(jnp.zeros((1, 30, 256, 3), jnp.float32),
-              _config(fused_mode="pallas"), lut=lut, ref_stats=ref_stats)
+
+
+def test_fused_pallas_odd_shapes_match_xla(stack):
+    """Grid-padded shapes (1080p-style heights, non-128 widths): pad
+    pixels must not leak into the statistics or the blur border."""
+    lut, _frames, ref_stats = stack
+    rng = np.random.default_rng(8)
+    for shape in ((1, 30, 200, 3), (2, 27, 129, 3), (1, 16, 127, 3),
+                  (1, 54, 96, 3)):
+        frames = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+        want = grade(frames, _config(), lut=lut, ref_stats=ref_stats)
+        got = grade(frames, _config(fused_mode="pallas"), lut=lut,
+                    ref_stats=ref_stats)
+        assert got.shape == want.shape
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 2e-5, (shape, err)
 
 
 def test_fused_pallas_rejected_on_mesh(stack):

@@ -117,7 +117,8 @@ def _rgb_from_lab_planes(lab_l, lab_a, lab_b):
 # --------------------------------------------------------------------------
 
 def _phase1_kernel(domain_ref, g_ref, src_ref, lab_ref, part_ref, *,
-                   batch: int, blend: float, max_index: int):
+                   batch: int, blend: float, max_index: int, sub: int,
+                   real_height: int, real_width: int, pad_width: int):
     """Blocks: g (24B, S, 128) plane-major rows ((3j+c)*B + b);
     src (3B, S, 128) rows (channel*B + b); domain: SMEM (2, 3) carrying
     [dmin, span] per channel — lattice fracs are recomputed from src
@@ -126,9 +127,21 @@ def _phase1_kernel(domain_ref, g_ref, src_ref, lab_ref, part_ref, *,
     partials out: (1, 8, 128) block per tile — Mosaic cannot store
     scalars to VMEM, so the 6 sums per frame are placed on lanes
     ``b*8 + {0..5}`` of a lane-masked vector ([sL, sa, sb, sL2, sa2,
-    sb2] per frame; every sublane carries the same value)."""
+    sb2] per frame; every sublane carries the same value). When the
+    frame was padded to the tile grid, pad pixels are excluded from the
+    statistics by a flat-index mask."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     acc = jnp.zeros((8, LANES), jnp.float32)
+    if real_width != pad_width or real_height % P2_ROWS:
+        shape = (1, sub, LANES)
+        flat = ((pl.program_id(0) * sub
+                 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 2))
+        stat_weight = jnp.where(
+            jnp.logical_and(flat % pad_width < real_width,
+                            flat < real_height * pad_width), 1.0, 0.0)
+    else:
+        stat_weight = None
     for b in range(batch):
 
         def frac_of(axis, _b=b):
@@ -159,9 +172,12 @@ def _phase1_kernel(domain_ref, g_ref, src_ref, lab_ref, part_ref, *,
         lab = _lab_from_rgb_planes(*out)
         for c in range(3):
             lab_ref[b * 3 + c] = lab[c]
-            acc += jnp.where(lane == b * 8 + c, jnp.sum(lab[c]), 0.0)
-            acc += jnp.where(lane == b * 8 + 3 + c,
-                             jnp.sum(lab[c] * lab[c]), 0.0)
+            weighted = (lab[c] if stat_weight is None
+                        else lab[c] * stat_weight)
+            sq = (lab[c] * lab[c] if stat_weight is None
+                  else lab[c] * lab[c] * stat_weight)
+            acc += jnp.where(lane == b * 8 + c, jnp.sum(weighted), 0.0)
+            acc += jnp.where(lane == b * 8 + 3 + c, jnp.sum(sq), 0.0)
     part_ref[0] = acc
 
 
@@ -177,8 +193,9 @@ def _uniform_from_bits(bits):
 
 
 def _phase2_kernel(coeff_ref, seed_ref, lab_hbm, out_ref, scratch, sem,
-                   *, height: int, width: int, sharpen_strength: float,
-                   grain_intensity: float, saturation_mix: float):
+                   *, height: int, width: int, real_width: int,
+                   sharpen_strength: float, grain_intensity: float,
+                   saturation_mix: float):
     """Grid (B, H // P2_ROWS). ``lab_hbm`` is the padded (B, 3, H+2, W)
     LAB planes (one zero row top/bottom); scratch holds the DMA'd
     (3, P2_ROWS + 2, W) window. Output block: (1, 3, P2_ROWS, W)."""
@@ -199,13 +216,16 @@ def _phase2_kernel(coeff_ref, seed_ref, lab_hbm, out_ref, scratch, sem,
            + coeff_ref[b, 3 + c] for c in range(3)]
     rgb = [jnp.clip(p, 0.0, 1.0) for p in _rgb_from_lab_planes(*lab)]
 
-    # Rows outside the real frame contribute zero to the blur (border
-    # "zero"); padded-row LAB went through the affine map, so mask here.
+    # Rows/cols outside the real frame contribute zero to the blur
+    # (border "zero"); padded LAB went through the affine map, so mask
+    # here (width pad columns exist when the frame was grid-padded).
     shape = rgb[0].shape  # (P2_ROWS + 2, W)
     row_global = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
                   + t * P2_ROWS - 1)
     in_frame = jnp.logical_and(row_global >= 0, row_global < height)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    if real_width != width:
+        in_frame = jnp.logical_and(in_frame, col < real_width)
 
     sharp = []
     for p in rgb:
@@ -250,7 +270,9 @@ def _phase2_kernel(coeff_ref, seed_ref, lab_hbm, out_ref, scratch, sem,
 # --------------------------------------------------------------------------
 
 def supported_shape(height: int, width: int) -> bool:
-    return height % P2_ROWS == 0 and width % LANES == 0
+    """Any positive shape: frames are grid-padded internally (pad pixels
+    masked from the statistics and blur, output cropped)."""
+    return height > 0 and width > 0
 
 
 @functools.partial(
@@ -273,10 +295,21 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
 
     from ..ops.lut import _BUNDLE_DNUMS
 
-    batch, height, width, _ = frames.shape
-    pixels = height * width
+    batch, real_height, real_width, _ = frames.shape
     size = round(bundle.shape[0] ** (1.0 / 3.0))
     max_index = size - 1
+
+    # Arbitrary shapes: pad to the (P2_ROWS, LANES) grid; pad pixels are
+    # excluded from the color-match statistics in phase 1 and zeroed for
+    # the blur in phase 2, and the output is cropped back, so results
+    # match the unpadded math (locked by the odd-shape parity test).
+    src = frames[..., :3].astype(jnp.float32)
+    pad_h = (-real_height) % P2_ROWS
+    pad_w = (-real_width) % LANES
+    if pad_h or pad_w:
+        src = jnp.pad(src, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    height, width = real_height + pad_h, real_width + pad_w
+    pixels = height * width
 
     sub = _phase1_sublanes(pixels)
     tiles = pixels // (sub * LANES)
@@ -287,7 +320,6 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     # 4-D batch indices so its output is ALREADY (24, B, tiles, sub,
     # 128) — the profiled round-1 version reshaped (24B, P) into tiles
     # after the fact, and those relayouts cost ~12 ms/4K-batch.
-    src = frames[..., :3].astype(jnp.float32)
     pm = jnp.transpose(src.reshape(batch, tiles, sub, LANES, 3),
                        (4, 0, 1, 2, 3))
     inv_span = 1.0 / jnp.maximum(domain_max - domain_min, 1e-6)
@@ -309,7 +341,9 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
 
     lab_t, partials = pl.pallas_call(
         functools.partial(_phase1_kernel, batch=batch, blend=blend,
-                          max_index=max_index),
+                          max_index=max_index, sub=sub,
+                          real_height=real_height, real_width=real_width,
+                          pad_width=width),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -339,7 +373,7 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     # every sublane of a partials row carries the same masked value;
     # read sublane 0, lanes [0, 8B)
     sums = jnp.sum(partials[:, 0, :8 * batch], axis=0).reshape(batch, 8)
-    n = float(pixels)
+    n = float(real_height * real_width)
     mean = sums[:, 0:3] / n
     var = jnp.maximum(sums[:, 3:6] - n * mean * mean, 0.0) / (n - 1.0)
     std = jnp.sqrt(var) + 1e-5
@@ -359,7 +393,8 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
 
     out_planes = pl.pallas_call(
         functools.partial(
-            _phase2_kernel, height=height, width=width,
+            _phase2_kernel, height=real_height, width=width,
+            real_width=real_width,
             sharpen_strength=sharpen_strength,
             grain_intensity=grain_intensity,
             saturation_mix=saturation_mix),
@@ -384,4 +419,7 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(coeff, seed_plus_start, lab_padded)
 
-    return jnp.transpose(out_planes, (0, 2, 3, 1))
+    out = jnp.transpose(out_planes, (0, 2, 3, 1))
+    if pad_h or pad_w:
+        out = out[:, :real_height, :real_width, :]
+    return out

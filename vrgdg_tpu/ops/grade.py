@@ -124,8 +124,7 @@ def _fused_pallas_supported(config: GradeConfig, frames) -> str:
     if frames.shape[-1] != 3:
         return "fused_mode='pallas' needs 3-channel frames"
     if not supported_shape(frames.shape[1], frames.shape[2]):
-        return ("fused_mode='pallas' needs height %% 16 == 0 and "
-                "width %% 128 == 0")
+        return "fused_mode='pallas' needs positive frame dimensions"
     return ""
 
 
