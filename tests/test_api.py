@@ -178,3 +178,35 @@ def test_dispatch_depth_invariance(media, tmp_path, monkeypatch):
     assert r3["dispatch_depth"] == 3
     with open(out1, "rb") as a, open(out3, "rb") as b:
         assert a.read() == b.read()
+
+
+def test_grade_video_fused_mode_pallas(media, tmp_path):
+    """grade_video(fused_mode='pallas') must run end-to-end (interpret
+    mode on CPU) and match the XLA mode byte-for-byte with grain off."""
+    ref = str(tmp_path / "ref.png")
+    import cv2 as _cv2
+    _cv2.imwrite(ref, np.full((24, 24, 3), 140, np.uint8))
+    kwargs = dict(lut_name="teal_orange.cube", reference_image=ref,
+                  match_strength=0.6, sharpen_strength=1.0,
+                  sharpen_border="zero", batch_size=3)
+    out_x = str(tmp_path / "x.mp4")
+    out_p = str(tmp_path / "p.mp4")
+    rx = api.grade_video(media["video"], out_x, **kwargs)
+    rp = api.grade_video(media["video"], out_p, fused_mode="pallas",
+                         **kwargs)
+    assert rx["fused_mode"] == "xla" and rp["fused_mode"] == "pallas"
+    # decoded output must match closely (kernel parity is <=2e-5 in
+    # float; uint8 quantization can flip a level on knife-edge pixels)
+    cap_x, cap_p = _cv2.VideoCapture(out_x), _cv2.VideoCapture(out_p)
+    try:
+        while True:
+            ok_x, fx = cap_x.read()
+            ok_p, fp = cap_p.read()
+            assert ok_x == ok_p
+            if not ok_x:
+                break
+            diff = np.abs(fx.astype(np.int16) - fp.astype(np.int16))
+            assert diff.max() <= 2, diff.max()
+    finally:
+        cap_x.release()
+        cap_p.release()

@@ -399,9 +399,15 @@ def grade_video(input_path, output_path="", *, lut_name=None,
                 grain_intensity=0.0, saturation_mix=0.5, seed=0,
                 batch_size=8, replace_source=False, thumbnail_path="",
                 preserve_audio=True, encode_crf=23, encode_preset="medium",
-                luts_dir=None) -> dict:
+                luts_dir=None, fused_mode="xla") -> dict:
     """The fused full-stack video grade: every enabled stage runs in one
-    jitted device pass per frame batch (the framework's flagship path)."""
+    jitted device pass per frame batch (the framework's flagship path).
+
+    ``fused_mode="pallas"`` opts into the two-phase Pallas consumer
+    (kernels/grade_pallas, ~+15% at 4K on v5e) — requires LUT + color
+    match + unsharp/zero enabled; grain then uses the hardware-PRNG
+    stream (same determinism contract, different stream than threefry).
+    """
     lut = None
     lut_base = None
     if lut_name:
@@ -433,6 +439,7 @@ def grade_video(input_path, output_path="", *, lut_name=None,
                  if sharpen_strength and sharpen_strength > 0 else None),
         grain=(GrainParams.normalize(grain_intensity, saturation_mix, seed)
                if grain_intensity and grain_intensity > 0 else None),
+        fused_mode=str(fused_mode or "xla"),
     )
 
     def effect(batch, frame_index):
@@ -445,6 +452,7 @@ def grade_video(input_path, output_path="", *, lut_name=None,
         thumbnail_path=thumbnail_path, preserve_audio=preserve_audio,
         encode_crf=encode_crf, encode_preset=encode_preset,
         extra_fields={"lut": lut_base,
+                      "fused_mode": config.fused_mode,
                       "stages": [name for name, on in [
                           ("lut", config.lut), ("adjust", config.adjust),
                           ("color_match", config.color_match),

@@ -48,13 +48,21 @@ from ..core import colorspace as cs
 LANES = 128
 
 
-def _phase1_sublanes(pixels: int) -> int:
-    """Largest tile height (sublanes) that divides the flat pixel count:
-    big tiles amortize program boundaries (16-sublane tiles measured
-    69 ms/4K-batch vs XLA's 62 — overhead, not math)."""
+def _phase1_sublanes(pixels: int, batch: int) -> int:
+    """Largest tile height (sublanes) that divides the flat pixel count
+    AND keeps the double-buffered blocks inside VMEM.
+
+    Big tiles amortize program boundaries (16-sublane tiles measured
+    69 ms/4K-batch vs XLA's 62 — overhead, not math), but block bytes
+    scale with the batch: (24B gather + 3B src) in + 3B lab out rows of
+    (sub, 128) f32, double-buffered — batch 8 at 96 sublanes blew the
+    16 MB VMEM budget (measured)."""
     rows = pixels // LANES
+    budget = 12 * 1024 * 1024
+    bytes_per_sublane = 2 * (30 * batch) * LANES * 4  # double-buffered
+    max_sub = max(8, budget // max(1, bytes_per_sublane))
     for sub in (128, 96, 80, 64, 48, 40, 32, 24, 16, 8):
-        if rows % sub == 0:
+        if sub <= max_sub and rows % sub == 0:
             return sub
     return 8
 P2_ROWS = 16              # phase-2 tile rows; part of the grain contract
@@ -311,7 +319,7 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     height, width = real_height + pad_h, real_width + pad_w
     pixels = height * width
 
-    sub = _phase1_sublanes(pixels)
+    sub = _phase1_sublanes(pixels, batch)
     tiles = pixels // (sub * LANES)
 
     # Everything below works in the kernel's tiled view from the start:

@@ -536,20 +536,16 @@ def _balanced_span(text: str, start: int, open_ch: str,
     """End index (exclusive) of the bracketed span opening at ``start``,
     honoring JSON string escapes; -1 when unterminated."""
     depth = 0
-    in_string = False
-    escaped = False
+    mode = "code"  # "code" | "string" | "escape"
     for position in range(start, len(text)):
         ch = text[position]
-        if in_string:
-            if escaped:
-                escaped = False
-            elif ch == "\\":
-                escaped = True
-            elif ch == '"':
-                in_string = False
-            continue
-        if ch == '"':
-            in_string = True
+        if mode == "escape":
+            mode = "string"
+        elif mode == "string":
+            mode = ("escape" if ch == "\\"
+                    else "code" if ch == '"' else "string")
+        elif ch == '"':
+            mode = "string"
         elif ch == open_ch:
             depth += 1
         elif ch == close_ch:

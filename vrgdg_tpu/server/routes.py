@@ -305,7 +305,8 @@ def create_app(base_folder: str | None = None,
             seed=int(p.get("seed", 0)),
             batch_size=int(p.get("batch_size", 8)),
             preserve_audio=bool(p.get("preserve_audio", True)),
-            luts_dir=luts_dir))
+            luts_dir=luts_dir,
+            fused_mode=str(p.get("fused_mode", "xla"))))
     _sync_json_route(
         "/vrgdg/music_builder/post_process/delete_preview",
         lambda p: {"deleted": api.delete_preview(p.get("path"),
