@@ -31,6 +31,7 @@ import shutil
 import threading
 import time
 import uuid
+from collections import deque
 from functools import partial
 
 import jax
@@ -119,12 +120,17 @@ def mesh_for_settings(settings: EnhancerSettings):
     return make_mesh(n_use, spatial=spatial)
 
 
-def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
-                        out_height: int | None = None,
-                        out_width: int | None = None,
-                        frame_start: int = 0, mesh=None,
-                        as_uint8: bool = False) -> np.ndarray:
-    """Host wrapper: BHWC float32 in, enhanced BHWC out.
+def submit_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
+                         out_height: int | None = None,
+                         out_width: int | None = None,
+                         frame_start: int = 0, mesh=None,
+                         as_uint8: bool = False):
+    """Dispatch the device step WITHOUT forcing the result.
+
+    Returns ``(device_array, count)`` — the caller materializes with
+    ``np.asarray(device_array[:count])``. JAX dispatch is asynchronous,
+    so a second batch can be submitted while the first computes/
+    transfers (the segment renderer double-buffers on this).
 
     With ``mesh`` set, the batch is padded to divide over the mesh's
     "data" axis (repeating the last frame; the padding is trimmed after)
@@ -161,6 +167,19 @@ def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
                            int(out_width), jnp.asarray(frame_start, jnp.uint32))
     if as_uint8:
         result = video_io.quantize_on_device(result)
+    return result, count
+
+
+def apply_effects_batch(frames: np.ndarray, settings: EnhancerSettings,
+                        out_height: int | None = None,
+                        out_width: int | None = None,
+                        frame_start: int = 0, mesh=None,
+                        as_uint8: bool = False) -> np.ndarray:
+    """Host wrapper: BHWC float32 in, enhanced BHWC out (synchronous —
+    see :func:`submit_effects_batch` for the async form)."""
+    result, count = submit_effects_batch(frames, settings, out_height,
+                                         out_width, frame_start, mesh=mesh,
+                                         as_uint8=as_uint8)
     return np.asarray(result[:count])
 
 
@@ -257,6 +276,30 @@ JOBS = JobRegistry()
 from . import manifest as mf  # noqa: E402  (sibling import after defs)
 
 
+def _force_entry(in_flight: deque, settings, out_h: int, out_w: int, mesh,
+                 smallest_batch: int, timer, writer) -> int:
+    """Materialize the oldest in-flight device batch and encode it.
+
+    A runtime OOM surfaces here (async dispatch defers execution errors
+    to the blocking read); the retained host copy then goes through the
+    synchronous bisection so behavior matches the non-pipelined loop."""
+    (pending, padded, chunk_n, start) = in_flight.popleft()
+    device_out, count = pending
+    with timer.stage("device"):
+        try:
+            enhanced = np.asarray(device_out[:count])
+            ok_batch = padded.shape[0]
+        except Exception as exc:
+            if not _is_oom(exc):
+                raise
+            enhanced, ok_batch = process_with_retry(
+                padded, settings, out_h, out_w, start, mesh=mesh,
+                as_uint8=True)
+    with timer.stage("encode"):
+        writer.write_array(enhanced[:chunk_n])
+    return max(1, min(smallest_batch, ok_batch))
+
+
 def _render_segment(source_path: str, segment_path: str, start_frame: int,
                     end_frame: int, metadata: dict,
                     settings: EnhancerSettings, job_id: str,
@@ -288,6 +331,9 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
         workers = 1
 
     writer = video_io.VideoWriter(segment_path, metadata["fps"], out_w, out_h)
+    in_flight: deque = deque()
+    pipeline_depth = max(1, int(os.environ.get("VRGDG_DISPATCH_DEPTH")
+                                or 2))
     try:
         if workers > 1:
             reader = video_io.ParallelVideoReader(
@@ -318,7 +364,13 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                 # (the reference reads min(smallest_batch, remaining) per
                 # step, VRGDG_StandaloneVideoEnhancerNodes.py:410-418).
                 # Short chunks are padded to the stable shape so the step
-                # compiles once per shape, then trimmed.
+                # compiles once per shape, then trimmed. Chunks flow
+                # through a depth-2 submit/force FIFO (async dispatch
+                # overlaps upload+compute with download+encode; order and
+                # bytes are unchanged — the cancel->resume byte-equality
+                # check covers this path on chip). A runtime OOM surfaces
+                # when forcing; the kept host copy is then re-run through
+                # the synchronous bisection.
                 offset = 0
                 while offset < count:
                     chunk = frames[offset:offset + smallest_batch]
@@ -329,14 +381,33 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                                            smallest_batch - chunk_n, axis=0)
                         padded = np.concatenate([chunk, filler], axis=0)
                     with timer.stage("device"):
-                        # quantize on device: the device->host hop is the
-                        # bottleneck on remote-attached TPUs
-                        enhanced, ok_batch = process_with_retry(
-                            padded, settings, out_h, out_w,
-                            frame_index + offset, mesh=mesh, as_uint8=True)
-                    smallest_batch = max(1, min(smallest_batch, ok_batch))
-                    with timer.stage("encode"):
-                        writer.write_array(enhanced[:chunk_n])
+                        try:
+                            # quantize on device: the device->host hop is
+                            # the bottleneck on remote-attached TPUs
+                            pending = submit_effects_batch(
+                                padded, settings, out_h, out_w,
+                                frame_index + offset, mesh=mesh,
+                                as_uint8=True)
+                            in_flight.append(
+                                (pending, padded, chunk_n,
+                                 frame_index + offset))
+                        except Exception as exc:
+                            if not _is_oom(exc):
+                                raise
+                            enhanced, ok_batch = process_with_retry(
+                                padded, settings, out_h, out_w,
+                                frame_index + offset, mesh=mesh,
+                                as_uint8=True)
+                            smallest_batch = max(
+                                1, min(smallest_batch, ok_batch))
+                            with timer.stage("encode"):
+                                writer.write_array(enhanced[:chunk_n])
+                            offset += chunk_n
+                            continue
+                    if len(in_flight) >= pipeline_depth:
+                        smallest_batch = _force_entry(
+                            in_flight, settings, out_h, out_w, mesh,
+                            smallest_batch, timer, writer)
                     offset += chunk_n
                 frames_done += count
                 current = int(registry.snapshot(job_id).get(
@@ -354,6 +425,10 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                     message=(f"Upscaling and enhancing frames "
                              f"{current:,}/{total:,}"),
                 )
+            while in_flight:  # drain the dispatch pipeline
+                smallest_batch = _force_entry(
+                    in_flight, settings, out_h, out_w, mesh,
+                    smallest_batch, timer, writer)
         if frames_done <= 0:
             raise RuntimeError(
                 "The source video ended before this segment could be rendered.")
