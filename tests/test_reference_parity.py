@@ -2002,3 +2002,36 @@ def test_save_text_concat_sidecar_parity(tmp_path):
         assert got == want_json
         assert json_mod.dumps(got, ensure_ascii=False,
                               indent=2) == want_str
+
+
+def test_audio_set_math_parity():
+    """calculate_sets / set_start_timecode vs the reference HuMo nodes
+    (HumoAutomation.py:177-201, 312-365) across durations incl. exact
+    set boundaries."""
+    import numpy as np
+
+    from vrgdg_tpu.runtime import audio_toolkit as at
+
+    ref = load_reference("HumoAutomation.py",
+                         ["VRGDG_TimecodeFromIndex",
+                          "VRGDG_CalculateSetsFromAudio"])
+    tc_node = ref["VRGDG_TimecodeFromIndex"]()
+    sets_node = ref["VRGDG_CalculateSetsFromAudio"]()
+
+    for index in range(0, 40):
+        assert at.set_start_timecode(index) == \
+            tc_node.format_timecode(index)[0], index
+
+    rng = _rng(71)
+    durations = [0.5, 3.88, 61.99, 62.0, 62.08, 62.5, 124.0, 124.16,
+                 200.0, 3599.4] + [rng.uniform(0.1, 700) for _ in range(40)]
+    sr = 1000  # integer sample rate keeps duration math exact-ish
+    for duration in durations:
+        samples = int(round(duration * sr))
+        audio = {"waveform": np.zeros((1, 1, samples), np.float32),
+                 "sample_rate": sr}
+        _instr, end_time, total_sets = sets_node.calculate(audio, 0)
+        mine = at.calculate_sets(audio)
+        assert mine["total_sets"] == total_sets, duration
+        assert mine["end_time"] == end_time, (duration, mine["end_time"],
+                                              end_time)
