@@ -554,13 +554,10 @@ def estimate_anchors(payload) -> dict:
     interval = max(1, min(240, int(_number(payload, "anchor_interval", 16))))
     indices = face_fix_anchor_indices(frame_count, interval)
     return {
-        "fps": fps,
-        "total_video_frames": total_frames,
-        "start_frame": start_frame,
-        "end_frame": end_frame,
+        "fps": fps, "total_video_frames": total_frames,
+        "start_frame": start_frame, "end_frame": end_frame,
         "frame_count": frame_count,
-        "anchor_interval": interval,
-        "anchor_count": len(indices),
+        "anchor_interval": interval, "anchor_count": len(indices),
         "anchor_indices": indices,
         "anchor_indices_text": ",".join(str(i) for i in indices),
     }
@@ -767,14 +764,12 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
             "end_entry_index": run_entries[-1]["index"],
             "start_frame": run_entries[0]["frame_number"],
             "end_frame": run_entries[-1]["frame_number"],
-            "frame_count": len(run_entries),
-            "crop_video_path": crop_video_path,
+            "frame_count": len(run_entries), "crop_video_path": crop_video_path,
             "anchor_indices": selected,
             "anchor_indices_text": ",".join(str(i) for i in selected),
             "anchor_sources_folder": run_anchor_sources,
             "enhanced_anchors_folder": run_enhanced_anchors,
-            "ltx_frames_folder": run_ltx_frames,
-            "anchors": run_anchors,
+            "ltx_frames_folder": run_ltx_frames, "anchors": run_anchors,
         })
     if not runs:
         if close_skipped_frames > 0:
@@ -821,11 +816,9 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
 
     first_face = next(e for e in entries if e.get("crop_path"))
     return {
-        "job_id": job_id,
-        "job_folder": job_folder,
+        "job_id": job_id, "job_folder": job_folder,
         "manifest_path": manifest_path,
-        "frame_count": len(entries),
-        "fps": fps,
+        "frame_count": len(entries), "fps": fps,
         "start_frame": start_frame,
         "end_frame": entries[-1]["frame_number"],
         "carried_frames": tracker.carried_frames,
@@ -957,7 +950,8 @@ def accept_enhanced_anchor(payload) -> dict:
         "frame_number": anchors[order].get("frame_number"),
         "enhanced_path": target_path,
         "enhanced_anchor_count": manifest["enhanced_anchor_count"],
-        "anchor_count": sum(len(run.get("anchors") or []) for run in runs),
+        "anchor_count": sum(len(run.get("anchors") or [])
+                            for run in runs),
         "enhanced_preview_data": _jpeg_data_url(target_path),
     }
 
@@ -1217,13 +1211,11 @@ def finalize_face_fix(payload) -> dict:
         video_io.write_video_with_fallback(output_path, fps, width, height,
                                            produce)
 
-    manifest["composite_complete"] = True
-    manifest["output_video_path"] = output_path
-    manifest["feather"] = feather
-    manifest["color_match"] = color_match
-    manifest["frames_repaired"] = len(repair_entries)
-    manifest["frames_faded"] = faded_frames
-    manifest["frames_skipped"] = len(entries) - len(repair_entries)
+    manifest.update(
+        composite_complete=True, output_video_path=output_path,
+        feather=feather, color_match=color_match,
+        frames_repaired=len(repair_entries), frames_faded=faded_frames,
+        frames_skipped=len(entries) - len(repair_entries))
     _save_manifest(manifest_path, manifest)
     return {
         "output_video_path": output_path,
