@@ -177,3 +177,33 @@ def test_segment_scheduler_rank0_times_out_on_missing_worker(tmp_path):
                          "settings": dict(SETTINGS)},
             0, 2, registry=registry, base_folder=str(tmp_path / "base"),
             wait_timeout=1.5)
+
+
+def test_segment_scheduler_refuses_fingerprint_mismatch(tmp_path):
+    """A shared shard-job folder rendered under different settings must
+    refuse to resume (render_job's fingerprint contract)."""
+    import cv2
+    import numpy as np
+    import pytest
+
+    from tests.dist_render_worker import SETTINGS
+    from vrgdg_tpu.jobs import enhancer
+
+    source = str(tmp_path / "clip.mp4")
+    writer = cv2.VideoWriter(source, cv2.VideoWriter_fourcc(*"mp4v"),
+                             12.0, (48, 32))
+    for _ in range(60):
+        writer.write(np.zeros((32, 48, 3), np.uint8))
+    writer.release()
+
+    base = str(tmp_path / "base")
+    enhancer.render_job_shards(
+        "fpj", {"source_path": source, "settings": dict(SETTINGS)},
+        0, 1, registry=enhancer.JobRegistry(), base_folder=base)
+    # the finished job cleans its segments but keeps the manifest; a new
+    # run with changed settings against the same job id must refuse
+    changed = dict(SETTINGS, sharpen_strength=9.0)
+    with pytest.raises(ValueError, match="cannot resume"):
+        enhancer.render_job_shards(
+            "fpj", {"source_path": source, "settings": changed},
+            0, 1, registry=enhancer.JobRegistry(), base_folder=base)

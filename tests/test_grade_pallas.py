@@ -119,3 +119,14 @@ def test_fused_pallas_rejected_on_mesh(stack):
     with pytest.raises(ValueError, match="mesh"):
         grade_on_mesh(frames, _config(fused_mode="pallas"), mesh, lut=lut,
                       ref_stats=ref_stats)
+
+
+def test_fused_pallas_rejects_large_batch_and_bad_mode(stack):
+    lut, _frames, ref_stats = stack
+    big = jnp.zeros((17, 16, 128, 3), jnp.float32)
+    with pytest.raises(ValueError, match="16 frames"):
+        grade(big, _config(fused_mode="pallas"), lut=lut,
+              ref_stats=ref_stats)
+    with pytest.raises(ValueError, match="Unknown fused_mode"):
+        grade(jnp.zeros((1, 16, 128, 3), jnp.float32),
+              _config(fused_mode="Pallas"), lut=lut, ref_stats=ref_stats)

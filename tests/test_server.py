@@ -1039,3 +1039,29 @@ def test_release_notes_and_picker_and_lora_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_health_degrades_on_malformed_release_notes(tmp_path, monkeypatch):
+    """Liveness must not 500 when update_notes.json is broken."""
+    import vrgdg_tpu.release_notes as rn
+
+    bad = tmp_path / "update_notes.json"
+    bad.write_text("{not json")
+    monkeypatch.setattr(rn, "_notes_path", lambda: str(bad))
+
+    async def scenario():
+        app = create_app(base_folder=str(tmp_path / "root"))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.get("/vrgdg/health")
+            body = await resp.json()
+            assert resp.status == 200 and body["ok"]
+            assert body["latest_release"] is None
+            # the strict parity surface still raises
+            resp = await client.get("/vrgdg/update/status")
+            assert resp.status == 400
+        finally:
+            await client.close()
+
+    _run(scenario())

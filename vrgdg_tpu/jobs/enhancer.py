@@ -394,6 +394,12 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                         except Exception as exc:
                             if not _is_oom(exc):
                                 raise
+                            # drain older pending chunks FIRST so frames
+                            # stay in order, then bisect this one
+                            while in_flight:
+                                smallest_batch = _force_entry(
+                                    in_flight, settings, out_h, out_w,
+                                    mesh, smallest_batch, timer, writer)
                             enhanced, ok_batch = process_with_retry(
                                 padded, settings, out_h, out_w,
                                 frame_index + offset, mesh=mesh,
@@ -619,6 +625,15 @@ def render_job_shards(job_id: str, payload: dict, process_index: int,
         float(metadata["fps"]) * settings.segment_seconds)))
     total_segments = max(1, int(math.ceil(
         metadata["frame_count"] / frames_per_segment)))
+
+    # Resume guard (same contract as render_job): a shared job folder
+    # holding segments rendered under a DIFFERENT source/settings must
+    # refuse, not silently mix old and new segments into one output.
+    existing = mf.read_manifest(job_folder)
+    if existing and existing.get("fingerprint") not in (None, fingerprint):
+        raise ValueError(
+            "The source video or enhancement settings changed, so this "
+            "distributed job cannot resume; use a fresh job id.")
 
     if process_index == 0:
         # One manifest writer (rank 0) avoids read-modify-write races;

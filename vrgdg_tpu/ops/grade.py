@@ -123,6 +123,10 @@ def _fused_pallas_supported(config: GradeConfig, frames) -> str:
         return "fused_mode='pallas' needs sharpen kind='unsharp' border='zero'"
     if frames.shape[-1] != 3:
         return "fused_mode='pallas' needs 3-channel frames"
+    if frames.shape[0] > 16:
+        # phase-1 stat partials pack 8 lanes per frame into one 128-lane
+        # vector (kernels/grade_pallas._phase1_kernel)
+        return "fused_mode='pallas' supports at most 16 frames per batch"
     if not supported_shape(frames.shape[1], frames.shape[2]):
         return "fused_mode='pallas' needs positive frame dimensions"
     return ""
@@ -131,6 +135,12 @@ def _fused_pallas_supported(config: GradeConfig, frames) -> str:
 @partial(jax.jit, static_argnames=("config",))
 def _grade_impl(frames, config: GradeConfig, lut_table, domain_min,
                 domain_max, ref_mean, ref_std, frame_start):
+    if config.fused_mode not in ("xla", "pallas"):
+        # reject typos loudly — a silent XLA fallback would hand someone
+        # benchmarking the pallas path the wrong numbers
+        raise ValueError(
+            f"Unknown fused_mode {config.fused_mode!r}; expected 'xla' "
+            "or 'pallas'.")
     if config.fused_mode == "pallas":
         from ..kernels.grade_pallas import fused_post_gather
 

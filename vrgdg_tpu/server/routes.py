@@ -967,8 +967,14 @@ def create_app(base_folder: str | None = None,
     @routes.get("/vrgdg/health")
     @_handler
     def health(request):
-        notes, _source = load_release_notes()
-        latest = latest_release(notes) or {}
+        # liveness must not depend on the release-notes file parsing —
+        # degrade to version+backend when it is missing or malformed
+        # (/vrgdg/update/status keeps the strict parse for parity)
+        try:
+            notes, _source = load_release_notes()
+            latest = latest_release(notes) or {}
+        except Exception:
+            notes, latest = {}, {}
         return _ok(version=_version(), backend=api.device_name(),
                    product=notes.get("product"),
                    latest_release={key: latest.get(key)
