@@ -347,7 +347,18 @@ def main():
                      2, 2160, 3840))
         cfgs.append(("fused_4k_pallas2", "fused_pallas2", 2, 2160, 3840))
     for name, key, batch, h, w in cfgs:
-        fps, used_batch = measure(steps[key], batch, h, w)
+        try:
+            fps, used_batch = measure(steps[key], batch, h, w)
+        except Exception as exc:
+            if name.startswith("fused_4k_pallas"):
+                # the remote compile helper 500s flakily on GB-operand
+                # Pallas programs (CLAUDE.md); the optional pallas
+                # configs must not take the whole bench down
+                detail[name] = {"fps": 0.0, "batch": batch,
+                                "error": str(exc)[:200]}
+                log(f"[bench] {name}: SKIPPED ({exc})")
+                continue
+            raise
         detail[name] = {"fps": round(fps, 2), "batch": used_batch}
         log(f"[bench] {name}: {fps:.2f} fps (batch {used_batch})")
 
