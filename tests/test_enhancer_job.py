@@ -261,3 +261,43 @@ def test_oom_bisection(monkeypatch):
     assert out.shape == frames.shape
     assert smallest == 2
     assert max(calls) == 8 and 2 in calls
+
+
+def test_pipelined_oom_fallback_keeps_frame_order(source_video, tmp_path,
+                                                  monkeypatch):
+    """Fault injection for the submit-time OOM fallback: when a submit
+    raises RESOURCE_EXHAUSTED mid-stream, older in-flight batches must
+    be encoded BEFORE the bisected one — the segment must stay
+    byte-identical to a fault-free render (round-4 review finding 1)."""
+    settings = EnhancerSettings.normalize({
+        "upscale_resolution": "original", "sharpen_strength": 1.0,
+        "grain_enabled": True, "grain_intensity": 0.05, "seed": 3,
+        "batch_size": 4})
+    meta = vio.probe_video(source_video)
+
+    def render(out_name, inject):
+        calls = {"n": 0}
+        real_submit = enh.submit_effects_batch
+
+        def flaky_submit(frames, *args, **kwargs):
+            calls["n"] += 1
+            if inject and calls["n"] in (3, 6):
+                raise RuntimeError("RESOURCE_EXHAUSTED: injected")
+            return real_submit(frames, *args, **kwargs)
+
+        monkeypatch.setattr(enh, "submit_effects_batch", flaky_submit)
+        try:
+            path = str(tmp_path / out_name)
+            import threading
+            enh._render_segment(source_video, path, 0,
+                                meta["frame_count"], meta, settings,
+                                "oom_job", threading.Event(),
+                                enh.JobRegistry())
+        finally:
+            monkeypatch.setattr(enh, "submit_effects_batch", real_submit)
+        with open(path, "rb") as handle:
+            return handle.read()
+
+    clean = render("clean.mp4", inject=False)
+    faulty = render("faulty.mp4", inject=True)
+    assert clean == faulty
