@@ -2035,3 +2035,38 @@ def test_audio_set_math_parity():
         assert mine["total_sets"] == total_sets, duration
         assert mine["end_time"] == end_time, (duration, mine["end_time"],
                                               end_time)
+
+
+def test_audio_delay_by_index_parity():
+    """delay_audio_by_index vs VRGDG_AudioDelayByIndex
+    (GeneralVideoNodes2.py:827-866): positive pads, negative trims,
+    chunk 0 passthrough."""
+    import numpy as np
+    import torch
+
+    from vrgdg_tpu.runtime import audio_toolkit as at
+
+    ref = load_reference("GeneralVideoNodes2.py",
+                         ["VRGDG_AudioDelayByIndex"],
+                         extra_globals={"torch": torch,
+                                        "print": lambda *a, **k: None})
+    node = ref["VRGDG_AudioDelayByIndex"]()
+
+    rng = _rng(81)
+    for trial in range(60):
+        samples = rng.randrange(10, 4000)
+        rate = rng.choice([8000, 22050, 44100])
+        wave = torch.from_numpy(
+            np.random.default_rng(trial).standard_normal(
+                (1, rng.choice([1, 2]), samples)).astype(np.float32))
+        audio = {"waveform": wave, "sample_rate": rate}
+        index = rng.choice([0, 0, 1, 3, 7])
+        delay = rng.choice([-100.0, -40.0, -0.4, 0.0, 0.3, 40.0, 200.0,
+                            rng.uniform(-100, 200)])
+        want = node.run({"waveform": wave.clone(),
+                         "sample_rate": rate}, index, delay)[0]
+        got = at.delay_audio_by_index(audio, index, delay)
+        assert got["sample_rate"] == want["sample_rate"]
+        assert np.array_equal(np.asarray(got["waveform"]),
+                              want["waveform"].numpy()), \
+            (trial, index, delay, samples, rate)
