@@ -105,6 +105,10 @@ def build_variant(name):
 
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "baseline24"
+    if name == "fused":
+        return fused_stack_ab()
+    if name == "fused_1080p":
+        return fused_stack_ab((8, 1080, 1920, 3))
     batch = 2
     if name.endswith("_b4"):
         batch = 4
@@ -150,6 +154,64 @@ def main():
           f"{best / batch * 1e3:.2f} ms/frame, {batch / best:.1f} fps",
           flush=True)
 
+
+
+def fused_stack_ab(shape=(2, 2160, 3840, 3), steps=STEPS):
+    """A/B the FULL fused stack (grain+LUT+colormatch+sharpen) between
+    fused_mode='xla' and 'pallas' at a given shape:
+
+        python tools/perf_lab.py fused            # 4K batch 2
+        python tools/perf_lab.py fused_1080p      # 1080p batch 8
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from vrgdg_tpu.core.cube import build_palette_lut
+    from vrgdg_tpu.core.params import (ColorMatchParams, GrainParams,
+                                       LUTParams, SharpenParams)
+    from vrgdg_tpu.ops.color_match import lab_statistics
+    from vrgdg_tpu.ops.grade import GradeConfig, _bundle_for, _grade_impl
+
+    lut = build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 33)
+    bundle = _bundle_for(lut)
+    dmin = jnp.zeros(3, jnp.float32)
+    dmax = jnp.ones(3, jnp.float32)
+    rng = np.random.default_rng(7)
+    ref_mean, ref_std = lab_statistics(jnp.asarray(
+        rng.uniform(0, 1, (1, 256, 256, 3)).astype(np.float32)))
+    frames = jnp.asarray(np.random.default_rng(0)
+                         .uniform(0, 1, shape).astype(np.float32))
+    batch = shape[0]
+    for mode in ("xla", "pallas"):
+        cfg = GradeConfig(lut=LUTParams.normalize(8.0),
+                          color_match=ColorMatchParams.normalize(0.7),
+                          sharpen=SharpenParams.normalize(1.5,
+                                                          border="zero"),
+                          grain=GrainParams.normalize(0.05, 0.5, seed=42),
+                          fused_mode=mode)
+
+        @jax.jit
+        def chained(x, _cfg=cfg):
+            def body(carry, i):
+                return _grade_impl(carry, _cfg, bundle, dmin, dmax,
+                                   ref_mean, ref_std,
+                                   (i * 4).astype(jnp.uint32)), ()
+            out, _ = lax.scan(body, x,
+                              jnp.arange(steps, dtype=jnp.int32))
+            return out[0, 0, 0, 0]
+
+        t0 = time.perf_counter()
+        float(chained(frames))
+        print(f"[fused {mode} {shape[1]}p] compile "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(chained(frames))
+            best = min(best, (time.perf_counter() - t0) / steps)
+        print(f"[fused {mode} {shape[1]}p] {best * 1e3:.2f} ms/batch  "
+              f"{batch / best:.2f} fps", flush=True)
 
 if __name__ == "__main__":
     main()
