@@ -360,6 +360,18 @@ def main() -> int:
         assert np.array_equal(np.asarray(noisy), np.asarray(again)), \
             "fused pallas grain is not deterministic"
 
+        # grid-padded shape (1080p-style: height not a multiple of 16):
+        # pad pixels must not leak into the stats or the blur border
+        odd = jnp.asarray(rng.uniform(0, 1, (1, 136, 1152, 3))
+                          .astype(np.float32))
+        want_odd = grade(odd, GradeConfig(**base), lut=lut,
+                         ref_stats=ref_stats)
+        got_odd = grade(odd, GradeConfig(**base, fused_mode="pallas"),
+                        lut=lut, ref_stats=ref_stats)
+        assert got_odd.shape == want_odd.shape
+        err_odd = float(jnp.max(jnp.abs(got_odd - want_odd)))
+        assert err_odd < 2e-5, f"odd-shape fused pallas diverged: {err_odd}"
+
     check("fused two-phase pallas grade parity + grain on chip",
           fused_pallas_grade_parity)
 
