@@ -101,9 +101,9 @@ def parse_key_value_lines(text) -> dict:
     current_key, parts = None, []
     key_pattern = re.compile(
         rf'^\s*"?({_NUMBERED_KEY}\s*\d+)"?\s*[:=]\s*(.*?)(?:,\s*)?$')
-    for raw_line in str(text or "").splitlines():
-        line = raw_line.strip()
-        if not line or line in ("{", "}", "[", "]"):
+    bare_brackets = {"{", "}", "[", "]"}
+    for line in map(str.strip, str(text or "").splitlines()):
+        if not line or line in bare_brackets:
             continue
         match = key_pattern.match(line)
         if match:
@@ -153,16 +153,13 @@ def extract_json_object(text) -> dict:
 def parse_whisper_segments(text) -> dict:
     """``lyricSegment3: words`` / ``3 - words`` lines -> ordered
     ``{lyricSegmentN: text}`` (``:610-623``)."""
-    found = []
-    for raw_line in str(text or "").splitlines():
-        line = raw_line.strip()
-        if not line:
-            continue
-        match = re.match(
-            r"^(?:lyricSegment|segment)?\s*(\d+)\s*[:=.-]\s*(.+)$",
-            line, flags=re.IGNORECASE)
-        if match:
-            found.append((int(match.group(1)), match.group(2).strip()))
+    numbered = re.compile(
+        r"^(?:lyricSegment|segment)?\s*(\d+)\s*[:=.-]\s*(.+)$",
+        flags=re.IGNORECASE)
+    matches = (numbered.match(line)
+               for line in map(str.strip, str(text or "").splitlines())
+               if line)
+    found = [(int(m.group(1)), m.group(2).strip()) for m in matches if m]
     if not found:
         raise ValueError("No numbered Whisper segments were found.")
     found.sort(key=lambda item: item[0])
@@ -172,18 +169,16 @@ def parse_whisper_segments(text) -> dict:
 def split_lyric_lines(text) -> list[str]:
     """Real lyric lines: whitespace-collapsed, section headers dropped
     (``:632-647``)."""
-    lines = []
-    for raw_line in str(text or "").splitlines():
-        line = re.sub(r"\s+", " ", raw_line).strip()
-        if not line or re.match(
-                r"^\s*(?:verse|chorus|bridge|intro|outro|"
-                r"pre[-\s]?chorus)\b", line, flags=re.IGNORECASE):
-            continue
-        lines.append(line)
+    header = re.compile(
+        r"^\s*(?:verse|chorus|bridge|intro|outro|pre[-\s]?chorus)\b",
+        flags=re.IGNORECASE)
+    collapsed = (re.sub(r"\s+", " ", raw).strip()
+                 for raw in str(text or "").splitlines())
+    lines = [line for line in collapsed if line and not header.match(line)]
     if not lines:
-        compact = re.sub(r"\s+", " ", str(text or "")).strip()
-        if compact:
-            lines.append(compact)
+        # no real lyric lines: fall back to the whole text as one line
+        whole = re.sub(r"\s+", " ", str(text or "")).strip()
+        lines = [whole] if whole else []
     return lines
 
 

@@ -209,17 +209,13 @@ def distance_repair_strength(face_width_percent: float, preset: str,
     if preset == "all":
         return 1.0
     if preset == "custom":
-        fade_end = max(0.1, float(custom_threshold))
-        full_end = max(0.0, fade_end - 2.0)
+        far = max(0.1, float(custom_threshold))
+        near = max(0.0, far - 2.0)
     else:
-        full_end, fade_end = _DISTANCE_RANGES.get(preset,
-                                                  _DISTANCE_RANGES["far"])
-    value = float(face_width_percent)
-    if value <= full_end:
-        return 1.0
-    if value >= fade_end:
-        return 0.0
-    return (fade_end - value) / max(0.001, fade_end - full_end)
+        near, far = _DISTANCE_RANGES.get(preset, _DISTANCE_RANGES["far"])
+    # linear fade from 1 at the near edge to 0 at the far edge, clamped
+    ramp = (far - float(face_width_percent)) / max(0.001, far - near)
+    return min(1.0, max(0.0, ramp))
 
 
 def select_tracked(candidates, previous, frame_width: int, frame_height: int,
@@ -381,11 +377,10 @@ def face_fix_anchor_indices(frame_count: int, interval) -> list[int]:
     count = max(0, int(frame_count or 0))
     if count <= 0:
         return []
-    step = max(1, min(240, int(interval or 16)))
-    indices = list(range(0, count, step))
-    if indices[-1] != count - 1:
-        indices.append(count - 1)
-    return safe_ltx_indices(indices, count)
+    step = min(240, max(1, int(interval or 16)))
+    # the grid plus the forced last frame, deduped via the set union
+    anchors = sorted({*range(0, count, step), count - 1})
+    return safe_ltx_indices(anchors, count)
 
 
 # --------------------------------------------------------------------------
@@ -551,7 +546,7 @@ def estimate_anchors(payload) -> dict:
         end_frame = min(max(start_frame, int(math.ceil(end_time * fps))),
                         total_frames - 1)
     frame_count = end_frame - start_frame + 1
-    interval = max(1, min(240, int(_number(payload, "anchor_interval", 16))))
+    interval = min(240, max(1, int(_number(payload, "anchor_interval", 16))))
     indices = face_fix_anchor_indices(frame_count, interval)
     return {
         "fps": fps, "total_video_frames": total_frames,
@@ -663,6 +658,12 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
                 "run_index": tracker.run_id,
                 "confidence": (float(obs.chosen[4])
                                if obs.chosen is not None else 0.0),
+                # strength fields default to zero; overwritten below
+                # whenever a face is being tracked this frame
+                "tracking_strength": 0.0,
+                "distance_strength": 0.0,
+                "face_width_percent": 0.0,
+                "composite_strength": 0.0,
             }
             if obs.chosen is not None:
                 face_width_percent = float(tracker.box[2]) / width * 100.0
@@ -687,11 +688,6 @@ def prepare_face_fix(payload, detector: DetectorFn | None = None) -> dict:
                     "enhanced_path": os.path.join(enhanced_folder, base_name),
                     "crop_box": list(crop_box),
                     "face_box": [round(v, 3) for v in tracker.box],
-                })
-            else:
-                entry.update({
-                    "tracking_strength": 0.0, "distance_strength": 0.0,
-                    "face_width_percent": 0.0, "composite_strength": 0.0,
                 })
             entries.append(entry)
     finally:

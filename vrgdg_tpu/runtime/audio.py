@@ -112,23 +112,26 @@ def create_silent_audio(payload: dict) -> dict:
 
     duration = clean_duration(payload.get("duration"))
     scope = str(payload.get("scope") or "project").strip().lower()
-    if scope == "scene":
-        try:
-            scene_number = max(1, int(payload.get("scene_number") or 1))
-        except (TypeError, ValueError):
-            scene_number = 1
-        folder = os.path.join(project_folder, "scene_audio")
-        path = os.path.join(folder, f"audio_{scene_number:04d}.wav")
-        display_name = f"Silence {duration:.2f}s"
-        target_peaks = 600
-    else:
+    if scope != "scene":
         scope = "project"
+    try:
+        scene_number = max(1, int(payload.get("scene_number") or 1))
+    except (TypeError, ValueError):
+        scene_number = 1
+    if scope != "scene":
         scene_number = 0
-        folder = os.path.join(project_folder, "project_audio")
-        path = os.path.join(
-            folder, f"project_silence_{duration_label(duration)}s.wav")
-        display_name = f"Silent timeline {duration:.2f}s"
-        target_peaks = 1600
+
+    # (subfolder, filename, display label, envelope resolution) per scope
+    variants = {
+        "scene": ("scene_audio", f"audio_{scene_number:04d}.wav",
+                  f"Silence {duration:.2f}s", 600),
+        "project": ("project_audio",
+                    f"project_silence_{duration_label(duration)}s.wav",
+                    f"Silent timeline {duration:.2f}s", 1600),
+    }
+    subfolder, filename, display_name, target_peaks = variants[scope]
+    folder = os.path.join(project_folder, subfolder)
+    path = os.path.join(folder, filename)
 
     write_silent_wav(path, duration)
     info = read_audio_peaks(path, target_peaks)
