@@ -135,8 +135,8 @@ def test_builder_capcut_extract_parity(tmp_path):
                 "time_marks": [{
                     "id": "m1",
                     "mark_items": [
-                        {"time_range": {"start": rng.randrange(
-                            0, 9_000_000)}}
+                        {"time_range": {"start": rng.choice(
+                            [rng.randrange(0, 9_000_000), None, ""])}}
                         for _ in range(marker_count)],
                 }],
                 "beats": [{"id": "b1",
@@ -156,7 +156,10 @@ def test_builder_capcut_extract_parity(tmp_path):
 
             with open(cache_path, "w") as handle:
                 json_mod.dump(
-                    {"time": [rng.randrange(0, 60_000)
+                    # null/empty/negative entries must be SKIPPED on the
+                    # cache path (unlike markers, where missing -> t=0)
+                    {"time": [rng.choice([rng.randrange(0, 60_000),
+                                          None, "", -5])
                               for _ in range(rng.randrange(0, 6))],
                      "value": [0.5] * 3}, handle)
             draft["materials"]["beats"][0]["ai_beats"]["beats_path"] \

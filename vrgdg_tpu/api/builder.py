@@ -2815,11 +2815,17 @@ def _capcut_dicts(field) -> list[dict]:
     return [item for item in (field or []) if isinstance(item, dict)]
 
 
-def _capcut_nonneg_seconds(raw, divisor: float) -> float | None:
+def _capcut_nonneg_seconds(raw, divisor: float, *,
+                           missing_is_zero: bool = False) -> float | None:
     """A CapCut time value scaled to seconds, 6-decimal rounded; None
-    for malformed or negative input."""
+    for malformed or negative input.  ``missing_is_zero`` maps a
+    null/empty value to 0.0 instead — the timeline-marker path treats a
+    missing ``time_range.start`` as t=0 while the AI-beat-cache path
+    skips unparseable entries (``:2971-2996``)."""
+    if missing_is_zero:
+        raw = raw or 0
     try:
-        seconds = float(raw or 0) / divisor
+        seconds = float(raw) / divisor
     except (TypeError, ValueError):
         return None
     return round(seconds, 6) if seconds >= 0 else None
@@ -2875,7 +2881,7 @@ def extract_capcut_beats(draft, draft_path: str = "") -> dict | None:
         for seconds in [_capcut_nonneg_seconds(
             (marker.get("time_range")
              if isinstance(marker.get("time_range"), dict)
-             else {}).get("start"), 1e6)]
+             else {}).get("start"), 1e6, missing_is_zero=True)]
         if seconds is not None})
 
     beat_entries = _linked_first(_capcut_dicts(materials.get("beats")),

@@ -99,6 +99,10 @@ def main(argv=None):
     p.add_argument("--shard-count", type=int, default=1)
     p.add_argument("--job-id", default="shards",
                    help="shared job id for --shard-index runs")
+    p.add_argument("--shard-stall-timeout", type=float, default=900.0,
+                   help="rank 0 aborts if no new segment commits for "
+                        "this many seconds (progress restarts the "
+                        "clock; re-run to resume)")
 
     p = sub.add_parser("face-fix", help="distant-face repair job engine")
     p.add_argument("action",
@@ -261,7 +265,8 @@ def main(argv=None):
         if args.shard_index is not None:
             result = enh.render_job_shards(
                 args.job_id, payload, args.shard_index, args.shard_count,
-                base_folder=args.output_root)
+                base_folder=args.output_root,
+                wait_timeout=args.shard_stall_timeout)
             _print(result)
             return
         snap = enh.start_render(payload, args.resume,

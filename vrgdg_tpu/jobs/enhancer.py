@@ -380,6 +380,7 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                         filler = np.repeat(chunk[-1:],
                                            smallest_batch - chunk_n, axis=0)
                         padded = np.concatenate([chunk, filler], axis=0)
+                    submit_oom = False
                     with timer.stage("device"):
                         try:
                             # quantize on device: the device->host hop is
@@ -394,22 +395,29 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
                         except Exception as exc:
                             if not _is_oom(exc):
                                 raise
-                            # drain older pending chunks FIRST so frames
-                            # stay in order, then bisect this one
-                            while in_flight:
-                                smallest_batch = _force_entry(
-                                    in_flight, settings, out_h, out_w,
-                                    mesh, smallest_batch, timer, writer)
+                            submit_oom = True
+                    if submit_oom:
+                        # Fallback runs OUTSIDE the device-stage context:
+                        # _force_entry and the encode write below open
+                        # their own timer stages, and StageTimer is a
+                        # plain accumulator — nesting would double-count.
+                        # Drain older pending chunks FIRST so frames stay
+                        # in order, then bisect this one.
+                        while in_flight:
+                            smallest_batch = _force_entry(
+                                in_flight, settings, out_h, out_w,
+                                mesh, smallest_batch, timer, writer)
+                        with timer.stage("device"):
                             enhanced, ok_batch = process_with_retry(
                                 padded, settings, out_h, out_w,
                                 frame_index + offset, mesh=mesh,
                                 as_uint8=True)
-                            smallest_batch = max(
-                                1, min(smallest_batch, ok_batch))
-                            with timer.stage("encode"):
-                                writer.write_array(enhanced[:chunk_n])
-                            offset += chunk_n
-                            continue
+                        smallest_batch = max(
+                            1, min(smallest_batch, ok_batch))
+                        with timer.stage("encode"):
+                            writer.write_array(enhanced[:chunk_n])
+                        offset += chunk_n
+                        continue
                     if len(in_flight) >= pipeline_depth:
                         smallest_batch = _force_entry(
                             in_flight, settings, out_h, out_w, mesh,
@@ -681,7 +689,12 @@ def render_job_shards(job_id: str, payload: dict, process_index: int,
                 "segments_rendered": rendered}
 
     # Rank 0: completion barrier = every segment file committed on disk.
-    deadline = time.time() + float(wait_timeout)
+    # ``wait_timeout`` is a STALL timeout, not a whole-job deadline: the
+    # clock restarts every time another segment commits, so an
+    # arbitrarily long job survives as long as workers keep making
+    # progress and only a genuinely dead/stuck worker trips it.
+    stall_started = time.time()
+    missing_before = None
     while True:
         missing = [i for i in range(total_segments)
                    if not os.path.isfile(_committed(i))]
@@ -689,9 +702,13 @@ def render_job_shards(job_id: str, payload: dict, process_index: int,
             break
         if cancel_event.is_set():
             raise InterruptedError("Render canceled.")
-        if time.time() > deadline:
+        if missing_before is None or len(missing) < missing_before:
+            missing_before = len(missing)
+            stall_started = time.time()
+        if time.time() - stall_started > float(wait_timeout):
             raise TimeoutError(
-                f"Distributed render timed out waiting for segments "
+                f"Distributed render stalled for {wait_timeout:.0f}s "
+                f"waiting for segments "
                 f"{missing[:8]}{'...' if len(missing) > 8 else ''} — a "
                 "worker process likely died; re-run to resume.")
         time.sleep(0.2)

@@ -94,12 +94,15 @@ class GradeConfig:
     # "xla" (default) = the post-gather stages run as XLA loop fusions;
     # "pallas" = the two-phase Pallas consumer (kernels/grade_pallas):
     # trilerp+LAB+stat-partials, then affine-transfer+unsharp+grain.
-    # Only the benchmark's stack shape is supported (LUT bundle + color
-    # match + unsharp/zero + optional grain, 3-channel frames, H%16==0,
-    # W%128==0) — anything else raises.  Grain uses the hardware PRNG
-    # stream (same determinism contract, different stream), so outputs
-    # equal the XLA path exactly only with grain disabled.  Rejected on
-    # mesh paths for the same pl.program_id reason as grain_mode.
+    # Only the benchmark's stack *structure* is supported (LUT bundle +
+    # color match + unsharp/zero + optional grain, 3-channel frames);
+    # any positive H/W works — frames are grid-padded to the (16, 128)
+    # tile grid inside the kernel wrapper and cropped back, with pad
+    # pixels masked out of the color-match statistics.  Grain uses the
+    # hardware PRNG stream (same determinism contract, different
+    # stream), so outputs equal the XLA path exactly only with grain
+    # disabled.  Rejected on mesh paths for the same pl.program_id
+    # reason as grain_mode.
     fused_mode: str = "xla"
 
     @property
