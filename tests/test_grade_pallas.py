@@ -111,6 +111,32 @@ def test_fused_pallas_odd_shapes_match_xla(stack):
         assert err < 2e-5, (shape, err)
 
 
+def test_fused_pallas_layouts_agree(stack):
+    """The production phase-1 layout ('rowmajor': consume the gather
+    output natively) and the A/B baseline ('plane': corner-major planes
+    via the XLA relayout) must agree — same math, different gather
+    index shapes and stats partial grouping."""
+    from vrgdg_tpu.kernels.grade_pallas import fused_post_gather
+    from vrgdg_tpu.ops.grade import _bundle_for
+
+    lut, _frames, (ref_mean, ref_std) = stack
+    bundle = _bundle_for(lut)
+    dmin = jnp.zeros(3, jnp.float32)
+    dmax = jnp.ones(3, jnp.float32)
+    rng = np.random.default_rng(21)
+    kw = dict(blend=0.8, match_strength=0.7, sharpen_strength=1.5,
+              grain_intensity=0.0, saturation_mix=0.5, interpret=True)
+    for shape in ((2, 32, 256, 3), (1, 30, 200, 3)):
+        frames = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+        seed = jnp.zeros(1, jnp.int32)
+        plane = fused_post_gather(frames, bundle, dmin, dmax, ref_mean,
+                                  ref_std, seed, layout="plane", **kw)
+        rowm = fused_post_gather(frames, bundle, dmin, dmax, ref_mean,
+                                 ref_std, seed, layout="rowmajor", **kw)
+        err = float(jnp.max(jnp.abs(plane - rowm)))
+        assert err < 1e-5, (shape, err)
+
+
 def test_fused_pallas_rejected_on_mesh(stack):
     from vrgdg_tpu.parallel import grade_on_mesh, make_mesh
 

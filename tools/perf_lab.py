@@ -109,6 +109,10 @@ def main():
         return fused_stack_ab()
     if name == "fused_1080p":
         return fused_stack_ab((8, 1080, 1920, 3))
+    if name == "rowmajor":
+        return phase1_layout_ab()
+    if name == "rowmajor_1080p":
+        return phase1_layout_ab((8, 1080, 1920, 3))
     batch = 2
     if name.endswith("_b4"):
         batch = 4
@@ -212,6 +216,67 @@ def fused_stack_ab(shape=(2, 2160, 3840, 3), steps=STEPS):
             best = min(best, (time.perf_counter() - t0) / steps)
         print(f"[fused {mode} {shape[1]}p] {best * 1e3:.2f} ms/batch  "
               f"{batch / best:.2f} fps", flush=True)
+
+def phase1_layout_ab(shape=(2, 2160, 3840, 3), steps=STEPS):
+    """A/B the two-phase kernel's phase-1 LAYOUT (gather-output
+    consumption): 'plane' = corner-major planes via the XLA relayout
+    copy; 'rowmajor' = consume the gather's native (rows, 24) layout
+    with in-VMEM square transposes (round-4 lever):
+
+        python tools/perf_lab.py rowmajor         # 4K batch 2
+        python tools/perf_lab.py rowmajor_1080p   # 1080p batch 8
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from vrgdg_tpu.core.cube import build_palette_lut
+    from vrgdg_tpu.kernels.grade_pallas import fused_post_gather
+    from vrgdg_tpu.ops.color_match import lab_statistics
+    from vrgdg_tpu.ops.grade import _bundle_for
+
+    lut = build_palette_lut("#0b1d51, #1f6aa5, #f3d27a", 33)
+    bundle = _bundle_for(lut)
+    dmin = jnp.zeros(3, jnp.float32)
+    dmax = jnp.ones(3, jnp.float32)
+    rng = np.random.default_rng(7)
+    ref_mean, ref_std = lab_statistics(jnp.asarray(
+        rng.uniform(0, 1, (1, 256, 256, 3)).astype(np.float32)))
+    frames = jnp.asarray(np.random.default_rng(0)
+                         .uniform(0, 1, shape).astype(np.float32))
+    batch = shape[0]
+    kw = dict(blend=0.8, match_strength=0.7, sharpen_strength=1.5,
+              grain_intensity=0.05, saturation_mix=0.5)
+
+    results = {}
+    for layout in ("plane", "rowmajor"):
+
+        @jax.jit
+        def chained(x, _layout=layout):
+            def body(carry, i):
+                return fused_post_gather(
+                    carry, bundle, dmin, dmax, ref_mean, ref_std,
+                    (i * 4).reshape(1), layout=_layout, **kw), ()
+            out, _ = lax.scan(body, x,
+                              jnp.arange(steps, dtype=jnp.int32))
+            return out[0, 0, 0, 0]
+
+        t0 = time.perf_counter()
+        float(chained(frames))
+        print(f"[{layout} {shape[1]}p] compile "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(chained(frames))
+            best = min(best, (time.perf_counter() - t0) / steps)
+        results[layout] = best
+        print(f"[{layout} {shape[1]}p] {best * 1e3:.2f} ms/batch  "
+              f"{batch / best:.2f} fps", flush=True)
+    speedup = results["plane"] / results["rowmajor"]
+    print(f"[rowmajor {shape[1]}p] speedup vs plane: {speedup:.3f}x",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

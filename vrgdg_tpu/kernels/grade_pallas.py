@@ -37,6 +37,7 @@ falls back to the XLA path for anything else.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -190,6 +191,87 @@ def _phase1_kernel(domain_ref, g_ref, src_ref, lab_ref, part_ref, *,
 
 
 # --------------------------------------------------------------------------
+# phase 1, row-major variant: consume the gather output in its NATIVE
+# (rows, 24) layout
+# --------------------------------------------------------------------------
+
+# Pixel sublane-tiles per row-major block (block = sub*128 px). Swept on
+# the v5e (BASELINE.md round-4): 8 -> 56.3 ms/4K-batch, 16 -> 53.6,
+# 32 -> 53.2, 64 -> 53.2; 32 is the plateau at half the VMEM (the
+# lane-padded g block is sub*64 KiB, double-buffered). VRGDG_RM_SUB
+# overrides for A/B sweeps (read at import; sweep in fresh processes —
+# the jit cache ignores later env changes).
+RM_SUB = int(os.environ.get("VRGDG_RM_SUB", "32"))
+
+
+def _phase1_rowmajor_kernel(domain_ref, g_ref, src_ref, lab_ref, part_ref,
+                            *, blend: float, max_index: int, sub: int,
+                            real_height: int, real_width: int,
+                            pad_width: int, masked: bool):
+    """Grid (B, tiles). ``g_ref`` is a (sub*128, 24) block of the
+    gather output in the custom call's OWN row-major layout — the XLA
+    relayout copy that the plane-major kernel forces (~14 ms/4K-batch,
+    BASELINE.md round-4) never happens.  The corner-major planes the
+    trilerp wants are rebuilt in VMEM: each (128, 24) sublane chunk is
+    transposed to (24, 128) (Mosaic lowers the narrow transpose
+    in-register; an explicit zero-pad to a square (128, 128) tile
+    measured identical), stacked, and the leading dims permuted to
+    (24, sub, 128) — vreg shuffles on VMEM-resident data, vs an HBM
+    round-trip of the 5.3x-padded gather tiles
+    (tools/probe_transpose.py is the lowering probe).
+
+    src block: (3, 1, 1, sub, 128); lab out (1, 3, 1, sub, 128);
+    partials (1, 1, 8, 128) with lanes [sL, sa, sb, sL2, sa2, sb2]."""
+    t = pl.program_id(1)
+    chunks = []
+    for s in range(sub):
+        block = g_ref[pl.ds(s * LANES, LANES), :]          # (128, 24)
+        chunks.append(jnp.transpose(block))                 # (24, 128)
+    planes = jnp.transpose(jnp.stack(chunks, axis=0), (1, 0, 2))
+
+    if masked:
+        shape = (sub, LANES)
+        flat = ((t * sub
+                 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        stat_weight = jnp.where(
+            jnp.logical_and(flat % pad_width < real_width,
+                            flat < real_height * pad_width), 1.0, 0.0)
+
+    def frac_of(axis):
+        coords = jnp.clip(
+            (src_ref[axis, 0, 0] - domain_ref[0, axis])
+            * domain_ref[1, axis], 0.0, 1.0) * float(max_index)
+        return coords - jnp.floor(coords)
+
+    fr, fg, fb = frac_of(0), frac_of(1), frac_of(2)
+    out = []
+    for c in range(3):
+        def corner(j):
+            return planes[3 * j + c]
+
+        c00 = corner(0) * (1.0 - fb) + corner(1) * fb
+        c01 = corner(2) * (1.0 - fb) + corner(3) * fb
+        c10 = corner(4) * (1.0 - fb) + corner(5) * fb
+        c11 = corner(6) * (1.0 - fb) + corner(7) * fb
+        c0 = c00 * (1.0 - fg) + c01 * fg
+        c1 = c10 * (1.0 - fg) + c11 * fg
+        graded = jnp.clip(c0 * (1.0 - fr) + c1 * fr, 0.0, 1.0)
+        src = src_ref[c, 0, 0]
+        out.append(src * (1.0 - blend) + graded * blend)
+    lab = _lab_from_rgb_planes(*out)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    acc = jnp.zeros((8, LANES), jnp.float32)
+    for c in range(3):
+        lab_ref[0, c, 0] = lab[c]
+        weighted = lab[c] if not masked else lab[c] * stat_weight
+        sq = weighted * lab[c]
+        acc += jnp.where(lane == c, jnp.sum(weighted), 0.0)
+        acc += jnp.where(lane == 3 + c, jnp.sum(sq), 0.0)
+    part_ref[0, 0] = acc
+
+
+# --------------------------------------------------------------------------
 # phase 2: affine LAB transfer -> RGB -> unsharp -> grain
 # --------------------------------------------------------------------------
 
@@ -286,18 +368,24 @@ def supported_shape(height: int, width: int) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("blend", "match_strength", "sharpen_strength",
-                     "grain_intensity", "saturation_mix", "interpret"))
+                     "grain_intensity", "saturation_mix", "interpret",
+                     "layout"))
 def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
                       ref_std, seed_plus_start, *, blend: float,
                       match_strength: float, sharpen_strength: float,
                       grain_intensity: float, saturation_mix: float,
-                      interpret: bool = False):
+                      interpret: bool = False, layout: str = "rowmajor"):
     """The full post-gather stack for a BHWC [0,1] batch.
 
-    XLA does coords + the corner-bundle gather (same code path and
-    layouts as ops/lut.apply_lut_bundle — the gather/relayout floor is
-    unchanged); the two Pallas phases replace the post-gather loop
-    fusions. Returns BHWC float32.
+    XLA does coords + the corner-bundle gather (the gather itself stays
+    at its proven issue-rate floor); the two Pallas phases replace the
+    post-gather loop fusions. ``layout`` picks how phase 1 consumes the
+    gather output: ``"rowmajor"`` (default) eats the custom call's
+    native (rows, 24) layout directly and rebuilds corner planes with
+    in-VMEM transposes — no XLA relayout copy — measured 53.2 vs
+    54.4 ms/4K-batch and 55.1 vs 56.7 ms/1080p-batch-8 against
+    ``"plane"`` (corner-major planes via the relayout, kept for A/B —
+    tools/perf_lab.py rowmajor modes). Returns BHWC float32.
     """
     from jax import lax
 
@@ -319,7 +407,13 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     height, width = real_height + pad_h, real_width + pad_w
     pixels = height * width
 
-    sub = _phase1_sublanes(pixels, batch)
+    if layout == "rowmajor":
+        sub = RM_SUB
+        while pixels % (sub * LANES):
+            sub //= 2
+        sub = max(sub, 1)
+    else:
+        sub = _phase1_sublanes(pixels, batch)
     tiles = pixels // (sub * LANES)
 
     # Everything below works in the kernel's tiled view from the start:
@@ -341,51 +435,107 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     # rejected: 59.1 ms/4K-batch at k=3 and 59.3 at k=5 vs 54.4 single —
     # the lower row-issue rate at high row counts is not a per-call
     # artifact, and smaller gathers just multiply fixed per-call cost.
-    g = lax.gather(bundle, cell[..., None], _BUNDLE_DNUMS,
-                   slice_sizes=(1, 24),
-                   mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    g = g.astype(jnp.float32)              # (24, B, tiles, sub, 128)
-
-    # merging the two leading dims keeps the physical layout
-    g_t = g.reshape(24 * batch, tiles, sub, LANES)
-    src_t = pm.reshape(3 * batch, tiles, sub, LANES)
     domain = jnp.stack([domain_min.astype(jnp.float32),
                         inv_span.astype(jnp.float32)])    # (2, 3)
 
-    lab_t, partials = pl.pallas_call(
-        functools.partial(_phase1_kernel, batch=batch, blend=blend,
-                          max_index=max_index, sub=sub,
-                          real_height=real_height, real_width=real_width,
-                          pad_width=width),
-        grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((24 * batch, 1, sub, LANES),
-                         lambda t: (0, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * batch, 1, sub, LANES),
-                         lambda t: (0, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((3 * batch, 1, sub, LANES),
-                         lambda t: (0, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3 * batch, tiles, sub, LANES),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 8, LANES), jnp.float32),
-        ),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(domain, g_t, src_t)
+    if layout == "rowmajor":
+        # The gather lands in its NATIVE (rows, 24) layout — the same
+        # tiled-padded form the custom call materializes anyway — and
+        # phase 1 consumes it directly, rebuilding corner planes with
+        # in-VMEM square transposes (see _phase1_rowmajor_kernel). The
+        # ~14 ms/4K-batch XLA relayout copy plus the compact re-read
+        # disappear; the kernel eats the 5.3x-padded HBM read instead
+        # (which the relayout was paying too).
+        rm_dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,))
+        flat_cell = cell.reshape(-1)
+        g = lax.gather(bundle, flat_cell[:, None], rm_dnums,
+                       slice_sizes=(1, 24),
+                       mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        g = g.astype(jnp.float32)                     # (B*pixels, 24)
+        masked = bool(real_width != width or real_height % P2_ROWS)
+        lab_t, partials = pl.pallas_call(
+            functools.partial(
+                _phase1_rowmajor_kernel, blend=blend,
+                max_index=max_index, sub=sub, real_height=real_height,
+                real_width=real_width, pad_width=width, masked=masked),
+            grid=(batch, tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((sub * LANES, 24),
+                             lambda b, t, _tiles=tiles:
+                             (b * _tiles + t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 1, 1, sub, LANES),
+                             lambda b, t: (0, b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 3, 1, sub, LANES),
+                             lambda b, t: (b, 0, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, LANES),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((batch, 3, tiles, sub, LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((batch, tiles, 8, LANES),
+                                     jnp.float32),
+            ),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(domain, g, pm)
+        # lanes [0, 6) of sublane 0 carry [sL, sa, sb, sL2, sa2, sb2]
+        sums = jnp.sum(partials[:, :, 0, :8], axis=1)     # (B, 8)
+    else:
+        g = lax.gather(bundle, cell[..., None], _BUNDLE_DNUMS,
+                       slice_sizes=(1, 24),
+                       mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        g = g.astype(jnp.float32)          # (24, B, tiles, sub, 128)
+
+        # merging the two leading dims keeps the physical layout
+        g_t = g.reshape(24 * batch, tiles, sub, LANES)
+        src_t = pm.reshape(3 * batch, tiles, sub, LANES)
+
+        lab_t, partials = pl.pallas_call(
+            functools.partial(_phase1_kernel, batch=batch, blend=blend,
+                              max_index=max_index, sub=sub,
+                              real_height=real_height,
+                              real_width=real_width,
+                              pad_width=width),
+            grid=(tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((24 * batch, 1, sub, LANES),
+                             lambda t: (0, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * batch, 1, sub, LANES),
+                             lambda t: (0, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((3 * batch, 1, sub, LANES),
+                             lambda t: (0, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((3 * batch, tiles, sub, LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((tiles, 8, LANES), jnp.float32),
+            ),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(domain, g_t, src_t)
+
+        # every sublane of a partials row carries the same masked value;
+        # read sublane 0, lanes [0, 8B)
+        sums = jnp.sum(partials[:, 0, :8 * batch],
+                       axis=0).reshape(batch, 8)
 
     # -------- stats barrier: partials -> per-frame affine (A, B) --------
-    # every sublane of a partials row carries the same masked value;
-    # read sublane 0, lanes [0, 8B)
-    sums = jnp.sum(partials[:, 0, :8 * batch], axis=0).reshape(batch, 8)
     n = float(real_height * real_width)
     mean = sums[:, 0:3] / n
     var = jnp.maximum(sums[:, 3:6] - n * mean * mean, 0.0) / (n - 1.0)
