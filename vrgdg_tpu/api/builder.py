@@ -44,6 +44,7 @@ Deliberate departures from the reference design:
 from __future__ import annotations
 
 import base64
+import itertools
 import json
 import os
 import re
@@ -148,13 +149,12 @@ def unique_folder(path: str) -> str:
     folder = os.path.abspath(_clean(path))
     if not folder:
         raise ValueError("Project folder is empty.")
-    if not os.path.exists(folder):
-        return folder
-    for index in range(2, 10000):
-        candidate = f"{folder}_{index:03d}"
-        if not os.path.exists(candidate):
-            return candidate
-    raise RuntimeError(f"Could not find a unique folder for: {folder}")
+    candidates = itertools.chain(
+        (folder,), (f"{folder}_{n:03d}" for n in range(2, 10000)))
+    free = next((p for p in candidates if not os.path.exists(p)), None)
+    if free is None:
+        raise RuntimeError(f"Could not find a unique folder for: {folder}")
+    return free
 
 
 def unique_file(path: str) -> str:
@@ -162,14 +162,10 @@ def unique_file(path: str) -> str:
     folder, name = os.path.split(base)
     stem, ext = os.path.splitext(name)
     os.makedirs(folder, exist_ok=True)
-    if not os.path.exists(base):
-        return base
-    index = 2
-    while True:
-        candidate = os.path.join(folder, f"{stem}_{index:02d}{ext}")
-        if not os.path.exists(candidate):
-            return candidate
-        index += 1
+    numbered = (os.path.join(folder, f"{stem}_{n:02d}{ext}")
+                for n in itertools.count(2))
+    return next(p for p in itertools.chain((base,), numbered)
+                if not os.path.exists(p))
 
 
 @dataclass(frozen=True)

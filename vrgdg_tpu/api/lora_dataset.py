@@ -105,13 +105,11 @@ def save_pair(payload) -> dict:
 
     manifest_path = os.path.join(project_files, "dataset.json")
     manifest = _read_json_or(manifest_path, {})
-    manifest.update({
-        "art_style": payload.get("art_style", ""),
-        "trigger_word": payload.get("trigger_word", ""),
-        "trigger_phrase": payload.get("trigger_phrase", ""),
-        "generator": payload.get("generator", "zimage"),
-        "updated_at": datetime.now(timezone.utc).isoformat(),
-    })
+    # dataset-level fields the reference stamps on every save (:244-250)
+    for field, default in (("art_style", ""), ("trigger_word", ""),
+                           ("trigger_phrase", ""), ("generator", "zimage")):
+        manifest[field] = payload.get(field, default)
+    manifest["updated_at"] = datetime.now(timezone.utc).isoformat()
     items = manifest.setdefault("items", [])
     items[:] = [item for item in items
                 if int(item.get("index", -1)) != index]

@@ -133,10 +133,9 @@ def extract_json_object(text) -> dict:
         candidates += [sliced, repair_json_like(sliced)]
     last_error = None
     for candidate in candidates:
-        if not str(candidate or "").strip():
-            continue
         try:
-            return json.loads(candidate)
+            if str(candidate or "").strip():
+                return json.loads(candidate)
         except Exception as error:  # noqa: BLE001 — rescue chain
             last_error = error
     try:

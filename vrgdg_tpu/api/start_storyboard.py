@@ -587,11 +587,10 @@ def save_reference(folder, data_url, scene_number=None) -> dict:
     target_name = ("global_character_reference" if not scene_number
                    else f"scene_{int(scene_number):04d}_reference")
     target = os.path.join(refs, target_name + ext)
-    for existing in os.listdir(refs):
-        if existing.startswith(target_name + "."):
-            old = os.path.join(refs, existing)
-            if os.path.isfile(old):
-                os.remove(old)
+    stale = [entry.path for entry in os.scandir(refs)
+             if entry.name.startswith(target_name + ".") and entry.is_file()]
+    for old in stale:
+        os.remove(old)
     with open(target, "wb") as handle:
         handle.write(data)
     board = load_board(folder)

@@ -31,6 +31,7 @@ pack normalizes identically here.
 from __future__ import annotations
 
 import os
+import itertools
 import re
 from datetime import datetime
 
@@ -924,11 +925,11 @@ def import_reference_image(payload: dict) -> dict:
     os.makedirs(reference_dir, exist_ok=True)
     stem = re.sub(r"[^A-Za-z0-9._-]+", "_", name).strip("._")[:90] \
         or kind
-    path = os.path.join(reference_dir, f"{stem}.{ext}")
-    suffix = 2
-    while os.path.exists(path):
-        path = os.path.join(reference_dir, f"{stem}_{suffix}.{ext}")
-        suffix += 1
+    numbered = (os.path.join(reference_dir, f"{stem}_{n}.{ext}")
+                for n in itertools.count(2))
+    path = next(p for p in itertools.chain(
+        (os.path.join(reference_dir, f"{stem}.{ext}"),), numbered)
+        if not os.path.exists(p))
     with open(path, "wb") as handle:
         handle.write(raw)
     ref_id = clean_text(

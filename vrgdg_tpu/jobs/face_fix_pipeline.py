@@ -106,16 +106,18 @@ def prepare_face_pipeline(video_frames, detector: DetectorFn | None = None, *,
                                 int(minimum_face_pixels))
         fresh = chosen is not None
         if fresh:
-            previous = smooth_box(previous, chosen)
-            misses = 0
-            tracking_strength = 1.0
+            previous, misses = smooth_box(previous, chosen), 0
         else:
             misses += 1
-            if previous is None or misses > int(short_gap_tracking):
-                previous = None
-                tracking_strength = 0.0
-            else:
-                tracking_strength = 0.65 if misses == 1 else 0.30
+        # strength ladder (``:302-310`` behavior): live hit 1.0, coasted
+        # frames 0.65 then 0.30 while within the carry window, lapsed 0.0
+        coasting = previous is not None and misses <= int(short_gap_tracking)
+        if fresh:
+            tracking_strength = 1.0
+        elif coasting:
+            tracking_strength = {1: 0.65}.get(misses, 0.30)
+        else:
+            previous, tracking_strength = None, 0.0
         face_width_percent = (float(previous[2]) / width * 100.0
                               if previous is not None else 0.0)
         dist_strength = (distance_repair_strength(

@@ -33,15 +33,13 @@ def write_manifest(job_folder: str, document: Mapping[str, Any]) -> None:
 
 
 def read_manifest(job_folder: str) -> dict:
-    path = manifest_path(job_folder)
-    if not os.path.isfile(path):
-        return {}
     try:
-        with open(path, "r", encoding="utf-8") as handle:
+        with open(manifest_path(job_folder), "r", encoding="utf-8") as handle:
             value = json.load(handle)
-        return value if isinstance(value, dict) else {}
-    except Exception:
+    except (OSError, ValueError):
+        # missing, unreadable, or corrupt manifests all mean "no resume"
         return {}
+    return value if isinstance(value, dict) else {}
 
 
 def settings_fingerprint(source_path: str, settings: Mapping[str, Any],

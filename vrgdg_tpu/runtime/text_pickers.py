@@ -47,12 +47,13 @@ MULTI_FORMATS = ("auto", "lines", "comma", "sentence")
 def _stringify(value) -> str:
     if isinstance(value, str):
         return value
-    if isinstance(value, (dict, list, tuple, set)):
-        try:
-            return json.dumps(value, ensure_ascii=False)
-        except Exception:
-            return str(value)
-    return str(value)
+    if not isinstance(value, (dict, list, tuple, set)):
+        return str(value)
+    try:
+        return json.dumps(value, ensure_ascii=False)
+    except (TypeError, ValueError):
+        # unserializable members (sets of objects, circular refs)
+        return str(value)
 
 
 def _structured_list(parsed) -> list[str] | None:

@@ -87,10 +87,11 @@ def probe_video(path) -> dict:
     try:
         if not capture.isOpened():
             raise ValueError("The video could not be opened.")
-        width = int(capture.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
-        height = int(capture.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)
+        width, height, frame_count = (
+            int(capture.get(prop) or 0)
+            for prop in (cv2.CAP_PROP_FRAME_WIDTH, cv2.CAP_PROP_FRAME_HEIGHT,
+                         cv2.CAP_PROP_FRAME_COUNT))
         fps = float(capture.get(cv2.CAP_PROP_FPS) or 0)
-        frame_count = int(capture.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
         if width < 1 or height < 1 or fps <= 0:
             raise ValueError(
                 "The video does not contain readable dimensions or frame-rate "

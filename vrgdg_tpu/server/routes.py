@@ -104,6 +104,14 @@ async def _mutation_guard(request, handler):
     return await handler(request)
 
 
+async def _drain_part(part, sink) -> None:
+    """Stream a multipart body part into ``sink(bytes)`` in 1 MiB chunks."""
+    chunk = await part.read_chunk(1 << 20)
+    while chunk:
+        sink(chunk)
+        chunk = await part.read_chunk(1 << 20)
+
+
 def create_app(base_folder: str | None = None,
                luts_dir: str | None = None) -> web.Application:
     app = web.Application(client_max_size=1024 ** 3,
@@ -128,11 +136,7 @@ def create_app(base_folder: str | None = None,
                 enh.upload_folder(base_folder),
                 f"{time.strftime('%Y%m%d_%H%M%S')}_{uuid.uuid4().hex[:8]}_{safe}")
             with open(saved_path, "wb") as handle:
-                while True:
-                    chunk = await part.read_chunk(size=1024 * 1024)
-                    if not chunk:
-                        break
-                    handle.write(chunk)
+                await _drain_part(part, handle.write)
             break
         if not saved_path:
             raise ValueError("No video was uploaded.")
@@ -550,11 +554,7 @@ def create_app(base_folder: str | None = None,
                         delete=False)
                     temp_path = handle.name
                     try:
-                        while True:
-                            chunk = await part.read_chunk(1 << 20)
-                            if not chunk:
-                                break
-                            handle.write(chunk)
+                        await _drain_part(part, handle.write)
                     finally:
                         handle.close()
             if not temp_path or not os.path.isfile(temp_path):
@@ -649,11 +649,7 @@ def create_app(base_folder: str | None = None,
                     in ("1", "true", "yes", "on")
             elif part.name == "audio":
                 filename = part.filename or ""
-                while True:
-                    chunk = await part.read_chunk(1 << 20)
-                    if not chunk:
-                        break
-                    chunks.append(chunk)
+                await _drain_part(part, chunks.append)
         if not filename:
             raise ValueError("Missing audio file.")
         loop = asyncio.get_running_loop()
@@ -696,11 +692,7 @@ def create_app(base_folder: str | None = None,
                 project_folder = (await part.text()).strip()
             elif part.name == "audio":
                 audio_name = part.filename or "prompt_creator_audio.wav"
-                while True:
-                    chunk = await part.read_chunk(1 << 20)
-                    if not chunk:
-                        break
-                    chunks.append(chunk)
+                await _drain_part(part, chunks.append)
                 break
         loop = asyncio.get_running_loop()
         result = await loop.run_in_executor(
