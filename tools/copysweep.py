@@ -107,23 +107,34 @@ def main() -> int:
         a = normalized_lines(repo_path)
         if len(a) < 20:
             continue
-        worst = (0.0, 0, None, -1, -1)  # fraction, run, ref, a_start, b_start
+        # Track the worst-run and worst-fraction pairs INDEPENDENTLY: a
+        # long verbatim run can hide in a reference file with a lower
+        # overall match fraction than some unrelated boilerplate-heavy
+        # pair, and each criterion must see its own worst case.
+        best_frac = (0.0, None)              # fraction, ref
+        best_run = (0, None, -1, -1)         # run, ref, a_start, b_start
         for ref_path, b in ref_cache.items():
             if not b:
                 continue
             frac = match_fraction(a, b)
+            if frac > best_frac[0]:
+                best_frac = (frac, ref_path)
             run, a_start, b_start = longest_common_run(a, b)
-            if (frac, run) > (worst[0], worst[1]):
-                worst = (frac, run, ref_path, a_start, b_start)
-        frac, run, ref_path, a_start, b_start = worst
+            if run > best_run[0]:
+                best_run = (run, ref_path, a_start, b_start)
+        frac, frac_ref = best_frac
+        run, run_ref, a_start, b_start = best_run
         over = run >= args.run or frac >= args.fraction
         if args.all or over:
             rel = os.path.relpath(repo_path, REPO)
-            ref_rel = os.path.relpath(ref_path, REFERENCE) if ref_path else "-"
+            run_rel = (os.path.relpath(run_ref, REFERENCE)
+                       if run_ref else "-")
+            frac_rel = (os.path.relpath(frac_ref, REFERENCE)
+                        if frac_ref else "-")
             marker = " <-- OVER THRESHOLD" if over else ""
-            print(f"{rel}: {frac:.1%} lines matched, longest run {run} "
-                  f"vs {ref_rel} (repo line ~{a_start}, ref ~{b_start})"
-                  f"{marker}")
+            print(f"{rel}: {frac:.1%} lines matched vs {frac_rel}, "
+                  f"longest run {run} vs {run_rel} "
+                  f"(repo line ~{a_start}, ref ~{b_start}){marker}")
             if over:
                 flagged += 1
                 for line in a[a_start:a_start + min(run, 12)]:

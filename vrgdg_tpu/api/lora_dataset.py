@@ -71,16 +71,27 @@ def _write_text_line(path: str, text: str) -> None:
         handle.write(text + "\n")
 
 
-def _read_json_or(path: str, fallback):
+def _read_json_or(path: str, fallback, kinds=None):
+    """JSON at ``path`` when it parses as an accepted container type
+    (``kinds``, default: the fallback's own type), else ``fallback``."""
     if os.path.isfile(path):
         try:
             with open(path, "r", encoding="utf-8") as handle:
                 loaded = json.load(handle)
-            if isinstance(loaded, type(fallback)):
+            if isinstance(loaded, kinds or type(fallback)):
                 return loaded
         except Exception:
             pass
     return fallback
+
+
+def _item_index(item, default: int) -> int:
+    """A manifest item's integer index, tolerating hand-edited or corrupt
+    entries (null / non-numeric values fall back)."""
+    try:
+        return int(item.get("index", default))
+    except (TypeError, ValueError):
+        return default
 
 
 def _dump_json(path: str, value) -> None:
@@ -112,7 +123,7 @@ def save_pair(payload) -> dict:
     manifest["updated_at"] = datetime.now(timezone.utc).isoformat()
     items = manifest.setdefault("items", [])
     items[:] = [item for item in items
-                if int(item.get("index", -1)) != index]
+                if _item_index(item, -1) != index]
     items.append({
         "index": index,
         "concept": payload.get("concept", ""),
@@ -122,7 +133,7 @@ def save_pair(payload) -> dict:
         "text": f"../dataset/{stem}.txt",
         "seed": payload.get("seed"),
     })
-    items.sort(key=lambda item: int(item.get("index", 0)))
+    items.sort(key=lambda item: _item_index(item, 0))
     _dump_json(manifest_path, manifest)
     return {"project_root": root, "dataset_folder": dataset_folder,
             "project_files_folder": project_files,
@@ -176,11 +187,10 @@ def list_dataset(payload) -> dict:
     reference counterpart (the reference UI reads dataset.json only)."""
     root, dataset_folder, project_files = project_folders(
         payload.get("dataset_folder"))
+    # save_pair projects hold a dict manifest, ic-pair projects a list —
+    # accept either container in one read
     manifest = _read_json_or(os.path.join(project_files, "dataset.json"),
-                             {})
-    if not manifest:
-        manifest = _read_json_or(
-            os.path.join(project_files, "dataset.json"), [])
+                             {}, kinds=(dict, list))
     pairs = sorted(
         name for name in os.listdir(dataset_folder)
         if name.lower().endswith((".png", ".txt")))

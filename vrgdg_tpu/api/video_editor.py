@@ -189,12 +189,11 @@ def stage_selected_remakes(folder, session) -> list[dict]:
     ``remake/`` so the re-render can overwrite the original slot
     (``:354-380``)."""
     clips = session.get("clips", {}) if isinstance(session, dict) else {}
-    selected = ([item for item in clips.values()
-                 if isinstance(item, dict)
-                 and item.get("selected_for_remake")]
-                if isinstance(clips, dict) else [])
     if not isinstance(clips, dict):
         return []
+    selected = [item for item in clips.values()
+                if isinstance(item, dict)
+                and item.get("selected_for_remake")]
     remake_dir = os.path.join(folder, "remake")
     os.makedirs(remake_dir, exist_ok=True)
     staged = []

@@ -116,22 +116,15 @@ class SharpenParams:
 
 
 # The 13 adjust sliders with their reference ranges
-# (VRGDG_LUTVideoTools.py:282-296).
+# (VRGDG_LUTVideoTools.py:282-296): every slider is bipolar +/-100
+# except the three intensity-only effects, which run 0..100.
+_ADJUST_SLIDERS = ("temperature", "tint", "saturation", "exposure",
+                   "contrast", "highlights", "shadows", "whites",
+                   "blacks", "sharpen", "clarity", "vignette", "fade")
+_INTENSITY_ONLY = frozenset({"sharpen", "vignette", "fade"})
 _ADJUST_RANGES: dict[str, tuple[float, float]] = {
-    "temperature": (-100.0, 100.0),
-    "tint": (-100.0, 100.0),
-    "saturation": (-100.0, 100.0),
-    "exposure": (-100.0, 100.0),
-    "contrast": (-100.0, 100.0),
-    "highlights": (-100.0, 100.0),
-    "shadows": (-100.0, 100.0),
-    "whites": (-100.0, 100.0),
-    "blacks": (-100.0, 100.0),
-    "sharpen": (0.0, 100.0),
-    "clarity": (-100.0, 100.0),
-    "vignette": (0.0, 100.0),
-    "fade": (0.0, 100.0),
-}
+    name: ((0.0, 100.0) if name in _INTENSITY_ONLY else (-100.0, 100.0))
+    for name in _ADJUST_SLIDERS}
 
 
 @dataclass(frozen=True)

@@ -8,8 +8,10 @@ Re-derivation of the reference's cycling-picker family
 - three selection modes — wrapping ``index``, seeded ``random`` (one
   string-seeded draw per step), and seeded ``random no repeat`` (a
   shuffled order per cycle, with the first element of a new cycle
-  swapped away from the previous cycle's last so back-to-back repeats
-  never straddle a cycle boundary),
+  swapped away from the previous cycle's *raw* last element; like the
+  reference (``:2706-2709``), the comparison ignores the previous
+  cycle's own swap, so for 2-item lists a boundary repeat can still
+  occur — kept for parity),
 - multi-pick formatting (two-item sentence template, lines, commas),
 - the multi-picker composition with ``# LABEL:`` / ``# SELECTION_MODE:``
   / ``# PICK_COUNT:`` / ``# TEMPLATE:`` header directives, preset item
@@ -149,6 +151,10 @@ def select_index(index, item_count: int, selection_mode: str = "index",
             return 0
         cycle, offset = divmod(int(index), item_count)
         order = _cycle_order(seed, cycle, item_count)
+        # Boundary de-dup against the previous cycle's RAW shuffle — the
+        # reference's exact arithmetic (``:2706-2709``). NB for 2-item
+        # lists the previous cycle's own swap changes its effective last
+        # element, so a boundary repeat can still slip through there.
         if cycle > 0 and order[0] == _cycle_order(seed, cycle - 1,
                                                   item_count)[-1]:
             order[0], order[1] = order[1], order[0]
