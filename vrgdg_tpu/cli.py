@@ -115,6 +115,36 @@ def main(argv=None):
     p.add_argument("--manifest", default=None, help="shortcut: manifest_path")
     p.add_argument("--whole-scene", action="store_true")
 
+    p = sub.add_parser(
+        "face-repair",
+        help="targeted far-face repair: prepare/composite/sheet/rebuild")
+    p.add_argument("action", choices=["prepare", "composite",
+                                      "contact-sheet", "rebuild-video"])
+    p.add_argument("--video", default="", help="prepare: source video")
+    p.add_argument("--ranges", default="",
+                   help="prepare: frame ranges, e.g. 120-160,300-318")
+    p.add_argument("--out", default="", help="output folder / file")
+    p.add_argument("--manifest", default="",
+                   help="composite/sheet/rebuild: manifest.json path")
+    p.add_argument("--detector", default="auto",
+                   choices=["auto", "opencv"])
+    p.add_argument("--face-choice", default="largest",
+                   choices=["largest", "center"])
+    p.add_argument("--manual-box", default="",
+                   help="forced face box: x,y,w,h or x1,y1,x2,y2")
+    p.add_argument("--min-confidence", type=float, default=0.35)
+    p.add_argument("--padding", type=float, default=2.35)
+    p.add_argument("--feather", type=int, default=18,
+                   help="composite: -1 keeps the saved masks")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--repaired-dir", default="")
+    p.add_argument("--color-match", action="store_true")
+    p.add_argument("--limit", type=int, default=24)
+    p.add_argument("--columns", type=int, default=3)
+    p.add_argument("--thumb-width", type=int, default=900)
+    p.add_argument("--fixed-dir", default="")
+    p.add_argument("--only-ranges", action="store_true")
+
     p = sub.add_parser("compare", help="render an A/B comparison")
     p.add_argument("input_a")
     p.add_argument("input_b")
@@ -305,6 +335,30 @@ def main(argv=None):
             "finalize": ff.finalize_face_fix,
         }
         _print(actions[args.action](payload))
+    elif args.command == "face-repair":
+        from .jobs import face_repair as fr
+        if args.action == "prepare":
+            _print(fr.prepare(
+                args.video, args.ranges, args.out,
+                detector=args.detector, face_choice=args.face_choice,
+                manual_box=args.manual_box,
+                min_confidence=args.min_confidence,
+                padding=args.padding, feather=args.feather,
+                overwrite=args.overwrite))
+        elif args.action == "composite":
+            _print(fr.composite(
+                args.manifest, repaired_dir=args.repaired_dir,
+                out_dir=args.out, feather=args.feather,
+                color_match=args.color_match))
+        elif args.action == "contact-sheet":
+            _print(fr.contact_sheet(
+                args.manifest, repaired_dir=args.repaired_dir,
+                out_path=args.out, limit=args.limit,
+                columns=args.columns, thumb_width=args.thumb_width))
+        else:
+            _print(fr.rebuild_video(
+                args.manifest, args.out, fixed_dir=args.fixed_dir,
+                only_ranges=args.only_ranges))
     elif args.command == "compare":
         from . import api
         ext = os.path.splitext(args.input_a)[1].lower()
