@@ -473,6 +473,20 @@ def create_app(base_folder: str | None = None,
                        p.get("project_folder"),
                        p.get("source_project_folder", ""), _out_root))
 
+    # LLM-instruction store (defaults/overrides/presets; the LLM
+    # drivers themselves stay excluded — api/instructions.py docstring)
+    from ..api import instructions as instr
+
+    _builder_route("get_instruction", instr.get_instruction)
+    _builder_route("save_instruction", instr.save_instruction)
+    _builder_route("reset_instruction", instr.reset_instruction)
+    _builder_route("list_instruction_presets",
+                   lambda p: instr.list_presets(p, _out_root))
+    _builder_route("save_instruction_preset",
+                   lambda p: instr.save_preset(p, _out_root))
+    _builder_route("load_instruction_preset",
+                   lambda p: instr.load_preset(p, _out_root))
+
     @routes.get("/vrgdg/music_builder/list_projects")
     @_handler
     def builder_list_projects(request):
