@@ -1041,6 +1041,50 @@ def test_release_notes_and_picker_and_lora_routes(tmp_path):
     _run(scenario())
 
 
+def test_node_canvas_status(tmp_path):
+    """VRGDG_VideoBuilderNodeUI.py:50-58 static status surface."""
+    async def scenario():
+        app = create_app(base_folder=str(tmp_path / "root"))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            body = await (await client.get(
+                "/vrgdg/node_canvas/status")).json()
+            assert body["ok"] and body["version"] == 1
+            assert body["name"] == "VRGDG Node Canvas Prototype"
+            assert body["builder_connected"] is False
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
+def test_health_does_not_initialize_backend():
+    """Liveness must never claim the accelerator: a wedged remote device
+    grant blocks backend init indefinitely (measured on the axon tunnel),
+    so /vrgdg/health reports the configured platform without forcing
+    jax.default_backend()."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from vrgdg_tpu.api.appliers import device_name\n"
+        "name = device_name(block=False)\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, 'block=False initialized a backend'\n"
+        "assert name == 'cpu:uninitialized', name\n"
+        "assert device_name() == 'cpu'\n"
+        "assert device_name(block=False) == 'cpu'\n"
+        "print('OK')\n")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=os.path.dirname(
+                             os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+
+
 def test_health_degrades_on_malformed_release_notes(tmp_path, monkeypatch):
     """Liveness must not 500 when update_notes.json is broken."""
     import vrgdg_tpu.release_notes as rn

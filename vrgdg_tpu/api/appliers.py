@@ -31,7 +31,27 @@ from ..runtime import profiling, video_io
 from . import paths
 
 
-def device_name() -> str:
+def device_name(block: bool = True) -> str:
+    """Backend platform name.
+
+    ``block=False`` never triggers backend initialization: on remote-
+    attached devices, claiming the accelerator can stall indefinitely
+    (a wedged device grant measured here blocked ``jax.default_backend``
+    — and with it ``/vrgdg/health`` — forever), so liveness paths report
+    the *configured* platform with an ``:uninitialized`` marker until
+    some compute path has brought the backend up.
+    """
+    if not block:
+        try:
+            from jax._src import xla_bridge
+            initialized = bool(xla_bridge._backends)
+        except Exception:
+            initialized = True  # layout changed: fall back to blocking
+        if not initialized:
+            configured = (jax.config.jax_platforms
+                          or os.environ.get("JAX_PLATFORMS", ""))
+            return (configured.split(",")[0].strip()
+                    or "default") + ":uninitialized"
     return jax.default_backend()
 
 

@@ -981,7 +981,7 @@ def create_app(base_folder: str | None = None,
             latest = latest_release(notes) or {}
         except Exception:
             notes, latest = {}, {}
-        return _ok(version=_version(), backend=api.device_name(),
+        return _ok(version=_version(), backend=api.device_name(block=False),
                    product=notes.get("product"),
                    latest_release={key: latest.get(key)
                                    for key in ("version", "date", "title")}
@@ -993,6 +993,15 @@ def create_app(base_folder: str | None = None,
         notes, source = load_release_notes()
         return _ok(version=_version(), release_notes=notes,
                    release_notes_source=source)
+
+    @routes.get("/vrgdg/node_canvas/status")
+    @_handler
+    def node_canvas_status(request):
+        # VRGDG_VideoBuilderNodeUI.py:50-58 — the canvas prototype's
+        # static status surface (its node is a graph passthrough; the
+        # builder panel is this repo's canvas)
+        return _ok(name="VRGDG Node Canvas Prototype", version=1,
+                   builder_connected=False)
 
     # ---------------- web UI ----------------
     # Thin control panel standing in for the reference's ComfyUI browser
