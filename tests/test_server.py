@@ -1059,6 +1059,57 @@ def test_node_canvas_status(tmp_path):
     _run(scenario())
 
 
+def test_builder_instruction_routes(tmp_path):
+    """Instruction store over HTTP: registry for the panel dropdown,
+    default -> scene override -> reset, shared preset groups
+    (VRGDG_MusicVideoBuilderNodes.py:10254-10307)."""
+    async def scenario():
+        app = create_app(base_folder=str(tmp_path / "root"))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            body = await (await client.get(
+                "/vrgdg/music_builder/instruction_keys")).json()
+            keys = {row["key"]: row for row in body["keys"]}
+            assert "t2v" in keys and "minimax_h3_text_to_video" in keys
+            assert keys["ernie_t2i"]["preset_group"] == "standard_image_t2i"
+
+            proj = await (await client.post(
+                "/vrgdg/music_builder/new_project",
+                json={"project_name": "instr_t"})).json()
+            folder = proj["project_folder"]
+
+            body = await (await client.post(
+                "/vrgdg/music_builder/get_instruction",
+                json={"project_folder": folder, "key": "t2v"})).json()
+            assert body["source"] == "default" and body["text"]
+
+            body = await (await client.post(
+                "/vrgdg/music_builder/save_instruction",
+                json={"project_folder": folder, "key": "t2v",
+                      "scope": "scene", "scene_id": "s1",
+                      "text": "scene text"})).json()
+            assert body["source"] == "scene" and body["text"] == "scene text"
+
+            await client.post(
+                "/vrgdg/music_builder/save_instruction_preset",
+                json={"key": "ernie_t2i", "name": "P1", "text": "preset"})
+            body = await (await client.post(
+                "/vrgdg/music_builder/list_instruction_presets",
+                json={"key": "zimage_t2i"})).json()
+            assert [p["name"] for p in body["presets"]] == ["P1"]
+
+            body = await (await client.post(
+                "/vrgdg/music_builder/reset_instruction",
+                json={"project_folder": folder, "key": "t2v",
+                      "scope": "scene", "scene_id": "s1"})).json()
+            assert body["source"] == "default"
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
 def test_health_does_not_initialize_backend():
     """Liveness must never claim the accelerator: a wedged remote device
     grant blocks backend init indefinitely (measured on the axon tunnel),

@@ -487,6 +487,17 @@ def create_app(base_folder: str | None = None,
     _builder_route("load_instruction_preset",
                    lambda p: instr.load_preset(p, _out_root))
 
+    @routes.get("/vrgdg/music_builder/instruction_keys")
+    @_handler
+    def builder_instruction_keys(request):
+        # standalone convenience: the reference embeds this table in its
+        # web JS; the panel populates its key dropdown from here
+        return _ok(keys=[{"key": key, "label": entry["label"],
+                          "preset_group": instr.preset_group(key),
+                          "preset_group_label":
+                              instr.preset_group_label(key)}
+                         for key, entry in instr.REGISTRY.items()])
+
     @routes.get("/vrgdg/music_builder/list_projects")
     @_handler
     def builder_list_projects(request):
