@@ -231,6 +231,32 @@ def main(argv=None):
                    help="managed projects root (defaults to "
                         "VRGDG_TPU_OUTPUT)")
 
+    p = sub.add_parser(
+        "llm-batch",
+        help="LLM batch-run pipeline (plan/save/combine/split)")
+    p.add_argument("action", choices=["plan", "save", "combine",
+                                      "split"])
+    p.add_argument("target",
+                   help="batch root (plan) / run folder (save, "
+                        "combine) / LLM output text file or '-' for "
+                        "stdin (split)")
+    p.add_argument("--groups", default="",
+                   help="story groups JSON file (plan)")
+    p.add_argument("--lyrics", default="",
+                   help="lyric segments JSON file (plan)")
+    p.add_argument("--summary", default="",
+                   help="story summary text (plan)")
+    p.add_argument("--batch-size", type=int, default=10)
+    p.add_argument("--prefix", default="Scene",
+                   help="batch file prefix")
+    p.add_argument("--index", type=int, default=-1,
+                   help="manual batch index (plan) / batch index "
+                        "(save, required) / run index (split)")
+    p.add_argument("--text", default="",
+                   help="LLM reply text file or '-' for stdin (save)")
+    p.add_argument("--folder", default="",
+                   help="persist folder for split outputs")
+
     p = sub.add_parser("serve", help="run the HTTP API server")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8431)
@@ -509,6 +535,40 @@ def main(argv=None):
                 {"project_folder": args.target,
                  "segments": segments,
                  "allow_missing_scene_audio": True}))
+    elif args.command == "llm-batch":
+        from .runtime import llm_batches as lbx
+
+        def _read_text(path):
+            if path == "-":
+                return sys.stdin.read()
+            with open(path, "r", encoding="utf-8-sig") as handle:
+                return handle.read()
+
+        def _read_json(path):
+            return json.loads(_read_text(path)) if path else None
+
+        if args.action == "plan":
+            if not args.groups:
+                raise SystemExit("--groups JSON file is required")
+            _print(lbx.plan_batch(
+                args.target, _read_json(args.groups), args.summary,
+                batch_size=args.batch_size, file_prefix=args.prefix,
+                manual_index=args.index,
+                lyric_segments=_read_json(args.lyrics)))
+        elif args.action == "save":
+            if args.index < 0 or not args.text:
+                raise SystemExit("save needs --index and --text")
+            _print({"path": lbx.save_batch(
+                args.target, args.prefix, args.index,
+                _read_text(args.text))})
+        elif args.action == "combine":
+            result = lbx.combine_batches(args.target, args.prefix)
+            _print({key: result[key]
+                    for key in ("path", "files", "count")})
+        elif args.action == "split":
+            _print(lbx.split_prompt_json(
+                _read_text(args.target), folder=args.folder or None,
+                index=max(args.index, 0)))
     elif args.command == "serve":
         if args.distributed:
             from .parallel import initialize_distributed

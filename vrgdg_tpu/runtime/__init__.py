@@ -1,5 +1,8 @@
 """Host runtime: media IO, frame streaming, device feeding."""
 
+from .llm_batches import (clean_prompt_json, combine_batches,
+                          extract_json_block, plan_batch, save_batch,
+                          split_prompt_json, story_chapter_state)
 from .media_loaders import (image_batch_from_paths,
                             indexed_image_from_folder, list_images,
                             load_image, load_videos_from_folder,
@@ -20,13 +23,16 @@ __all__ = [
     "CODEC_CANDIDATES", "IMAGE_EXTENSIONS", "VIDEO_EXTENSIONS",
     "PrefetchingReader", "VideoReader", "VideoWriter", "array_to_frames",
     "backup_numbered_files", "chunk_pipe_prompts", "chunk_quoted_prompts",
-    "concat_videos", "find_ffmpeg", "frames_to_array",
+    "clean_prompt_json", "combine_batches", "concat_videos",
+    "extract_json_block", "find_ffmpeg", "frames_to_array",
     "image_batch_from_paths", "indexed_image_from_folder",
     "list_images", "load_image",
     "load_videos_from_folder", "log_run_state", "media_has_audio",
     "next_output_index", "normalize_video_path",
     "numbered_image_from_folder", "parse_override_blocks",
-    "parse_redo_indexes", "probe_video", "read_run_index", "safe_name",
-    "select_prompt", "step_run_index", "validate_video_readable",
+    "parse_redo_indexes", "plan_batch", "probe_video",
+    "read_run_index", "safe_name", "save_batch", "select_prompt",
+    "split_prompt_json", "step_run_index", "story_chapter_state",
+    "validate_video_readable",
     "write_video_with_fallback",
 ]
