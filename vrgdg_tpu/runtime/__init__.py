@@ -3,6 +3,9 @@
 from .llm_batches import (clean_prompt_json, combine_batches,
                           extract_json_block, plan_batch, save_batch,
                           split_prompt_json, story_chapter_state)
+from .prompt_splitters import (build_prompt_template,
+                               merge_lyrics_emotions, split_prompts,
+                               split_t2i_i2v, split_text_two)
 from .media_loaders import (image_batch_from_paths,
                             indexed_image_from_folder, list_images,
                             load_image, load_videos_from_folder,
@@ -22,17 +25,20 @@ from .video_io import (CODEC_CANDIDATES, IMAGE_EXTENSIONS, VIDEO_EXTENSIONS,
 __all__ = [
     "CODEC_CANDIDATES", "IMAGE_EXTENSIONS", "VIDEO_EXTENSIONS",
     "PrefetchingReader", "VideoReader", "VideoWriter", "array_to_frames",
-    "backup_numbered_files", "chunk_pipe_prompts", "chunk_quoted_prompts",
+    "backup_numbered_files", "build_prompt_template",
+    "chunk_pipe_prompts", "chunk_quoted_prompts",
     "clean_prompt_json", "combine_batches", "concat_videos",
     "extract_json_block", "find_ffmpeg", "frames_to_array",
     "image_batch_from_paths", "indexed_image_from_folder",
     "list_images", "load_image",
     "load_videos_from_folder", "log_run_state", "media_has_audio",
+    "merge_lyrics_emotions",
     "next_output_index", "normalize_video_path",
     "numbered_image_from_folder", "parse_override_blocks",
     "parse_redo_indexes", "plan_batch", "probe_video",
     "read_run_index", "safe_name", "save_batch", "select_prompt",
-    "split_prompt_json", "step_run_index", "story_chapter_state",
+    "split_prompt_json", "split_prompts", "split_t2i_i2v",
+    "split_text_two", "step_run_index", "story_chapter_state",
     "validate_video_readable",
     "write_video_with_fallback",
 ]
