@@ -1,0 +1,307 @@
+"""Timestamped-lyrics alignment: oracle-fuzz vs HumoAutomationExtra2.
+
+Extracts ``VRGDG_TimestampedLyricsExtractor`` (+ its parent) via AST
+surgery and fuzzes ``runtime/lyric_align.py`` against the reference's
+deterministic internals on synthetic songs: reference-unit parsing,
+cursor alignment, acoustic word alignment, the full scene assembly
+across every segment mode, gap insertion, and the end-to-end payload.
+The ASR model invocation itself is out of scope; inputs follow the
+MIGRATION.md external audio-ML contract.
+"""
+
+import copy
+import difflib
+import json
+import random
+
+from vrgdg_tpu.runtime import lyric_align as la
+
+from tests.reference_oracle import load_reference
+
+_VOCAB = ("love", "night", "fire", "run", "away", "don't", "hold",
+          "me", "down", "light", "rain", "gold", "echo", "stay",
+          "follow", "river", "home", "breathe", "slow", "wild")
+
+
+def _extractor():
+    ref = load_reference(
+        "HumoAutomationExtra2.py",
+        ["VRGDG_ManualLyricsExtractor_SRT_Advanced",
+         "VRGDG_TimestampedLyricsExtractor"],
+        extra_globals={"difflib": difflib})
+    return ref["VRGDG_TimestampedLyricsExtractor"]()
+
+
+def _rng(seed):
+    return random.Random(seed)
+
+
+def _song(rng, lines=None):
+    """Synthetic reference lyrics + a word timeline derived from them
+    with ASR-style damage (drops, misspellings, splits, jitter)."""
+    if lines is None:
+        lines = rng.randrange(2, 8)
+    reference_lines = []
+    for _ in range(lines):
+        count = rng.randrange(2, 8)
+        reference_lines.append(" ".join(rng.choices(_VOCAB, k=count)))
+
+    text_lines = []
+    for line in reference_lines:
+        text_lines.append(line)
+        if rng.random() < 0.2:
+            text_lines.append("")
+        if rng.random() < 0.15:
+            text_lines.append(rng.choice(
+                ["[Chorus]", "[instrumental]", "[Instrumental break]",
+                 "[Verse 2]"]))
+    reference_text = "\n".join(text_lines)
+
+    clock = rng.uniform(0.0, 3.0)
+    words = []
+    for line in reference_lines:
+        for token in line.split():
+            if rng.random() < 0.12:      # ASR dropped the word
+                clock += rng.uniform(0.2, 0.6)
+                continue
+            spoken = token
+            if rng.random() < 0.1:       # misspelling
+                spoken = token[:-1] + rng.choice("aeioux") \
+                    if len(token) > 2 else token + "h"
+            start = clock
+            duration = rng.uniform(0.15, 0.6)
+            clock += duration
+            words.append({"start": round(start, 3),
+                          "end": round(clock, 3), "text": spoken})
+            clock += rng.uniform(0.02, 0.4)
+        clock += rng.uniform(0.0, 4.0)   # inter-line silence
+
+    segments = []
+    cursor = 0
+    while cursor < len(words):
+        take = rng.randrange(2, 7)
+        chunk = words[cursor:cursor + take]
+        segments.append({
+            "type": "vocal",
+            "start": chunk[0]["start"], "end": chunk[-1]["end"],
+            "duration": round(chunk[-1]["end"] - chunk[0]["start"], 3),
+            "text": " ".join(w["text"] for w in chunk),
+            "words": chunk})
+        cursor += take
+    total = clock + rng.uniform(0.0, 6.0)
+    return reference_text, segments, round(total, 3)
+
+
+def test_clean_and_normalize_parity():
+    ref = _extractor()
+    samples = ["Heeeeey--yeah,,  now", "don't_stop—me", "ámbar 雨!!!",
+               "", "aaaa bbbbbb c", "Hold, my _ hand —now"]
+    for text in samples:
+        assert la.clean_lyric(text) == ref._clean_lyric(text)
+        assert la.normalize_for_match(text) == \
+            ref._normalize_for_match(text)
+    assert la.split_reference_lyrics(
+        "Lyrics\n[Verse]\nhold me now\n\nFULL LYRICS\nrun away") == \
+        ref._split_reference_lyrics(
+        "Lyrics\n[Verse]\nhold me now\n\nFULL LYRICS\nrun away")
+
+
+def test_reference_units_parity():
+    ref = _extractor()
+    rng = _rng(7)
+    modes = ("reference_lines", "exact_reference_lines",
+             "reference_stanzas", "reference_scene_words")
+    for case in range(120):
+        text, _, _ = _song(rng)
+        mode = rng.choice(modes)
+        marker = rng.choice(["[instrumental]", "(break)"])
+        assert la.reference_units(text, mode, marker) == \
+            ref._reference_units(text, mode, marker)
+
+
+def test_word_items_and_align_unit_parity():
+    ref = _extractor()
+    rng = _rng(17)
+    for _ in range(80):
+        text, segments, _ = _song(rng)
+        ours = la.word_items_from_segments(segments)
+        theirs = ref._word_items_from_segments(segments)
+        assert ours == theirs
+        cursor = 0
+        for line in la.split_reference_lyrics(text):
+            seg_ref, cur_ref = ref._align_reference_unit(
+                line, theirs, cursor)
+            seg_our, cur_our = la.align_unit(line, ours, cursor)
+            assert seg_our == seg_ref
+            assert cur_our == cur_ref
+            cursor = cur_our
+
+
+def test_acoustic_reference_alignment_parity():
+    ref = _extractor()
+    rng = _rng(27)
+    for _ in range(60):
+        text, segments, total = _song(rng)
+        units = la.reference_units(text, "reference_scene_words",
+                                   "[instrumental]")
+        ours = la.acoustic_reference_alignment(
+            units, copy.deepcopy(segments), total)
+        theirs = ref._reference_scene_word_segments(
+            units, copy.deepcopy(segments), total)
+        assert ours == theirs
+
+
+def test_scene_assembly_parity_all_modes():
+    """The full assembler vs _segments_from_reference_units across
+    every segment mode and parameter mix — the load-bearing suite."""
+    ref = _extractor()
+    rng = _rng(37)
+    modes = ("reference_lines", "exact_reference_lines",
+             "reference_stanzas", "reference_scene_words")
+    for case in range(90):
+        text, segments, total = _song(rng)
+        mode = modes[case % len(modes)]
+        include_gaps = rng.random() < 0.75
+        min_gap = rng.choice([0.5, 1.0, 2.0])
+        min_scene = rng.choice([0.5, 1.0, 2.0])
+        max_scene = rng.choice([4.0, 8.0, 3.0])
+        tail = rng.choice([0.0, 0.6, 1.2])
+        units = la.reference_units(text, mode, "[instrumental]")
+
+        prealigned = None
+        if mode == "reference_scene_words":
+            prealigned = la.acoustic_reference_alignment(
+                units, copy.deepcopy(segments), total)
+
+        assembler = la.SceneAssembler(
+            total_duration=total, instrumental_text="[instrumental]",
+            min_gap_seconds=min_gap, min_scene_seconds=min_scene,
+            max_scene_seconds=max_scene,
+            vocal_tail_padding_seconds=tail,
+            include_instrumental_gaps=include_gaps,
+            exact_reference_lines=(mode == "exact_reference_lines"),
+            preserve_reference_units=True)
+        ours = assembler.assemble(units, copy.deepcopy(segments),
+                                  copy.deepcopy(prealigned))
+        theirs = ref._segments_from_reference_units(
+            copy.deepcopy(units), copy.deepcopy(segments), total,
+            "[instrumental]", min_gap, include_gaps, min_scene,
+            max_scene, tail,
+            exact_reference_lines=(mode == "exact_reference_lines"),
+            preserve_reference_units=True,
+            prealigned_reference_segments=copy.deepcopy(prealigned))
+        assert ours == theirs, f"case {case} mode {mode}"
+
+
+def test_scene_assembly_without_unit_preservation():
+    """preserve_reference_units=False exercises the word-gap vocal
+    splitter (reference :2702-2799)."""
+    ref = _extractor()
+    rng = _rng(47)
+    for case in range(60):
+        text, segments, total = _song(rng)
+        units = la.reference_units(text, "reference_lines",
+                                   "[instrumental]")
+        min_gap = rng.choice([0.3, 0.8, 1.5])
+        max_scene = rng.choice([2.0, 4.0, 6.0])
+        assembler = la.SceneAssembler(
+            total_duration=total, min_gap_seconds=min_gap,
+            min_scene_seconds=0.5, max_scene_seconds=max_scene,
+            vocal_tail_padding_seconds=0.4,
+            include_instrumental_gaps=True)
+        ours = assembler.assemble(units, copy.deepcopy(segments))
+        theirs = ref._segments_from_reference_units(
+            copy.deepcopy(units), copy.deepcopy(segments), total,
+            "[instrumental]", min_gap, True, 0.5, max_scene, 0.4)
+        assert ours == theirs, f"case {case}"
+
+
+def test_with_instrumental_gaps_parity():
+    ref = _extractor()
+    rng = _rng(57)
+    for _ in range(60):
+        _, segments, total = _song(rng)
+        min_gap = rng.choice([0.5, 1.0, 3.0])
+        max_scene = rng.choice([3.0, 8.0])
+        ours = la.with_instrumental_gaps(
+            copy.deepcopy(segments), total, "[instrumental]",
+            min_gap, 1.0, max_scene)
+        theirs = ref._with_instrumental_gaps(
+            copy.deepcopy(segments), total, "[instrumental]",
+            min_gap, 1.0, max_scene)
+        assert ours == theirs
+
+
+def test_timestamped_payload_end_to_end():
+    """The full payload builder vs a reference-internals driver that
+    mirrors extract_timestamped_lyrics minus the ASR call
+    (reference :3045-3138)."""
+    ref = _extractor()
+    rng = _rng(67)
+    modes = ("whisper_chunks", "reference_lines",
+             "exact_reference_lines", "reference_stanzas",
+             "reference_scene_words")
+    for case in range(40):
+        text, segments, total = _song(rng)
+        mode = modes[case % len(modes)]
+        include_gaps = rng.random() < 0.8
+
+        payload = la.timestamped_lyrics(
+            copy.deepcopy(segments), total, reference_lyrics=text,
+            segment_mode=mode,
+            include_instrumental_gaps=include_gaps,
+            min_gap_seconds=1.0, min_scene_seconds=1.0,
+            max_scene_seconds=8.0, vocal_tail_padding_seconds=0.6,
+            mode="external", model_name="large-v3",
+            language="english")
+
+        units = ref._reference_units(text, mode, "[instrumental]") \
+            if mode != "whisper_chunks" else []
+        if units:
+            prealigned = ref._reference_scene_word_segments(
+                units, copy.deepcopy(segments), total) \
+                if mode == "reference_scene_words" else None
+            expected = ref._segments_from_reference_units(
+                units, copy.deepcopy(segments), total,
+                "[instrumental]", 1.0, include_gaps, 1.0, 8.0, 0.6,
+                exact_reference_lines=(
+                    mode == "exact_reference_lines"),
+                preserve_reference_units=mode in {
+                    "reference_lines", "exact_reference_lines",
+                    "reference_stanzas", "reference_scene_words"},
+                prealigned_reference_segments=prealigned)
+        else:
+            expected = copy.deepcopy(segments)
+            if include_gaps:
+                expected = ref._with_instrumental_gaps(
+                    expected, total, "[instrumental]", 1.0, 1.0, 8.0)
+        for position, segment in enumerate(expected, 1):
+            segment["index"] = position
+
+        assert payload["segments"] == expected, f"case {case} {mode}"
+        assert payload["segment_count"] == len(expected)
+        assert payload["duration"] == round(total, 3)
+        assert payload["version"] == 1
+        json.dumps(payload)  # payload must be JSON-serializable
+
+
+def test_segments_from_words_contract():
+    """The external-contract adapter mirrors
+    _segments_from_stable_result semantics on plain dicts."""
+    raw = [
+        {"text": " hold me ", "start": 1.0, "end": 2.0,
+         "words": [{"word": " hold ", "start": 1.0, "end": 1.4},
+                   {"word": "me", "start": 1.5, "end": 2.0}]},
+        {"text": "", "start": 3.0, "end": 4.0,
+         "words": [{"word": "run", "start": 3.1, "end": 3.5}]},
+        {"text": "", "words": []},                 # dropped: no text
+        {"text": "tail", "start": 9.0, "end": 8.0,  # end clamped
+         "words": []},
+    ]
+    segments = la.segments_from_words(raw)
+    assert [seg["text"] for seg in segments] == ["hold me", "run",
+                                                 "tail"]
+    assert segments[0]["words"][0] == {"start": 1.0, "end": 1.4,
+                                       "text": "hold"}
+    assert segments[1]["text"] == "run"      # rebuilt from words
+    assert segments[2]["end"] == segments[2]["start"] == 9.0

@@ -232,6 +232,31 @@ def main(argv=None):
                         "VRGDG_TPU_OUTPUT)")
 
     p = sub.add_parser(
+        "lyrics",
+        help="timestamped lyric scenes from external ASR word JSON")
+    p.add_argument("input",
+                   help="word-timestamped ASR segments JSON "
+                        "(see docs/MIGRATION.md contract #3)")
+    p.add_argument("--reference", default="",
+                   help="reference lyrics text file")
+    p.add_argument("--segment-mode", default="whisper_chunks",
+                   choices=["whisper_chunks", "reference_lines",
+                            "exact_reference_lines",
+                            "reference_stanzas",
+                            "reference_scene_words"])
+    p.add_argument("--no-instrumental-gaps", action="store_true")
+    p.add_argument("--instrumental-text", default="[instrumental]")
+    p.add_argument("--min-gap", type=float, default=1.0)
+    p.add_argument("--min-scene", type=float, default=1.0)
+    p.add_argument("--max-scene", type=float, default=8.0)
+    p.add_argument("--vocal-tail", type=float, default=0.6)
+    p.add_argument("--duration", type=float, default=0.0,
+                   help="total audio seconds (default: from the JSON "
+                        "or the last word end)")
+    p.add_argument("-o", "--output", default="",
+                   help="write the payload JSON here (default stdout)")
+
+    p = sub.add_parser(
         "llm-batch",
         help="LLM batch-run pipeline (plan/save/combine/split)")
     p.add_argument("action", choices=["plan", "save", "combine",
@@ -535,6 +560,42 @@ def main(argv=None):
                 {"project_folder": args.target,
                  "segments": segments,
                  "allow_missing_scene_audio": True}))
+    elif args.command == "lyrics":
+        from .runtime import lyric_align as lal
+        with open(args.input, "r", encoding="utf-8-sig") as handle:
+            raw = json.load(handle)
+        raw_segments = raw["segments"] if isinstance(raw, dict) \
+            else raw
+        segments = lal.segments_from_words(raw_segments)
+        duration = args.duration
+        if duration <= 0 and isinstance(raw, dict):
+            duration = float(raw.get("duration", 0.0) or 0.0)
+        if duration <= 0:
+            duration = max((seg["end"] for seg in segments),
+                           default=0.0)
+        reference_text = ""
+        if args.reference:
+            with open(args.reference, "r",
+                      encoding="utf-8-sig") as handle:
+                reference_text = handle.read()
+        payload = lal.timestamped_lyrics(
+            segments, duration, reference_lyrics=reference_text,
+            segment_mode=args.segment_mode,
+            include_instrumental_gaps=not args.no_instrumental_gaps,
+            instrumental_text=args.instrumental_text,
+            min_gap_seconds=args.min_gap,
+            min_scene_seconds=args.min_scene,
+            max_scene_seconds=args.max_scene,
+            vocal_tail_padding_seconds=args.vocal_tail)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as handle:
+                json.dump(payload, handle, ensure_ascii=False,
+                          indent=2)
+            _print({"output": os.path.abspath(args.output),
+                    "segment_count": payload["segment_count"],
+                    "duration": payload["duration"]})
+        else:
+            _print(payload)
     elif args.command == "llm-batch":
         from .runtime import llm_batches as lbx
 

@@ -3,6 +3,8 @@
 from .llm_batches import (clean_prompt_json, combine_batches,
                           extract_json_block, plan_batch, save_batch,
                           split_prompt_json, story_chapter_state)
+from .lyric_align import (SceneAssembler, segments_from_words,
+                          timestamped_lyrics)
 from .prompt_splitters import (build_prompt_template,
                                merge_lyrics_emotions, split_prompts,
                                split_t2i_i2v, split_text_two)
@@ -24,7 +26,8 @@ from .video_io import (CODEC_CANDIDATES, IMAGE_EXTENSIONS, VIDEO_EXTENSIONS,
 
 __all__ = [
     "CODEC_CANDIDATES", "IMAGE_EXTENSIONS", "VIDEO_EXTENSIONS",
-    "PrefetchingReader", "VideoReader", "VideoWriter", "array_to_frames",
+    "PrefetchingReader", "SceneAssembler", "VideoReader", "VideoWriter",
+    "array_to_frames",
     "backup_numbered_files", "build_prompt_template",
     "chunk_pipe_prompts", "chunk_quoted_prompts",
     "clean_prompt_json", "combine_batches", "concat_videos",
@@ -36,9 +39,10 @@ __all__ = [
     "next_output_index", "normalize_video_path",
     "numbered_image_from_folder", "parse_override_blocks",
     "parse_redo_indexes", "plan_batch", "probe_video",
-    "read_run_index", "safe_name", "save_batch", "select_prompt",
+    "read_run_index", "safe_name", "save_batch",
+    "segments_from_words", "select_prompt",
     "split_prompt_json", "split_prompts", "split_t2i_i2v",
     "split_text_two", "step_run_index", "story_chapter_state",
-    "validate_video_readable",
+    "timestamped_lyrics", "validate_video_readable",
     "write_video_with_fallback",
 ]
