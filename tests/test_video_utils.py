@@ -228,3 +228,49 @@ def test_combine_scene_videos_trims_to_durations():
         combine_scene_videos([clip(2, 1)], None)
     with pytest.raises(ValueError, match="No video inputs"):
         combine_scene_videos([None], {"durations_frames": [2]})
+
+
+def test_add_label_bar_matches_reference(tmp_path):
+    """Pixel-exact parity with the V5 combiner's label bar and the
+    labeled sidecar save (HumoAutomationExtra2.py:360-412,479-493)."""
+    import cv2
+    import torch
+
+    from tests.reference_oracle import load_reference
+    from vrgdg_tpu.runtime.video_io import (add_label_bar,
+                                            save_labeled_set_video)
+
+    ref_ns = load_reference(
+        "HumoAutomationExtra2.py", ["VRGDG_CombinevideosV5"],
+        extra_globals={"cv2": cv2, "torch": torch,
+                       "np": np,
+                       "get_output_directory": lambda: str(tmp_path)})
+    ref = ref_ns["VRGDG_CombinevideosV5"]()
+
+    rng = np.random.default_rng(5)
+    frames = rng.random((3, 24, 40, 3)).astype(np.float32)
+    ours = add_label_bar(frames, "set 2 - group 7")
+    theirs = ref._add_label_bar(torch.from_numpy(frames),
+                                "set 2 - group 7").numpy()
+    assert ours.shape == theirs.shape == (3, 84, 40, 3)
+    np.testing.assert_array_equal(ours, theirs)
+
+    # labeled sidecar: same bytes as the reference's save path
+    clips = {f"video_{i}": torch.from_numpy(
+        rng.random((4, 16, 16, 3)).astype(np.float32))
+        for i in (1, 2)}
+    meta = {"durations_frames": [2, 3]}
+    ref.blend_videos(10.0, 4.0, audio_meta=meta, index=0,
+                     total_sets=1, groups_in_last_set=16,
+                     folder_path=str(tmp_path / "ref_out"),
+                     with_labels=True, **clips)
+    ref_video = tmp_path / "ref_out" / "WithLabels" / \
+        "set1_combined.mp4"
+    out_path = save_labeled_set_video(
+        [clips["video_1"].numpy(), clips["video_2"].numpy()],
+        meta, str(tmp_path / "our_out"), fps=10.0, index=0)
+    assert out_path.endswith(os.path.join("WithLabels",
+                                          "set1_combined.mp4"))
+    ours_bytes = open(out_path, "rb").read()
+    theirs_bytes = open(ref_video, "rb").read()
+    assert ours_bytes == theirs_bytes

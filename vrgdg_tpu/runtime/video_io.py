@@ -945,3 +945,103 @@ def combine_scene_videos(videos, audio_meta, fps: float = 25.0,
         raise ValueError("No video inputs detected. Provide at least "
                          "one scene clip.")
     return np.concatenate(pieces, axis=0)
+
+
+def add_label_bar(frames, label_text: str) -> np.ndarray:
+    """Append a black 60-px bar with a centered white label under each
+    frame — the V5 combiner's review-copy annotation
+    (``/root/reference/HumoAutomationExtra2.py:360-391``).
+
+    ``frames`` is float RGB in [0,1], shape (N,H,W,3); the result is
+    (N,H+60,W,3) float32.  Text metrics match the reference (Hershey
+    simplex, scale 1.0, thickness 2, anti-aliased, baseline at 70% of
+    the bar) so labeled review videos render identically.
+    """
+    import cv2
+
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (N,H,W,3) RGB frames, got "
+                         f"{tuple(frames.shape)}")
+    bar_height = 60
+    text = str(label_text)
+    out = []
+    for frame in frames:
+        rgb = (np.asarray(frame) * 255).astype(np.uint8)
+        height, width = rgb.shape[:2]
+        canvas = np.zeros((height + bar_height, width, 3), np.uint8)
+        canvas[:height] = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
+        (text_w, _), _ = cv2.getTextSize(
+            text, cv2.FONT_HERSHEY_SIMPLEX, 1.0, 2)
+        cv2.putText(canvas, text,
+                    ((width - text_w) // 2,
+                     height + int(bar_height * 0.7)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1.0, (255, 255, 255), 2,
+                    cv2.LINE_AA)
+        out.append(cv2.cvtColor(canvas, cv2.COLOR_BGR2RGB)
+                   .astype(np.float32) / 255.0)
+    return np.stack(out)
+
+
+def save_labeled_set_video(videos, audio_meta, folder: str,
+                           fps: float = 25.0, index: int = 0,
+                           total_sets: int = 1,
+                           groups_in_last_set: int = 16) -> str:
+    """Write the V5 combiner's labeled review sidecar
+    (``/root/reference/HumoAutomationExtra2.py:479-493``): each scene
+    clip trimmed to its audio-metered duration, annotated
+    ``set N - group M``, concatenated, and saved as
+    ``<folder>/WithLabels/set{N}_combined.mp4``.  Returns the output
+    path.  The clean (unlabeled) frames come from
+    :func:`combine_scene_videos` as before — the labeled copy is a
+    review artifact only.
+    """
+    import cv2
+
+    scene_cap = 16
+    last_run = int(index) == int(total_sets) - 1
+    limit = scene_cap
+    if last_run:
+        limit = max(1, min(int(groups_in_last_set), scene_cap))
+    labeled = [(slot, video) for slot, video
+               in enumerate(list(videos)[:limit], start=1)
+               if video is not None]
+    if not labeled:
+        raise ValueError("No video inputs detected.")
+
+    durations = audio_meta.get("durations_frames")
+    in_frames = durations is not None
+    if durations is None:
+        durations = audio_meta.get("durations")
+    if durations is None:
+        raise ValueError(
+            "audio_meta missing 'durations' or 'durations_frames'")
+    durations = list(durations)[:scene_cap]
+    durations += [0.0] * (scene_cap - len(durations))
+
+    pieces = []
+    for slot, video in labeled:
+        video = np.asarray(video)
+        value = float(durations[slot - 1])
+        target = max(1, int(round(value if in_frames
+                                  else value * float(fps))))
+        if video.shape[0] > target:
+            video = video[:target]
+        pieces.append(add_label_bar(
+            video, f"set {index + 1} - group {slot}"))
+
+    frames = np.concatenate(pieces, axis=0)
+    out_dir = os.path.join(folder, "WithLabels")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"set{index + 1}_combined.mp4")
+    height, width = frames.shape[1:3]
+    writer = cv2.VideoWriter(out_path,
+                             cv2.VideoWriter_fourcc(*"mp4v"),
+                             float(fps), (width, height))
+    try:
+        for frame in frames:
+            writer.write(cv2.cvtColor(
+                (frame * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+    finally:
+        writer.release()
+    return out_path
