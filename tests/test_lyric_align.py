@@ -305,3 +305,217 @@ def test_segments_from_words_contract():
                                        "text": "hold"}
     assert segments[1]["text"] == "run"      # rebuilt from words
     assert segments[2]["end"] == segments[2]["start"] == 9.0
+
+
+# ---------------------------------------------------------------------------
+# SRT-window lyric extraction family (reference :1462-2119)
+# ---------------------------------------------------------------------------
+
+def _v9():
+    ref = load_reference(
+        "HumoAutomationExtra2.py",
+        ["VRGDG_ManualLyricsExtractor_SRT_Advanced",
+         "VRGDG_ManualLyricsExtractor_SRT_Advanced_BeatV9"],
+        extra_globals={"difflib": difflib})
+    return ref["VRGDG_ManualLyricsExtractor_SRT_Advanced_BeatV9"]()
+
+
+def _window_texts(rng, reference_lines, count=None):
+    """ASR window texts: reference lines with damage, filler windows,
+    hallucinations, empties."""
+    texts = []
+    pool = list(reference_lines)
+    while pool or (count and len(texts) < count):
+        roll = rng.random()
+        if roll < 0.5 and pool:
+            line = pool.pop(0)
+            tokens = line.split()
+            kept = [t for t in tokens if rng.random() > 0.15]
+            texts.append(" ".join(kept) if kept else line)
+        elif roll < 0.65:
+            texts.append(rng.choice(["", "  ", "oh ooh", "la la la",
+                                     "yeah yeah", "mmm hmm"]))
+        elif roll < 0.8:
+            texts.append(" ".join(rng.choices(
+                ("static", "hiss", "crowd", "noise xyzzy"), k=2)))
+        elif pool:
+            # two lines heard in one window
+            first = pool.pop(0)
+            second = pool[0] if pool else ""
+            texts.append(f"{first} {second}".strip())
+        else:
+            break
+        if count and len(texts) >= count:
+            break
+    return texts
+
+
+def test_window_helper_parity():
+    ref = _extractor()
+    rng = _rng(87)
+    for _ in range(120):
+        text = " ".join(rng.choices(
+            _VOCAB + ("ohhh", "laaa", "[Chorus]", "Lyrics", "it's",
+                      "FULL LYRICS", "12"), k=rng.randrange(0, 9)))
+        assert la.clean_aligned_lyric_text(text) == \
+            ref._clean_aligned_lyric_text(text)
+        assert la.content_tokens(text) == ref._content_tokens(text)
+        for min_words in (1, 2, 3):
+            assert la.is_alignment_meaningful(text, min_words) == \
+                ref._is_alignment_meaningful_text(text, min_words)
+        for level in (1, 2, 3):
+            assert la.is_meaningful_text(text, level) == \
+                ref._is_meaningful_text(text, level)
+        prev = " ".join(rng.choices(_VOCAB, k=rng.randrange(0, 4)))
+        cur = " ".join(rng.choices(_VOCAB, k=rng.randrange(0, 4)))
+        assert la.strip_repeated_boundary_word(prev, cur) == \
+            ref._strip_repeated_boundary_word(prev, cur)
+
+
+def test_window_chunks_and_windows_parity(tmp_path):
+    ref = _extractor()
+    rng = _rng(97)
+    for _ in range(40):
+        _, segments, _ = _song(rng)
+        # dict-contract chunks vs reference's object walk via shims
+        import types
+        shim_segments = []
+        for seg in segments:
+            words = [types.SimpleNamespace(word=w["text"],
+                                           start=w["start"],
+                                           end=w["end"])
+                     for w in seg["words"]]
+            shim_segments.append(types.SimpleNamespace(
+                text=seg["text"], start=seg["start"],
+                end=seg["end"], words=words))
+        result = types.SimpleNamespace(segments=shim_segments)
+        theirs = ref._collect_time_text_chunks(result)
+        ours = la.collect_time_text_chunks(segments)
+        assert ours == theirs
+        start = rng.uniform(0, 10)
+        end = start + rng.uniform(0.5, 8)
+        assert la.text_for_window(ours, start, end) == \
+            ref._text_for_window(theirs, start, end)
+
+    # fixed windows: frame-quantized sample math
+    for sr, fps, dur, total in ((44100, 25, 4.0, 44100 * 19),
+                                (22050, 24, 2.5, 22050 * 7 + 13),
+                                (16000, 30, 8.0, 16000 * 61)):
+        frames_per_scene = int(round(fps * dur))
+        samples_per_scene = int(frames_per_scene * sr / fps + 0.5)
+        import math as m
+        expected = []
+        for i in range(m.ceil(total / samples_per_scene)):
+            expected.append((
+                (i * samples_per_scene) / sr,
+                min((i + 1) * samples_per_scene, total) / sr))
+        assert la.fixed_scene_windows(total, sr, fps, dur) == expected
+
+    # srt windows vs the reference's file parser
+    srt = ("1\n00:00:01,500 --> 00:00:04,000\nhello\n\n"
+           "2\n00:01:00,250 --> 00:01:02,750\nworld\n")
+    path = tmp_path / "w.srt"
+    path.write_text(srt)
+    assert la.srt_windows(srt) == ref._parse_srt_segments(str(path))
+
+
+def test_cleanup_and_merge_parity():
+    ref = _extractor()
+    rng = _rng(107)
+    for _ in range(80):
+        lines = [" ".join(rng.choices(_VOCAB, k=rng.randrange(2, 6)))
+                 for _ in range(rng.randrange(1, 6))]
+        windows = _window_texts(rng, lines, count=rng.randrange(1, 10))
+        assert la.cleanup_reference_segments(windows, lines) == \
+            ref._cleanup_reference_segments(windows, lines)
+        backup = _window_texts(rng, lines,
+                               count=rng.randrange(1, 10))
+        for level in (1, 2, 3):
+            ours = la.merge_missing_segments(windows, backup, level)
+            theirs = ref._merge_missing_segments(windows, backup,
+                                                 level)
+            assert ours == theirs
+
+
+def test_align_windows_parity_strict_and_loose():
+    """The DP strict alignment and the loose cursor walk, plus the V9
+    legacy variant, against both reference classes."""
+    ref = _extractor()
+    v9 = _v9()
+    rng = _rng(117)
+    for case in range(80):
+        lines = [" ".join(rng.choices(_VOCAB, k=rng.randrange(2, 7)))
+                 for _ in range(rng.randrange(1, 8))]
+        windows = _window_texts(rng, lines,
+                                count=rng.randrange(1, 12))
+        preserve = rng.random() < 0.8
+        min_words = rng.choice([1, 2, 3])
+        for strict in (True, False):
+            ours = la.align_windows_to_reference(
+                windows, lines, strict_reference_text=strict,
+                preserve_nonvocal_segments=preserve,
+                alignment_min_words=min_words)
+            theirs = ref._align_segments_to_reference(
+                windows, lines, strict_reference_text=strict,
+                preserve_nonvocal_segments=preserve,
+                alignment_min_words=min_words)
+            assert ours == theirs, f"case {case} strict={strict}"
+            ours_v9 = la.align_windows_to_reference(
+                windows, lines, strict_reference_text=strict,
+                preserve_nonvocal_segments=preserve,
+                alignment_min_words=min_words, legacy_beat=True)
+            theirs_v9 = v9._align_segments_to_reference(
+                windows, lines, strict_reference_text=strict,
+                preserve_nonvocal_segments=preserve,
+                alignment_min_words=min_words)
+            assert ours_v9 == theirs_v9, f"case {case} v9 {strict}"
+        # empty reference passthrough
+        assert la.align_windows_to_reference(windows, []) == windows
+
+
+def test_extract_window_lyrics_flows():
+    """The composed decision tree mirrors the reference's extract
+    flow on contract inputs (reference :1903-2042)."""
+    ref = _extractor()
+    rng = _rng(127)
+    for case in range(30):
+        text, segments, total = _song(rng)
+        lines = la.split_reference_lyrics(text)
+        windows = la.fixed_scene_windows(
+            int(total * 16000), 16000, 25, 4.0)
+        chunks = ref._collect_time_text_chunks(
+            __import__("types").SimpleNamespace(segments=[]))
+
+        # path 1: no reference — raw windows
+        out = la.extract_window_lyrics(segments, windows)
+        ref_chunks = la.collect_time_text_chunks(segments)
+        expected = [la.text_for_window(ref_chunks, s, e)
+                    for s, e in windows]
+        assert out["texts"] == expected
+        assert out["sheet"].startswith(
+            f"# Lyrics to fix: ({len(windows)} segments)")
+
+        # path 2: transcription + fuzzy mapping
+        out = la.extract_window_lyrics(
+            segments, windows, reference_lyrics=text,
+            native_align=False, strict_reference_text=True)
+        window_texts = [la.clean_aligned_lyric_text(
+            la.text_for_window(ref_chunks, s, e))
+            for s, e in windows]
+        expected = ref._align_segments_to_reference(
+            window_texts, lines, strict_reference_text=True,
+            preserve_nonvocal_segments=True, alignment_min_words=2)
+        assert out["texts"] == expected
+
+        # path 3: native align + cleanup + strict reassignment from
+        # backup windows
+        out = la.extract_window_lyrics(
+            segments, windows, reference_lyrics=text,
+            backup_segments=segments, native_align=True,
+            strict_reference_text=True)
+        expected = ref._align_segments_to_reference(
+            window_texts, lines, strict_reference_text=True,
+            preserve_nonvocal_segments=True, alignment_min_words=2)
+        assert out["texts"] == expected
+        for line in out["sheet"].splitlines()[2:]:
+            assert line.startswith("lyricSegment")

@@ -255,6 +255,17 @@ def main(argv=None):
                         "or the last word end)")
     p.add_argument("-o", "--output", default="",
                    help="write the payload JSON here (default stdout)")
+    p.add_argument("--sheet-srt", default="",
+                   help="emit the editable lyricSegmentN= sheet for "
+                        "this SRT's scene windows instead of the "
+                        "timestamped payload")
+    p.add_argument("--backup", default="",
+                   help="plain-transcription ASR JSON for sheet "
+                        "backup fill (optional)")
+    p.add_argument("--native-align", action="store_true",
+                   help="mark the input as forced-alignment output "
+                        "(enables the sheet's cleanup/reassignment "
+                        "branch)")
 
     p = sub.add_parser(
         "llm-batch",
@@ -578,6 +589,30 @@ def main(argv=None):
             with open(args.reference, "r",
                       encoding="utf-8-sig") as handle:
                 reference_text = handle.read()
+        if args.sheet_srt:
+            with open(args.sheet_srt, "r",
+                      encoding="utf-8-sig") as handle:
+                windows = lal.srt_windows(handle.read())
+            backup = None
+            if args.backup:
+                with open(args.backup, "r",
+                          encoding="utf-8-sig") as handle:
+                    backup_raw = json.load(handle)
+                backup = lal.segments_from_words(
+                    backup_raw["segments"]
+                    if isinstance(backup_raw, dict) else backup_raw)
+            sheet = lal.extract_window_lyrics(
+                segments, windows, reference_lyrics=reference_text,
+                backup_segments=backup,
+                native_align=args.native_align)["sheet"]
+            if args.output:
+                with open(args.output, "w",
+                          encoding="utf-8") as handle:
+                    handle.write(sheet)
+                _print({"output": os.path.abspath(args.output)})
+            else:
+                print(sheet)
+            return
         payload = lal.timestamped_lyrics(
             segments, duration, reference_lyrics=reference_text,
             segment_mode=args.segment_mode,

@@ -40,7 +40,16 @@ __all__ = ["clean_lyric", "normalize_for_match",
            "word_items_from_segments", "align_unit",
            "acoustic_reference_alignment", "SceneAssembler",
            "segments_from_words", "with_instrumental_gaps",
-           "timestamped_lyrics", "SEGMENT_MODES"]
+           "timestamped_lyrics", "SEGMENT_MODES",
+           # SRT-window lyric extraction family
+           "content_tokens", "clean_aligned_lyric_text",
+           "strip_repeated_boundary_word",
+           "cleanup_reference_segments", "is_alignment_meaningful",
+           "is_meaningful_text", "merge_missing_segments",
+           "collect_time_text_chunks", "text_for_window",
+           "fixed_scene_windows", "srt_windows",
+           "nonvocal_placeholder", "align_windows_to_reference",
+           "format_lyric_segments", "extract_window_lyrics"]
 
 SEGMENT_MODES = ("whisper_chunks", "reference_lines",
                  "exact_reference_lines", "reference_stanzas",
@@ -919,6 +928,461 @@ def with_instrumental_gaps(segments, total_duration, instrumental_text,
     if float(total_duration) - cursor >= min_gap:
         _fill(cursor, float(total_duration))
     return output
+
+
+# ---------------------------------------------------------------------------
+# SRT-window lyric extraction (reference :1462-2119)
+# ---------------------------------------------------------------------------
+# The "Manual Lyrics Extractor" family: slice the track into scene
+# windows (from an SRT or a fixed duration), read the ASR text falling
+# in each window, and map the user's pasted reference lyrics onto the
+# vocal windows.  Output is the editable ``lyricSegmentN=`` sheet.
+
+_STOPWORDS = frozenset((
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "in", "into", "is", "it", "me", "my", "no", "not", "of",
+    "on", "or", "so", "the", "then", "to", "up", "when", "with",
+    "you", "your"))
+
+_HEADER_WORDS = re.compile(
+    r"\b(?:full\s+lyrics|song\s+lyrics|reference\s+lyrics|lyrics)\b",
+    re.IGNORECASE)
+
+_ALNUM_TOKEN = re.compile(r"[a-z0-9]+")
+_ASCII_TOKEN = re.compile(r"[A-Za-z0-9]+")
+_APOSTROPHE_TOKEN = re.compile(r"[A-Za-z0-9']+")
+
+_FILLER_TOKENS = frozenset((
+    "oh", "ooh", "oooh", "ooooh", "ah", "aah", "aaah", "aww", "yeah",
+    "yah", "ya", "uh", "um", "hmm", "mm", "la", "na", "woah", "whoa",
+    "ok", "okay", "hey", "yo"))
+_FILLER_SHAPE = re.compile(
+    r"(?:a+h+|o+h+|u+h+|h*m+|la+|na+|ya+h*|wo+a+h+)")
+
+# the BeatV9 legacy placeholder rotation (reference :2063)
+_V9_FILLERS = ("ooohhh", "yeah, yeah", "oohh yeah", "ahh ahh",
+               "la la")
+
+
+def content_tokens(text) -> list[str]:
+    """Lowercase alphanumeric tokens minus stopwords (reference
+    :1560-1571)."""
+    return [token for token in
+            _ALNUM_TOKEN.findall(str(text or "").lower())
+            if token not in _STOPWORDS]
+
+
+def clean_aligned_lyric_text(text) -> str:
+    """Strip ``[...]`` markers and lyric-sheet header words, then the
+    standard hygiene (reference :1555-1558)."""
+    out = _BRACKETED.sub(" ", str(text or ""))
+    return clean_lyric(_HEADER_WORDS.sub(" ", out))
+
+
+def strip_repeated_boundary_word(previous, current) -> str:
+    """Drop a window-opening word that duplicates the previous
+    window's final word — ASR chunk overlap artifact (reference
+    :1573-1584)."""
+    prev_tokens = _APOSTROPHE_TOKEN.findall(str(previous or ""))
+    current_text = str(current or "").strip()
+    cur_tokens = _APOSTROPHE_TOKEN.findall(current_text)
+    if not prev_tokens or not cur_tokens:
+        return current_text
+    if prev_tokens[-1].lower().strip("'") != \
+            cur_tokens[0].lower().strip("'"):
+        return current_text
+    return re.sub(r"^\s*" + re.escape(cur_tokens[0]) + r"\b\s*", "",
+                  current_text, count=1, flags=re.IGNORECASE).strip()
+
+
+def cleanup_reference_segments(segments, reference_lines) -> list[str]:
+    """Post-alignment hygiene (reference :1586-1613): boundary-word
+    dedup between consecutive windows, and blanking of windows whose
+    content shares no token with the reference lyrics (hallucinated
+    ASR)."""
+    if not reference_lines:
+        return list(segments)
+    known = set(content_tokens(" ".join(reference_lines)))
+    cleaned: list[str] = []
+    for segment in segments:
+        text = clean_aligned_lyric_text(segment)
+        if cleaned:
+            text = strip_repeated_boundary_word(cleaned[-1], text)
+        tokens = content_tokens(text)
+        if tokens and not any(token in known for token in tokens):
+            text = ""
+        cleaned.append(text)
+    return cleaned
+
+
+def is_alignment_meaningful(text, min_words: int = 2) -> bool:
+    """A window counts as vocal when it has ≥min_words non-filler
+    tokens; filler vocalizations match by shape so ASR spelling
+    variants of \"ahhh\" still read as filler (reference
+    :1615-1641)."""
+    clean = clean_lyric(str(text or ""))
+    if not clean:
+        return False
+    tokens = [token.lower() for token in _ASCII_TOKEN.findall(clean)]
+    if not tokens:
+        return False
+    meaningful = [token for token in tokens
+                  if token not in _FILLER_TOKENS
+                  and not _FILLER_SHAPE.fullmatch(token)]
+    return len(meaningful) >= max(1, int(min_words))
+
+
+def is_meaningful_text(text, aggressiveness: int = 1) -> bool:
+    """Fill-decision signal ladder (reference :1781-1794): level 1
+    needs a ≥2-char token, level 2 any token, level 3 any content."""
+    clean = clean_lyric(text)
+    if not clean:
+        return False
+    tokens = _ASCII_TOKEN.findall(clean)
+    if aggressiveness <= 1:
+        return any(len(token) >= 2 for token in tokens)
+    if aggressiveness == 2:
+        return bool(tokens)
+    return bool(clean)
+
+
+def merge_missing_segments(primary, backup,
+                           aggressiveness: int = 1):
+    """Recover low-signal windows from the backup transcription;
+    level 3 additionally borrows the nearest meaningful neighbor
+    (reference :1796-1840).  Returns (merged, filled_backup,
+    filled_neighbor)."""
+    merged: list[str] = []
+    filled_backup = 0
+    shared = min(len(primary), len(backup))
+    for pos in range(shared):
+        first = clean_lyric(primary[pos])
+        second = clean_lyric(backup[pos])
+        if not is_meaningful_text(first, aggressiveness) and \
+                is_meaningful_text(second, aggressiveness):
+            merged.append(second)
+            filled_backup += 1
+        else:
+            merged.append(first)
+    if len(primary) > shared:
+        merged.extend(primary[shared:])
+    elif len(backup) > shared:
+        merged.extend(backup[shared:])
+
+    filled_neighbor = 0
+    if aggressiveness >= 3:
+        for pos in range(len(merged)):
+            if is_meaningful_text(merged[pos], aggressiveness):
+                continue
+            neighbor = None
+            for left in range(pos - 1, -1, -1):
+                if is_meaningful_text(merged[left], aggressiveness):
+                    neighbor = merged[left]
+                    break
+            if neighbor is None:
+                for right in range(pos + 1, len(merged)):
+                    if is_meaningful_text(merged[right],
+                                          aggressiveness):
+                        neighbor = merged[right]
+                        break
+            if neighbor is not None:
+                merged[pos] = neighbor
+                filled_neighbor += 1
+    return merged, filled_backup, filled_neighbor
+
+
+def collect_time_text_chunks(segments) -> list[tuple]:
+    """Flatten ASR segments into (start, end, text) chunks — word
+    granularity when word timings exist, whole segments otherwise
+    (reference :1504-1524, re-targeted at contract dicts)."""
+    chunks = []
+    for seg in segments or []:
+        words = seg.get("words")
+        if words:
+            for word in words:
+                text = str(word.get("word", word.get("text", ""))
+                           or "")
+                if not text:
+                    continue
+                start = float(word.get("start", 0.0))
+                chunks.append((start,
+                               float(word.get("end", start)),
+                               text.strip()))
+        elif seg.get("text"):
+            start = float(seg.get("start", 0.0))
+            chunks.append((start, float(seg.get("end", start)),
+                           str(seg["text"]).strip()))
+    chunks.sort(key=lambda chunk: chunk[0])
+    return chunks
+
+
+def text_for_window(chunks, start, end) -> str:
+    """Concatenate every chunk overlapping [start, end) (reference
+    :1526-1528)."""
+    return clean_lyric(" ".join(
+        text for c_start, c_end, text in chunks
+        if not (c_end <= start or c_start >= end)))
+
+
+def fixed_scene_windows(total_samples: int, sample_rate: int,
+                        fps: int, scene_duration_seconds: float
+                        ) -> list[tuple[float, float]]:
+    """Fixed scene windows via the frame-quantized sample math the
+    reference uses when no SRT is given (reference :1879-1886)."""
+    frames_per_scene = int(round(int(fps)
+                                 * float(scene_duration_seconds)))
+    samples_per_scene = int(frames_per_scene * sample_rate
+                            / int(fps) + 0.5)
+    count = math.ceil(total_samples / samples_per_scene)
+    return [((index * samples_per_scene) / sample_rate,
+             min((index + 1) * samples_per_scene, total_samples)
+             / sample_rate)
+            for index in range(count)]
+
+
+def srt_windows(srt_text: str) -> list[tuple[float, float]]:
+    """SRT cue (start, end) pairs in seconds (reference :1462-1485,
+    taking text instead of a path)."""
+    windows = []
+    for block in str(srt_text).strip().split("\n\n"):
+        lines = block.splitlines()
+        if len(lines) < 2:
+            continue
+        start_str, end_str = lines[1].split(" --> ")
+
+        def _seconds(stamp):
+            hours, minutes, rest = stamp.split(":")
+            secs, millis = rest.split(",")
+            return int(hours) * 3600 + int(minutes) * 60 \
+                + float(secs) + float(millis) / 1000.0
+
+        windows.append((_seconds(start_str), _seconds(end_str)))
+    return windows
+
+
+def nonvocal_placeholder(seg_index: int, asr_text: str = "",
+                         legacy_beat: bool = False) -> str:
+    """Text for a non-vocal window: the cleaned ASR residue (usually
+    empty — inventing filler shifts strict timelines, reference
+    :1643-1648); the legacy BeatV9 mode rotates canned fillers
+    (reference :2059-2066)."""
+    clean = clean_lyric(str(asr_text or ""))
+    if clean or not legacy_beat:
+        return clean
+    return _V9_FILLERS[max(0, seg_index) % len(_V9_FILLERS)]
+
+
+def _window_reference_score(window_text, reference_text) -> float:
+    """Blended similarity for the DP alignment (reference
+    :1674-1684): 65% character-sequence ratio + 35% content-token
+    recall of the reference line."""
+    seq = difflib.SequenceMatcher(
+        None, normalize_for_match(window_text),
+        normalize_for_match(reference_text)).ratio()
+    window_set = set(content_tokens(window_text))
+    ref_set = set(content_tokens(reference_text))
+    recall = len(window_set & ref_set) / max(1, len(ref_set)) \
+        if ref_set else 0.0
+    return seq * 0.65 + recall * 0.35
+
+
+def align_windows_to_reference(asr_segments, reference_lines,
+                               strict_reference_text: bool = True,
+                               preserve_nonvocal_segments: bool = True,
+                               alignment_min_words: int = 2,
+                               legacy_beat: bool = False) -> list[str]:
+    """Map reference lyric lines onto scene windows (reference
+    :1650-1779; BeatV9 variant :2068-2119).
+
+    Strict mode runs an order-preserving DP over the *meaningful*
+    windows only (skipping a suspicious ASR window costs 0.08, skipping
+    a reference line 0.60) so one noisy window cannot shift every later
+    lyric.  Loose mode walks a monotonic cursor with a local
+    position-estimated search.  ``legacy_beat`` reproduces the V9
+    behavior: strict assignment is purely chronological and non-vocal
+    windows get rotating canned fillers.
+    """
+    if not reference_lines:
+        return list(asr_segments)
+
+    def _meaningful(text):
+        return is_alignment_meaningful(text, alignment_min_words)
+
+    if strict_reference_text and not legacy_beat:
+        vocal_indices = [index for index, text
+                         in enumerate(asr_segments)
+                         if _meaningful(text)]
+        windows = [asr_segments[index] for index in vocal_indices]
+        w_count, r_count = len(windows), len(reference_lines)
+
+        NEG = float("-inf")
+        scores = [[NEG] * (r_count + 1) for _ in range(w_count + 1)]
+        back = [[None] * (r_count + 1) for _ in range(w_count + 1)]
+        scores[0][0] = 0.0
+        for w_pos in range(w_count + 1):
+            for r_pos in range(r_count + 1):
+                here = scores[w_pos][r_pos]
+                if not math.isfinite(here):
+                    continue
+                if w_pos < w_count and \
+                        here - 0.08 > scores[w_pos + 1][r_pos]:
+                    scores[w_pos + 1][r_pos] = here - 0.08
+                    back[w_pos + 1][r_pos] = (w_pos, r_pos, False)
+                if r_pos < r_count and \
+                        here - 0.60 > scores[w_pos][r_pos + 1]:
+                    scores[w_pos][r_pos + 1] = here - 0.60
+                    back[w_pos][r_pos + 1] = (w_pos, r_pos, False)
+                if w_pos < w_count and r_pos < r_count:
+                    gain = here + _window_reference_score(
+                        windows[w_pos], reference_lines[r_pos])
+                    if gain > scores[w_pos + 1][r_pos + 1]:
+                        scores[w_pos + 1][r_pos + 1] = gain
+                        back[w_pos + 1][r_pos + 1] = (w_pos, r_pos,
+                                                      True)
+
+        matched: dict[int, int] = {}
+        w_pos, r_pos = w_count, r_count
+        while w_pos or r_pos:
+            step = back[w_pos][r_pos]
+            if step is None:
+                break
+            prev_w, prev_r, is_match = step
+            if is_match:
+                matched[vocal_indices[prev_w]] = prev_r
+            w_pos, r_pos = prev_w, prev_r
+
+        out = []
+        for index, text in enumerate(asr_segments):
+            if index in matched:
+                out.append(reference_lines[matched[index]])
+            elif preserve_nonvocal_segments and not _meaningful(text):
+                out.append(nonvocal_placeholder(index, text,
+                                                legacy_beat))
+            else:
+                out.append("")
+        return out
+
+    out = []
+    cursor = 0
+    r_count = len(reference_lines)
+    seg_count = max(1, len(asr_segments))
+    for index, text in enumerate(asr_segments):
+        if preserve_nonvocal_segments and not _meaningful(text):
+            out.append(nonvocal_placeholder(index, text, legacy_beat))
+            continue
+        if legacy_beat and strict_reference_text:
+            # V9: purely chronological, clamped to the final line
+            out.append(reference_lines[min(cursor, r_count - 1)])
+            cursor += 1
+            continue
+        window_norm = normalize_for_match(text)
+        anchor = int((index / seg_count) * r_count)
+        lo = max(cursor, anchor - 3)
+        hi = min(r_count - 1, anchor + 8)
+        best, best_score = None, -1.0
+        for candidate in range(lo, hi + 1):
+            score = difflib.SequenceMatcher(
+                None, window_norm,
+                normalize_for_match(reference_lines[candidate])
+            ).ratio()
+            if score > best_score:
+                best, best_score = candidate, score
+        if best is None:
+            if cursor < r_count:
+                best = cursor
+            else:
+                out.append(clean_lyric(text))
+                continue
+        if best_score < 0.22 and cursor < r_count:
+            best = cursor
+        out.append(reference_lines[best])
+        cursor = min(r_count, best + 1)
+    return out
+
+
+def format_lyric_segments(texts) -> str:
+    """The editable output sheet (reference :2037-2039)."""
+    lines = [f"# Lyrics to fix: ({len(texts)} segments)", ""]
+    lines.extend(f"lyricSegment{index}={text}"
+                 for index, text in enumerate(texts, 1))
+    return "\n".join(lines)
+
+
+def extract_window_lyrics(primary_segments, windows,
+                          reference_lyrics="", backup_segments=None,
+                          native_align: bool = False,
+                          strict_reference_text: bool = True,
+                          fill_aggressiveness: int = 1,
+                          preserve_nonvocal_segments: bool = True,
+                          alignment_min_words: int = 2,
+                          legacy_beat: bool = False) -> dict:
+    """The Manual Lyrics Extractor decision tree (reference
+    :1903-2042) on externally-produced ASR output.
+
+    ``primary_segments`` follows the MIGRATION.md contract (word
+    timings preferred).  ``native_align=True`` marks it as the output
+    of a forced reference alignment (stable-ts ``model.align``) —
+    enabling the backup-fill / cleanup / strict-reassignment branch;
+    ``backup_segments`` is the plain transcription those passes read
+    (without it the fills degrade gracefully, like the reference when
+    no window is low-signal).  Returns ``{texts, sheet, windows}``.
+    """
+    reference_lines = split_reference_lyrics(reference_lyrics) \
+        if str(reference_lyrics or "").strip() else []
+    chunks = collect_time_text_chunks(primary_segments)
+    aggressiveness = int(fill_aggressiveness)
+
+    if not reference_lines:
+        texts = [text_for_window(chunks, start, end)
+                 for start, end in windows]
+        return {"texts": texts,
+                "sheet": format_lyric_segments(texts),
+                "windows": list(windows)}
+
+    texts = [clean_aligned_lyric_text(
+        text_for_window(chunks, start, end))
+        for start, end in windows]
+
+    if not native_align:
+        texts = align_windows_to_reference(
+            texts, reference_lines,
+            strict_reference_text=bool(strict_reference_text),
+            preserve_nonvocal_segments=bool(
+                preserve_nonvocal_segments),
+            alignment_min_words=int(alignment_min_words),
+            legacy_beat=legacy_beat)
+        return {"texts": texts,
+                "sheet": format_lyric_segments(texts),
+                "windows": list(windows)}
+
+    backup_texts = None
+    low_signal = sum(1 for text in texts
+                     if not is_meaningful_text(text, aggressiveness))
+    if low_signal and backup_segments is not None:
+        backup_chunks = collect_time_text_chunks(backup_segments)
+        backup_texts = [clean_aligned_lyric_text(
+            text_for_window(backup_chunks, start, end))
+            for start, end in windows]
+        texts, _, _ = merge_missing_segments(texts, backup_texts,
+                                             aggressiveness)
+
+    texts = cleanup_reference_segments(texts, reference_lines)
+
+    if strict_reference_text and not legacy_beat:
+        if backup_texts is None and backup_segments is not None:
+            backup_chunks = collect_time_text_chunks(backup_segments)
+            backup_texts = [clean_aligned_lyric_text(
+                text_for_window(backup_chunks, start, end))
+                for start, end in windows]
+        if backup_texts is not None:
+            texts = align_windows_to_reference(
+                backup_texts, reference_lines,
+                strict_reference_text=True,
+                preserve_nonvocal_segments=bool(
+                    preserve_nonvocal_segments),
+                alignment_min_words=int(alignment_min_words))
+    return {"texts": texts, "sheet": format_lyric_segments(texts),
+            "windows": list(windows)}
 
 
 def timestamped_lyrics(stable_segments, total_duration,
