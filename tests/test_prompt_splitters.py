@@ -209,3 +209,22 @@ def test_lyrics_emotion_merger_parity():
         emotions = "\n".join(emotion_lines)
         assert ref.merge(lyrics, emotions)[0] == \
             ps.merge_lyrics_emotions(lyrics, emotions)
+
+
+def test_emotion_sheet_roundtrip_and_humo_quantizer():
+    """format_emotion_segments output merges with lyric sheets
+    exactly as the reference emotion extractor's output does
+    (HumoAutomationExtra2.py:786-792), and the 4N+1 quantizer matches
+    the reference expression (:148-153)."""
+    from vrgdg_tpu.runtime.audio_toolkit import adjust_frames_humo
+
+    sheet = ps.format_emotion_segments(["sad", "joy", "calm"])
+    assert sheet.splitlines()[0] == "# Emotion timeline (3 segments)"
+    lyrics = "\n".join(f"lyricSegment{i}=line {i}" for i in (1, 2, 3))
+    merged = ps.merge_lyrics_emotions(lyrics, sheet)
+    assert 'lyricSegment2-emotion=joy "line 2"' in merged
+
+    for frames in range(1, 260):
+        expected = 4 * ((frames + 2) // 4) + 1
+        assert adjust_frames_humo(frames) == expected
+        assert adjust_frames_humo(frames) % 4 == 1

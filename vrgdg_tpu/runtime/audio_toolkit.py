@@ -55,6 +55,13 @@ def round_up_8n1(n: int) -> int:
     return ((n - 1 + 7) // 8) * 8 + 1
 
 
+def adjust_frames_humo(frames: int) -> int:
+    """Quantize a scene frame count to HuMo's ``4N+1`` constraint
+    (``HumoAutomationExtra2.py:148-153``): the nearest 4N+1 value,
+    rounding .5 cases up (``4*((frames+2)//4)+1``)."""
+    return 4 * ((int(frames) + 2) // 4) + 1
+
+
 # --------------------------------------------------------------------------
 # decode / encode
 # --------------------------------------------------------------------------

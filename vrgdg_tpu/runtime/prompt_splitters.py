@@ -221,3 +221,16 @@ def merge_lyrics_emotions(lyrics_text: str, emotion_text: str) -> str:
                 f"\"{hit.group(2).strip()}\"")
     header = f"# Lyrics with emotions ({len(merged)} segments)"
     return "\n".join([header, ""] + merged)
+
+
+def format_emotion_segments(emotions) -> str:
+    """The emotion timeline sheet consumed by
+    :func:`merge_lyrics_emotions` (reference
+    ``HumoAutomationExtra2.py:786-792`` — the speech-emotion model
+    itself is out of scope; an external classifier supplies one label
+    per scene window)."""
+    emotions = list(emotions)
+    lines = [f"# Emotion timeline ({len(emotions)} segments)", ""]
+    lines.extend(f"emotionSegment{index}={emotion}"
+                 for index, emotion in enumerate(emotions, 1))
+    return "\n".join(lines)
