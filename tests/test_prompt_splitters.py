@@ -228,3 +228,44 @@ def test_emotion_sheet_roundtrip_and_humo_quantizer():
         expected = 4 * ((frames + 2) // 4) + 1
         assert adjust_frames_humo(frames) == expected
         assert adjust_frames_humo(frames) % 4 == 1
+
+
+def test_pipe_or_paragraph_splitter_parity():
+    ref = load_reference("HumoAutomation.py",
+                         ["VRGDG_PromptSplitterV3"]
+                         )["VRGDG_PromptSplitterV3"]()
+    rng = _rng(111)
+    samples = ["a | b|c ||  d", "one\n\ntwo\n\n\nthree", "single",
+               "lines\nwithout\nblanks", "", "  |  ", "p1 | p2\n\np3"]
+    for _ in range(60):
+        sep = rng.choice([" | ", "\n\n", "\n"])
+        samples.append(sep.join(
+            rng.choices(_WORDS, k=rng.randrange(0, 20))))
+    for text in samples:
+        assert list(ref.split_prompt(text)) == \
+            ps.split_pipe_or_paragraphs(text)
+
+
+def test_theme_splitter_parity():
+    ref = load_reference("HumoAutomation.py", ["VRGDG_ThemeSplitter"]
+                         )["VRGDG_ThemeSplitter"]()
+    rng = _rng(222)
+    headers = ["Character Description", "song_theme_style",
+               "ENVIRONMENT", "Lighting", "camera motion",
+               "Physical Interaction", "facial expression", "Shots",
+               "outfit rules", "Character Visibility", "Not A Header"]
+    for _ in range(80):
+        lines = []
+        for _ in range(rng.randrange(0, 20)):
+            if rng.random() < 0.3:
+                lines.append(rng.choice(headers))
+            elif rng.random() < 0.15:
+                lines.append("")
+            else:
+                lines.append(" ".join(rng.choices(
+                    _WORDS, k=rng.randrange(1, 5))))
+        block = "\n".join(lines)
+        theirs = ref.split_context(block)
+        ours = ps.split_theme_context(block)
+        assert tuple(ours[name] for name in ps.THEME_SECTIONS) == \
+            theirs

@@ -223,6 +223,51 @@ def merge_lyrics_emotions(lyrics_text: str, emotion_text: str) -> str:
     return "\n".join([header, ""] + merged)
 
 
+def split_pipe_or_paragraphs(text: str, slots: int = 16) -> list[str]:
+    """Pipe-separated prompts when pipes exist, paragraph blocks
+    otherwise (``HumoAutomation.py:1692-1709``, PromptSplitterV3);
+    always exactly ``slots`` outputs."""
+    body = str(text).strip()
+    if "|" in body:
+        parts = [part.strip() for part in body.split("|")
+                 if part.strip()]
+    else:
+        parts = [part.strip()
+                 for part in re.split(r"\n\s*\n", body)
+                 if part.strip()]
+    return (parts + [""] * slots)[:slots]
+
+
+THEME_SECTIONS = ("character_description", "song_theme_style",
+                  "environment", "lighting", "camera_motion",
+                  "physical_interaction", "facial_expression",
+                  "shots", "outfit_rules", "character_visibility")
+
+
+def split_theme_context(context_block: str) -> dict:
+    """Parse a themed context block into the builder's ten prompt
+    sections (``HumoAutomation.py:1094-1171``, ThemeSplitter): a line
+    whose letters-only normalization equals a section name opens that
+    section; following lines append space-joined.  Text before any
+    header is dropped, like the reference."""
+    def _norm(line):
+        return re.sub(r"[^a-z]", "", str(line).strip().lower())
+
+    headers = {_norm(name): name for name in THEME_SECTIONS}
+    sections = {name: "" for name in THEME_SECTIONS}
+    current = None
+    for raw in str(context_block).splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        name = headers.get(_norm(line))
+        if name is not None:
+            current = name
+        elif current:
+            sections[current] = f"{sections[current]} {line}".strip()
+    return sections
+
+
 def format_emotion_segments(emotions) -> str:
     """The emotion timeline sheet consumed by
     :func:`merge_lyrics_emotions` (reference
