@@ -545,6 +545,141 @@ def clean_audio(audio, target_sr: int = 48000, fps: int = 25) -> dict:
     return make_audio(channels[None], target_sr)
 
 
+def calculate_sets_frames(audio, groups_per_set: int = 16) -> dict:
+    """Frame-quantized set calculator for the HuMo queue driver
+    (``HumoAutomation.py:1172-1292``, VRGDG_CalculateSetsFromAudio_Queue).
+
+    Reproduces the reference's two-pass quirk exactly: ``total_sets``
+    and ``groups_in_last_set`` come from a 3.88 s × 25 fps grouping of
+    the ROUNDED total frame count, while the returned
+    ``durations_frames`` list is recomputed from 97-frame groups of
+    the FLOORED sample-exact frame count — the two can disagree on
+    short tails, and downstream nodes rely on each side separately.
+    """
+    waveform, rate = as_waveform(audio)
+    num_samples = waveform.shape[-1]
+    duration = num_samples / float(rate) if rate else 0.0
+    fps = 25
+    scene_duration = 3.88
+
+    end_time = f"{int(duration // 60)}:{int(duration % 60):02d}"
+
+    # pass 1: rounded-duration grouping drives the set counts
+    frames_per_scene = int(round(scene_duration * fps))
+    total_audio_frames = int(round(duration * fps))
+    total_groups = 0
+    if total_audio_frames > 0:
+        total_groups = total_audio_frames // frames_per_scene
+        if total_audio_frames % frames_per_scene:
+            total_groups += 1
+    total_sets = math.ceil(total_groups / groups_per_set) \
+        if total_groups > 0 else 0
+    remainder = total_groups % groups_per_set
+    groups_in_last_set = remainder if remainder else \
+        (groups_per_set if total_groups > 0 else 0)
+
+    # pass 2: sample-exact 97-frame durations list
+    frames_per_scene = 97
+    samples_per_frame = round(rate / fps) if rate else 1
+    exact_frames = num_samples // samples_per_frame
+    durations_frames: list[int] = []
+    if exact_frames > 0:
+        full = exact_frames // frames_per_scene
+        leftover = exact_frames % frames_per_scene
+        durations_frames.extend([frames_per_scene] * full)
+        if leftover:
+            durations_frames.append(leftover)
+
+    if total_sets == 0:
+        note = "audio too short — no runs required"
+    elif groups_in_last_set == groups_per_set:
+        note = f"{total_sets} full run(s) needed"
+    else:
+        note = (f"{total_sets} run(s); enable groups 1-"
+                f"{groups_in_last_set} on the last run")
+    return {"instructions": note, "end_time": end_time,
+            "total_sets": total_sets,
+            "groups_in_last_set": groups_in_last_set,
+            "frames_per_scene": frames_per_scene,
+            "audio_meta": {"durations_frames": durations_frames}}
+
+
+def split_audio_humo_set(audio, set_index: int = 0,
+                         scene_count: int = 16,
+                         frames_per_scene: int = 97,
+                         fps: int = 25) -> dict:
+    """Slice one HuMo render set into 16 sample-exact 97-frame scene
+    chunks (``HumoAutomation.py:547-612``, the deterministic core of
+    LoadAudioSplit_HUMO_TranscribeV2/V3 — the Whisper transcription
+    stays external).
+
+    Scenes past the end of the audio come back as pure silence, short
+    final scenes are zero-padded to the full length, so every chunk is
+    exactly ``frames_per_scene * round(rate/fps)`` samples — the HuMo
+    conditioning contract.  Returns ``{segments, meta,
+    total_duration}`` with the reference's meta schema.
+    """
+    waveform, rate = as_waveform(audio)
+    total_samples = waveform.shape[-1]
+    total_duration = float(total_samples) / float(rate) if rate else 0.0
+    samples_per_frame = int(round(rate / float(fps)))
+    samples_per_scene = int(frames_per_scene) * samples_per_frame
+    offset = int(set_index) * scene_count * samples_per_scene
+
+    starts = [offset + i * samples_per_scene
+              for i in range(scene_count)]
+    segments = []
+    for start in starts:
+        if start >= total_samples:
+            chunk = np.zeros(waveform.shape[:-1] + (samples_per_scene,),
+                             waveform.dtype)
+        else:
+            chunk = waveform[..., start:min(total_samples,
+                                            start + samples_per_scene)]
+            short = samples_per_scene - chunk.shape[-1]
+            if short > 0:
+                pad = [(0, 0)] * (chunk.ndim - 1) + [(0, short)]
+                chunk = np.pad(chunk, pad)
+        segments.append(make_audio(chunk, rate))
+
+    meta = {"durations": [frames_per_scene / float(fps)] * scene_count,
+            "offset_seconds": 0.0, "starts": starts,
+            "sample_rate": rate,
+            "audio_total_duration": total_duration,
+            "outputs_count": len(segments), "used_padding": False}
+    return {"segments": segments, "meta": meta,
+            "total_duration": total_duration}
+
+
+def enrich_lyric_lines(lyrics, contexts=None, fallback_words=None,
+                       scene_count: int = 16) -> str:
+    """Join per-scene lyric lines into the pipe string the HuMo prompt
+    stack consumes (``HumoAutomation.py:668-681``): empty lines take a
+    fallback action word, a scene's context prefixes its lyric as
+    ``context, lyric``.  The reference picks fallbacks with
+    ``random.choice``; here the rotation is index-deterministic so
+    reruns reproduce."""
+    fallbacks = [word.strip() for word
+                 in (fallback_words or "").split(",")
+                 if word.strip()] if isinstance(fallback_words, str) \
+        else list(fallback_words or [])
+    if not fallbacks:
+        fallbacks = ["standing", "sitting", "laying", "resting",
+                     "waiting", "walking", "dancing", "looking",
+                     "thinking"]
+    lines = list(lyrics or [])
+    lines += [""] * (scene_count - len(lines))
+    contexts = list(contexts or [])
+    contexts += [""] * (scene_count - len(contexts))
+    enriched = []
+    for pos in range(scene_count):
+        line = str(lines[pos] or "").strip() \
+            or fallbacks[pos % len(fallbacks)]
+        prefix = str(contexts[pos] or "").strip()
+        enriched.append(f"{prefix}, {line}" if prefix else line)
+    return " | ".join(enriched)
+
+
 def calculate_sets(audio, set_duration: float = 62.0,
                    group_duration: float = 3.88,
                    groups_per_set: int = 16) -> dict:
