@@ -98,3 +98,90 @@ def test_enrich_lyric_lines():
     assert parts[2] == "run"
     assert parts[3] == "walking"             # index 3 % 2 fallback
     assert len(parts) == 4
+
+
+def test_wan22_set_planner_parity():
+    """calculate_wan22_sets vs the inlined _calculate_sets
+    (HumoAutomation.py:2970-3104): numeric outputs including the
+    first-group fixup and the per-index durations slice."""
+    class _FakePromptServer:
+        class instance:  # noqa: N801
+            @staticmethod
+            def send_sync(*_a, **_k):
+                return None
+
+    class _FakeFolderPaths:
+        @staticmethod
+        def get_output_directory():
+            return "/tmp"
+
+    ref = load_reference(
+        "HumoAutomation.py", ["VRGDG_LoadAudioSplit_Wan22HumoFMML"],
+        extra_globals={"torch": torch, "any_typ": "*",
+                       "folder_paths": _FakeFolderPaths,
+                       "PromptServer": _FakePromptServer})
+    node = ref["VRGDG_LoadAudioSplit_Wan22HumoFMML"]()
+
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        rate = int(rng.choice([48000, 44100, 16000]))
+        seconds = float(rng.uniform(0.0, 500.0))
+        scene = float(rng.uniform(1.0, 5.0))
+        index = int(rng.integers(0, 4))
+        wave = np.zeros((1, int(rate * seconds)), np.float32)
+        audio = {"waveform": wave, "sample_rate": rate}
+        (_, end_ref, sets_ref, last_ref, fpsc_ref,
+         meta_ref) = node._calculate_sets(audio, index, scene, True)
+        ours = at.calculate_wan22_sets(audio, index=index,
+                                       scene_duration_seconds=scene)
+        assert ours["end_time"] == end_ref
+        assert ours["total_sets"] == sets_ref
+        assert ours["groups_in_last_set"] == last_ref
+        assert ours["frames_per_scene"] == fpsc_ref
+        assert ours["audio_meta"] == meta_ref
+
+
+def test_split_rounded_scene_samples():
+    """The Wan22 rounding variant's chunk size matches the reference
+    expression int(frames * rate / fps + 0.5) (HumoAutomation.py:3181)
+    and differs from the per-frame math at non-divisible rates."""
+    rate, frames, fps = 44100, 101, 24   # 44100/24 = 1837.5
+    out = at.split_audio_humo_set(
+        {"waveform": np.zeros((1, rate * 5), np.float32),
+         "sample_rate": rate},
+        frames_per_scene=frames, fps=fps, rounded_scene_samples=True)
+    expected = int(frames * rate / fps + 0.5)
+    assert out["segments"][0]["waveform"].shape[-1] == expected
+    per_frame = frames * int(round(rate / fps))
+    assert expected != per_frame  # the two roundings really differ
+    # count_completed_sets
+    assert at.count_completed_sets("/nonexistent/x") == 0
+
+
+def test_assemble_final_video(tmp_path):
+    import cv2
+
+    from vrgdg_tpu.runtime.video_io import (assemble_final_video,
+                                            probe_video)
+
+    def _write(name, count, value):
+        writer = cv2.VideoWriter(
+            str(tmp_path / name), cv2.VideoWriter_fourcc(*"mp4v"),
+            10.0, (32, 24))
+        for _ in range(count):
+            writer.write(np.full((24, 32, 3), value, np.uint8))
+        writer.release()
+
+    _write("set1-audio.mp4", 4, 40)
+    _write("set2-audio.mp4", 6, 90)
+    _write("ignored.mp4", 3, 10)          # no -audio suffix
+
+    out = assemble_final_video(str(tmp_path), threshold=3)
+    assert out["skipped"] and out["count"] == 2
+
+    _write("set3-audio.mp4", 5, 140)
+    out = assemble_final_video(str(tmp_path), threshold=3)
+    assert not out["skipped"] and out["count"] == 3
+    probe = probe_video(out["output"])
+    assert probe["frame_count"] == 4 + 6 + 5
+    assert probe["width"] == 32 and probe["height"] == 24

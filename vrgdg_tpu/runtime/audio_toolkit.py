@@ -604,10 +604,77 @@ def calculate_sets_frames(audio, groups_per_set: int = 16) -> dict:
             "audio_meta": {"durations_frames": durations_frames}}
 
 
+def count_completed_sets(folder: str) -> int:
+    """Sets already rendered = ``*-audio.mp4`` finals in the output
+    folder (``HumoAutomation.py:812-846`` VRGDG_GetIndexNumber,
+    ``:2958-2968``)."""
+    if not os.path.isdir(folder):
+        return 0
+    return len([name for name in os.listdir(folder)
+                if name.lower().endswith(".mp4")
+                and "-audio" in name.lower()])
+
+
+def calculate_wan22_sets(audio, index: int = 0,
+                         scene_duration_seconds: float = 4.0,
+                         groups_per_set: int = 16) -> dict:
+    """The Wan22/FMML set planner (``HumoAutomation.py:2970-3104``,
+    ``_calculate_sets``): scene frames quantized to HuMo 4N+1, total
+    frames from half-up sample rounding, a first-group fixup forcing a
+    short leading group to full length, and the per-set 16-group slice
+    of the durations list for the CURRENT index."""
+    waveform, rate = as_waveform(audio)
+    num_samples = waveform.shape[-1]
+    duration = num_samples / float(rate) if rate else 0.0
+    fps = 25
+    frames_per_scene = adjust_frames_humo(
+        int(round(fps * float(scene_duration_seconds))))
+
+    durations_full: list[int] = []
+    total_sets = 0
+    groups_in_last_set = 0
+    total_frames = int(num_samples / (rate / fps) + 0.5) \
+        if num_samples > 0 and rate else 0
+    if total_frames > 0:
+        full = math.floor(total_frames / frames_per_scene)
+        leftover = total_frames - full * frames_per_scene
+        durations_full.extend([frames_per_scene] * full)
+        if leftover > 0:
+            durations_full.append(leftover)
+        if durations_full and durations_full[0] != frames_per_scene:
+            durations_full[0] = frames_per_scene
+        total_groups = len(durations_full)
+        total_sets = math.ceil(total_groups / groups_per_set)
+        remainder = total_groups % groups_per_set
+        groups_in_last_set = remainder if remainder else \
+            (groups_per_set if total_groups else 0)
+
+    start = int(index) * groups_per_set
+    this_set = durations_full[start:start + groups_per_set] \
+        if durations_full else []
+
+    if total_sets == 0:
+        note = "audio too short — no runs required"
+    elif int(index) + 1 >= total_sets:
+        note = f"final run ({min(int(index) + 1, total_sets)} of " \
+               f"{total_sets}); {groups_in_last_set} group(s) active"
+    else:
+        note = f"run {int(index) + 1} of {total_sets}"
+    return {"instructions": note,
+            "end_time": f"{int(duration // 60)}:"
+                        f"{int(duration % 60):02d}",
+            "total_sets": total_sets,
+            "groups_in_last_set": groups_in_last_set,
+            "frames_per_scene": frames_per_scene,
+            "audio_meta": {"durations_frames": this_set},
+            "durations_frames_full": durations_full}
+
+
 def split_audio_humo_set(audio, set_index: int = 0,
                          scene_count: int = 16,
                          frames_per_scene: int = 97,
-                         fps: int = 25) -> dict:
+                         fps: int = 25,
+                         rounded_scene_samples: bool = False) -> dict:
     """Slice one HuMo render set into 16 sample-exact 97-frame scene
     chunks (``HumoAutomation.py:547-612``, the deterministic core of
     LoadAudioSplit_HUMO_TranscribeV2/V3 — the Whisper transcription
@@ -616,14 +683,22 @@ def split_audio_humo_set(audio, set_index: int = 0,
     Scenes past the end of the audio come back as pure silence, short
     final scenes are zero-padded to the full length, so every chunk is
     exactly ``frames_per_scene * round(rate/fps)`` samples — the HuMo
-    conditioning contract.  Returns ``{segments, meta,
-    total_duration}`` with the reference's meta schema.
+    conditioning contract.  ``rounded_scene_samples`` switches to the
+    Wan22 variant's scene-level half-up rounding
+    (``int(frames * rate / fps + 0.5)``, ``HumoAutomation.py:3181``) —
+    one sample different at non-divisible rates.  Returns
+    ``{segments, meta, total_duration}`` with the reference's meta
+    schema.
     """
     waveform, rate = as_waveform(audio)
     total_samples = waveform.shape[-1]
     total_duration = float(total_samples) / float(rate) if rate else 0.0
-    samples_per_frame = int(round(rate / float(fps)))
-    samples_per_scene = int(frames_per_scene) * samples_per_frame
+    if rounded_scene_samples:
+        samples_per_scene = int(int(frames_per_scene) * rate
+                                / float(fps) + 0.5)
+    else:
+        samples_per_scene = int(frames_per_scene) \
+            * int(round(rate / float(fps)))
     offset = int(set_index) * scene_count * samples_per_scene
 
     starts = [offset + i * samples_per_scene

@@ -947,6 +947,56 @@ def combine_scene_videos(videos, audio_meta, fps: float = 25.0,
     return np.concatenate(pieces, axis=0)
 
 
+def list_final_set_videos(folder: str) -> list[str]:
+    """The rendered set finals in a HuMo output folder — sorted
+    ``*-audio.mp4`` files (``HumoAutomation.py:236-241,2575-2581``)."""
+    if not os.path.isdir(folder):
+        return []
+    return sorted(name for name in os.listdir(folder)
+                  if name.lower().endswith(".mp4")
+                  and "-audio" in name.lower())
+
+
+def assemble_final_video(folder: str, audio=None, threshold: int = 3,
+                         output_name: str = "FINAL_VIDEO.mp4") -> dict:
+    """Threshold-gated final assembly (``HumoAutomation.py:2548-2663``,
+    VRGDG_CreateFinalVideo): once at least ``threshold`` set finals
+    exist in ``folder``, concatenate them and lay the original clean
+    audio underneath.
+
+    The reference shells out to ffmpeg twice (stream-copy concat, then
+    aac mux); here :func:`concat_videos` provides the same ffmpeg path
+    plus the native stream-copy / cv2 degradations this image needs.
+    Returns ``{skipped, count, output, backend, audio}``.
+    """
+    videos = list_final_set_videos(folder)
+    if len(videos) < threshold:
+        return {"skipped": True, "count": len(videos),
+                "threshold": int(threshold), "output": "",
+                "backend": "", "audio": False}
+
+    first = probe_video(os.path.join(folder, videos[0]))
+    audio_path = None
+    if audio is not None:
+        from .audio_toolkit import save_wav
+
+        audio_path = os.path.join(folder, "_original_audio.wav")
+        save_wav(audio_path, audio)
+    output_path = os.path.join(folder, output_name)
+    try:
+        result = concat_videos(
+            [os.path.join(folder, name) for name in videos],
+            output_path, first["fps"], first["width"],
+            first["height"], source_audio_path=audio_path)
+    finally:
+        if audio_path:
+            with contextlib.suppress(OSError):
+                os.remove(audio_path)
+    return {"skipped": False, "count": len(videos),
+            "threshold": int(threshold), "output": output_path,
+            "backend": result["backend"], "audio": result["audio"]}
+
+
 def add_label_bar(frames, label_text: str) -> np.ndarray:
     """Append a black 60-px bar with a centered white label under each
     frame — the V5 combiner's review-copy annotation
