@@ -185,3 +185,34 @@ def test_assemble_final_video(tmp_path):
     probe = probe_video(out["output"])
     assert probe["frame_count"] == 4 + 6 + 5
     assert probe["width"] == 32 and probe["height"] == 24
+
+
+def test_assemble_final_video_redo_mode(tmp_path):
+    import json
+
+    import cv2
+
+    from vrgdg_tpu.runtime.video_io import assemble_final_video
+
+    writer = cv2.VideoWriter(str(tmp_path / "s1-audio.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (32, 24))
+    for _ in range(3):
+        writer.write(np.zeros((24, 32, 3), np.uint8))
+    writer.release()
+
+    # redo bypasses the threshold but waits on a pending override queue
+    state = tmp_path / "vrgdg_temp"
+    state.mkdir()
+    (state / "vrgdg_override_queue.json").write_text(json.dumps([3, 5]))
+    out = assemble_final_video(str(tmp_path), threshold=5, redo=True)
+    assert out["skipped"] and out["waiting_for"] == [3, 5]
+
+    (state / "vrgdg_override_queue.json").write_text("[]")
+    out = assemble_final_video(str(tmp_path), threshold=5, redo=True)
+    assert not out["skipped"]
+    assert out["output"].endswith("FINAL_VIDEO_REDO.mp4")
+
+    # never overwrite: second run picks a numbered sibling
+    out = assemble_final_video(str(tmp_path), threshold=5, redo=True)
+    assert out["output"].endswith("FINAL_VIDEO_REDO2.mp4")

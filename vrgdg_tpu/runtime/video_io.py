@@ -958,11 +958,19 @@ def list_final_set_videos(folder: str) -> list[str]:
 
 
 def assemble_final_video(folder: str, audio=None, threshold: int = 3,
-                         output_name: str = "FINAL_VIDEO.mp4") -> dict:
+                         output_name: str = "FINAL_VIDEO.mp4",
+                         redo: bool = False) -> dict:
     """Threshold-gated final assembly (``HumoAutomation.py:2548-2663``,
-    VRGDG_CreateFinalVideo): once at least ``threshold`` set finals
-    exist in ``folder``, concatenate them and lay the original clean
-    audio underneath.
+    VRGDG_CreateFinalVideo; SRT/redo variant ``:2673-2880``): once at
+    least ``threshold`` set finals exist in ``folder``, concatenate
+    them and lay the original clean audio underneath.
+
+    ``redo=True`` is the SRT variant's rerun mode: the threshold gate
+    is bypassed, the output becomes ``FINAL_VIDEO_REDO.mp4``, and a
+    non-empty ``vrgdg_temp/vrgdg_override_queue.json`` defers assembly
+    until the queued group reruns drain.  In both modes an existing
+    output is never overwritten — a numbered sibling is chosen
+    (``:2751-2760``).
 
     The reference shells out to ffmpeg twice (stream-copy concat, then
     aac mux); here :func:`concat_videos` provides the same ffmpeg path
@@ -970,10 +978,34 @@ def assemble_final_video(folder: str, audio=None, threshold: int = 3,
     Returns ``{skipped, count, output, backend, audio}``.
     """
     videos = list_final_set_videos(folder)
-    if len(videos) < threshold:
+    if redo:
+        output_name = "FINAL_VIDEO_REDO.mp4"
+        override_path = os.path.join(folder, "vrgdg_temp",
+                                     "vrgdg_override_queue.json")
+        if os.path.isfile(override_path):
+            import json as _json
+
+            with open(override_path, "r", encoding="utf-8") as handle:
+                remaining = _json.load(handle)
+            if remaining:
+                return {"skipped": True, "count": len(videos),
+                        "threshold": int(threshold), "output": "",
+                        "backend": "", "audio": False,
+                        "waiting_for": remaining}
+    elif len(videos) < threshold:
         return {"skipped": True, "count": len(videos),
                 "threshold": int(threshold), "output": "",
                 "backend": "", "audio": False}
+    if not videos:
+        return {"skipped": True, "count": 0,
+                "threshold": int(threshold), "output": "",
+                "backend": "", "audio": False}
+
+    base, ext = os.path.splitext(output_name)
+    suffix = 2
+    while os.path.exists(os.path.join(folder, output_name)):
+        output_name = f"{base}{suffix}{ext}"
+        suffix += 1
 
     first = probe_video(os.path.join(folder, videos[0]))
     audio_path = None
