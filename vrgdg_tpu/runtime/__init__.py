@@ -3,6 +3,12 @@
 from .llm_batches import (clean_prompt_json, combine_batches,
                           extract_json_block, plan_batch, save_batch,
                           split_prompt_json, story_chapter_state)
+from .json_fixers import (clean_lyric_segments,
+                          fix_lyric_segments_json,
+                          fix_prompt_map_json,
+                          fix_story_group_json,
+                          merge_segment_durations,
+                          prepend_prompt_subject)
 from .lyric_align import (SceneAssembler, segments_from_words,
                           timestamped_lyrics)
 from .prompt_splitters import (build_prompt_template,
@@ -30,12 +36,16 @@ __all__ = [
     "array_to_frames",
     "backup_numbered_files", "build_prompt_template",
     "chunk_pipe_prompts", "chunk_quoted_prompts",
-    "clean_prompt_json", "combine_batches", "concat_videos",
+    "clean_lyric_segments", "clean_prompt_json",
+    "combine_batches", "concat_videos",
+    "fix_lyric_segments_json", "fix_prompt_map_json",
+    "fix_story_group_json",
     "extract_json_block", "find_ffmpeg", "frames_to_array",
     "image_batch_from_paths", "indexed_image_from_folder",
     "list_images", "load_image",
     "load_videos_from_folder", "log_run_state", "media_has_audio",
-    "merge_lyrics_emotions",
+    "merge_lyrics_emotions", "merge_segment_durations",
+    "prepend_prompt_subject",
     "next_output_index", "normalize_video_path",
     "numbered_image_from_folder", "parse_override_blocks",
     "parse_redo_indexes", "plan_batch", "probe_video",
