@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 import struct
 import subprocess
@@ -602,6 +603,146 @@ def calculate_sets_frames(audio, groups_per_set: int = 16) -> dict:
             "groups_in_last_set": groups_in_last_set,
             "frames_per_scene": frames_per_scene,
             "audio_meta": {"durations_frames": durations_frames}}
+
+
+def adjust_frames_mult9(frames: int) -> int:
+    """Round a frame count up to a multiple of 9 — the general video
+    models' pad alignment (``GeneralVideoNodes.py:1300-1303``)."""
+    return ((int(frames) + 8) // 9) * 9
+
+
+def parse_duration_list(text) -> list[float]:
+    """Scene-duration text → float list, commas/newlines/spaces all
+    separating, bad entries as 0.0 (``GeneralVideoNodes.py:2006-2041``,
+    VRGDG_DurationIndexFloat — which persists the list to a temp JSON
+    for the splitter; here the list is returned for direct passing)."""
+    raw = str(text or "").replace("\n", ",").replace(" ", ",")
+    durations = []
+    for part in raw.split(","):
+        if not part.strip():
+            continue
+        try:
+            durations.append(float(part))
+        except ValueError:
+            durations.append(0.0)
+    return durations
+
+
+def duration_at_index(text, index: int) -> tuple[float, int]:
+    """The indexed duration with end-clamping (reference
+    :2021-2029)."""
+    durations = parse_duration_list(text)
+    if not durations:
+        return 0.0, 0
+    clamped = max(0, min(int(index), len(durations) - 1))
+    return durations[clamped], len(durations)
+
+
+def general_chunk_index(folder: str) -> int:
+    """Resume index for the general single-chunk-per-run splitter
+    (``GeneralVideoNodes.py:1100-1117``): the highest first 4-digit
+    group among ``*_NNNN_M-audio.mp4`` finals, plus one."""
+    if not os.path.isdir(folder):
+        return 0
+    indices = [int(hit.group(1)) for name in os.listdir(folder)
+               if (hit := re.match(r".*?_(\d{4})_\d+-audio\.mp4$",
+                                   name))]
+    return max(indices) + 1 if indices else 0
+
+
+def split_general_chunk(audio, chunk_index: int = 0,
+                        scene_duration_seconds: float = 4.0,
+                        fps: int = 24,
+                        use_humo_alignment: bool = False,
+                        durations=None,
+                        preroll_frames: int = 6,
+                        tail_loss_frames: int = 8) -> dict:
+    """One chunk of the general single-chunk-per-run audio splitter
+    (``GeneralVideoNodes.py:1312-1665``, VRGDG_LoadAudioSplit_General,
+    minus the ComfyUI queue/popup/folder-timestamp glue).
+
+    Frames per chunk quantize to HuMo ``4N+1`` (fps must be 25) or a
+    multiple of 9; non-first chunks add ``preroll_frames`` of lead-in
+    video and LTX over-generates ``tail_loss_frames`` more
+    (``frames_for_ltx``).  ``durations`` switches to custom-duration
+    mode: each chunk's length comes from the list and offsets
+    accumulate (reference :1476-1499).  The audio chunk is sliced
+    sample-exact with preroll compensation, zero-padded or silence-
+    filled to full length.  Callers needing the reference's forced
+    44.1 kHz input resample first (``resample_waveform``).
+    """
+    waveform, rate = as_waveform(audio)
+    total_samples = waveform.shape[-1]
+    total_duration = float(total_samples) / float(rate) if rate else 0.0
+
+    def _frames_for(seconds):
+        raw = int(round(int(fps) * float(seconds)))
+        if use_humo_alignment:
+            if int(fps) != 25:
+                raise ValueError("HuMo alignment requires fps=25")
+            return adjust_frames_humo(raw)
+        return adjust_frames_mult9(raw)
+
+    chunk_index = int(chunk_index)
+    if durations:
+        durations = [float(value) for value in durations]
+        frames_per_scene = _frames_for(durations[chunk_index])
+        offset_samples = int(sum(durations[:chunk_index]) * rate + 0.5)
+        total_sets = len(durations)
+    else:
+        frames_per_scene = _frames_for(scene_duration_seconds)
+        samples_per_scene = int(frames_per_scene * rate
+                                / float(fps) + 0.5)
+        offset_samples = samples_per_scene * chunk_index
+        real_scene = frames_per_scene / float(fps)
+        total_sets = max(1, math.ceil(total_duration / real_scene)) \
+            if real_scene else 1
+    samples_per_scene = int(frames_per_scene * rate / float(fps) + 0.5)
+
+    # preroll: non-first chunks lead in (video_preroll.py:1-11)
+    preroll = 0 if chunk_index == 0 else max(0, int(preroll_frames))
+    frames_for_ltx = frames_per_scene + preroll \
+        + max(0, int(tail_loss_frames))
+    preroll_samples = int(preroll * rate / float(fps) + 0.5)
+
+    start = max(0, offset_samples - preroll_samples)
+    if start >= total_samples:
+        chunk = np.zeros(waveform.shape[:-1] + (samples_per_scene,),
+                         waveform.dtype)
+    else:
+        chunk = waveform[..., start:min(total_samples,
+                                        start + samples_per_scene)]
+        short = samples_per_scene - chunk.shape[-1]
+        if short > 0:
+            pad = [(0, 0)] * (chunk.ndim - 1) + [(0, short)]
+            chunk = np.pad(chunk, pad)
+
+    # reference :1624-1646 — per-chunk time strings, final clamped
+    actual_scene = frames_per_scene / float(fps)
+    start_sec = offset_samples / float(rate) if rate else 0.0
+    end_sec = start_sec + actual_scene
+    reported = actual_scene
+    if chunk_index == total_sets - 1:
+        end_sec = min(end_sec, total_duration)
+        reported = end_sec - start_sec
+
+    def _fmt(seconds):
+        return f"{int(seconds // 60)}:{seconds % 60:06.3f}"
+
+    return {"audio": make_audio(chunk, rate),
+            "meta": {"durations": [actual_scene],
+                     "offset_seconds": offset_samples / float(rate)
+                     if rate else 0.0,
+                     "starts": [offset_samples], "sample_rate": rate,
+                     "audio_total_duration": total_duration,
+                     "outputs_count": 1},
+            "chunk_index": chunk_index, "total_sets": total_sets,
+            "frames_per_scene": frames_per_scene,
+            "frames_for_ltx": frames_for_ltx,
+            "preroll_frames": preroll,
+            "audio_meta": {"durations_frames": [frames_per_scene]},
+            "start_time": _fmt(start_sec), "end_time": _fmt(end_sec),
+            "reported_duration": reported}
 
 
 def count_completed_sets(folder: str) -> int:

@@ -223,6 +223,27 @@ def merge_lyrics_emotions(lyrics_text: str, emotion_text: str) -> str:
     return "\n".join([header, ""] + merged)
 
 
+def pick_cycled_prompt(json_string: str, index: int) -> str:
+    """One prompt per run, cycling through the set
+    (``GeneralVideoNodes.py:1898-1942``, PromptSplitter_General):
+    numbered-key dicts order numerically, lists stay in order, and the
+    index wraps modulo the count.  Errors and empties yield ""."""
+    try:
+        data = json.loads(json_string)
+        if isinstance(data, dict):
+            values = [data[key] for key
+                      in sorted(data, key=_digit_order)]
+        elif isinstance(data, list):
+            values = data
+        else:
+            values = []
+        if not values:
+            return ""
+        return values[int(index) % len(values)]
+    except Exception:
+        return ""
+
+
 def split_pipe_or_paragraphs(text: str, slots: int = 16) -> list[str]:
     """Pipe-separated prompts when pipes exist, paragraph blocks
     otherwise (``HumoAutomation.py:1692-1709``, PromptSplitterV3);
