@@ -1160,3 +1160,79 @@ def test_health_degrades_on_malformed_release_notes(tmp_path, monkeypatch):
             await client.close()
 
     _run(scenario())
+
+
+def test_lyrics_and_llm_batch_routes(tmp_path):
+    """The HuMo text-pipeline HTTP surface: timestamped lyric scenes,
+    lyric sheets, and the LLM batch plan/save/combine/split loop
+    (HumoAutomationExtra1.py:939-1595, Extra2:2122-3145)."""
+    async def scenario():
+        app = create_app(base_folder=str(tmp_path / "root"))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            asr = {"segments": [
+                {"text": "hold me now", "start": 1.0, "end": 2.6,
+                 "words": [{"word": "hold", "start": 1.0, "end": 1.4},
+                           {"word": "me", "start": 1.5, "end": 1.9},
+                           {"word": "now", "start": 2.1, "end": 2.6}]}],
+                "duration": 12.0}
+            body = await (await client.post(
+                "/vrgdg/lyrics/timestamped",
+                json={"segments": asr["segments"],
+                      "duration": asr["duration"],
+                      "reference_lyrics": "hold me now",
+                      "segment_mode": "reference_lines"})).json()
+            assert body["ok"] and body["segment_count"] >= 2
+            kinds = [seg["type"] for seg in body["segments"]]
+            assert "vocal" in kinds and "instrumental" in kinds
+
+            srt = ("1\n00:00:00,000 --> 00:00:06,000\nx\n\n"
+                   "2\n00:00:06,000 --> 00:00:12,000\ny\n")
+            body = await (await client.post(
+                "/vrgdg/lyrics/sheet",
+                json={"segments": asr["segments"], "srt_text": srt,
+                      "reference_lyrics": "hold me now"})).json()
+            assert body["texts"][0] == "hold me now"
+            assert body["sheet"].startswith("# Lyrics to fix:")
+
+            groups = [{"group_index": i + 1, "scene": f"s{i}"}
+                      for i in range(6)]
+            body = await (await client.post(
+                "/vrgdg/llm_batches/plan",
+                json={"story_groups": groups, "story_summary": "sum",
+                      "batch_size": 5})).json()
+            assert body["total_batches"] == 2 and not body["is_final"]
+            folder = body["folder"]
+
+            reply = '{"prompt1": "dawn", "prompt2": "rain"}'
+            body = await (await client.post(
+                "/vrgdg/llm_batches/save",
+                json={"folder": folder, "batch_index": 0,
+                      "text": reply})).json()
+            assert body["path"].endswith("Scene_000.txt")
+            await client.post("/vrgdg/llm_batches/save",
+                              json={"folder": folder,
+                                    "batch_index": 1, "text": reply})
+            body = await (await client.post(
+                "/vrgdg/llm_batches/combine",
+                json={"folder": folder})).json()
+            assert body["count"] == 4
+            assert list(body["combined"]) == [f"prompt{i}"
+                                              for i in (1, 2, 3, 4)]
+
+            # containment: folders outside the managed root refuse
+            resp = await client.post(
+                "/vrgdg/llm_batches/save",
+                json={"folder": "/etc", "batch_index": 0,
+                      "text": "x"})
+            assert (await resp.json())["ok"] is False
+
+            body = await (await client.post(
+                "/vrgdg/llm_batches/split",
+                json={"text": "```json\n" + reply + "\n```"})).json()
+            assert body["prompts"][:2] == ["dawn", "rain"]
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -597,6 +597,114 @@ def create_app(base_folder: str | None = None,
                 except OSError:
                     pass
 
+    # ---------------- lyrics + LLM batch pipeline ----------------
+    # HTTP surface over the HuMo text pipelines: timestamped lyric
+    # scenes / lyric sheets on external ASR word JSON
+    # (HumoAutomationExtra2.py:2122-3145, 1842-2042) and the LLM batch
+    # plan/save/combine/split loop (HumoAutomationExtra1.py:939-1595).
+    # The ASR and LLM model runs themselves stay external.
+
+    from ..runtime import llm_batches as lbx
+    from ..runtime import lyric_align as lal
+
+    _llm_root = os.path.join(_out_root, "llm_batches")
+
+    def _contained_batch_folder(folder):
+        real = os.path.realpath(str(folder or ""))
+        root = os.path.realpath(_llm_root)
+        if real != root and not real.startswith(root + os.sep):
+            raise ValueError(
+                "folder must live under the managed llm_batches root")
+        return real
+
+    def _lyrics_timestamped(payload):
+        segments = lal.segments_from_words(
+            payload.get("segments") or [])
+        duration = float(payload.get("duration") or 0.0)
+        if duration <= 0:
+            duration = max((seg["end"] for seg in segments),
+                           default=0.0)
+        return lal.timestamped_lyrics(
+            segments, duration,
+            reference_lyrics=payload.get("reference_lyrics", ""),
+            segment_mode=payload.get("segment_mode",
+                                     "whisper_chunks"),
+            include_instrumental_gaps=bool(
+                payload.get("include_instrumental_gaps", True)),
+            instrumental_text=payload.get("instrumental_text",
+                                          "[instrumental]"),
+            min_gap_seconds=float(payload.get("min_gap_seconds",
+                                              1.0)),
+            min_scene_seconds=float(payload.get("min_scene_seconds",
+                                                1.0)),
+            max_scene_seconds=float(payload.get("max_scene_seconds",
+                                                8.0)),
+            vocal_tail_padding_seconds=float(
+                payload.get("vocal_tail_padding_seconds", 0.6)))
+
+    def _lyrics_sheet(payload):
+        segments = lal.segments_from_words(
+            payload.get("segments") or [])
+        if payload.get("srt_text"):
+            windows = lal.srt_windows(payload["srt_text"])
+        else:
+            windows = [tuple(window)
+                       for window in payload.get("windows", [])]
+        backup = lal.segments_from_words(payload["backup_segments"]) \
+            if payload.get("backup_segments") else None
+        out = lal.extract_window_lyrics(
+            segments, windows,
+            reference_lyrics=payload.get("reference_lyrics", ""),
+            backup_segments=backup,
+            native_align=bool(payload.get("native_align")),
+            strict_reference_text=bool(
+                payload.get("strict_reference_text", True)),
+            fill_aggressiveness=int(
+                payload.get("fill_aggressiveness", 1)),
+            preserve_nonvocal_segments=bool(
+                payload.get("preserve_nonvocal_segments", True)),
+            alignment_min_words=int(
+                payload.get("alignment_min_words", 2)))
+        return {"sheet": out["sheet"], "texts": out["texts"],
+                "windows": [list(window)
+                            for window in out["windows"]]}
+
+    _lyrics_route = _post_json_routes("/vrgdg/lyrics/")
+    _lyrics_route("timestamped", _lyrics_timestamped)
+    _lyrics_route("sheet", _lyrics_sheet)
+
+    def _llm_batch_plan(payload):
+        return lbx.plan_batch(
+            _llm_root, payload.get("story_groups"),
+            payload.get("story_summary", ""),
+            batch_size=int(payload.get("batch_size", 10)),
+            file_prefix=payload.get("file_prefix", "Scene"),
+            manual_index=int(payload.get("manual_index", -1)),
+            lyric_segments=payload.get("lyric_segments"))
+
+    def _llm_batch_save(payload):
+        folder = _contained_batch_folder(payload.get("folder"))
+        return {"path": lbx.save_batch(
+            folder, payload.get("file_prefix", "Scene"),
+            int(payload["batch_index"]),
+            str(payload.get("text", "")))}
+
+    def _llm_batch_combine(payload):
+        folder = _contained_batch_folder(payload.get("folder"))
+        result = lbx.combine_batches(
+            folder, payload.get("file_prefix", "Scene"))
+        return {key: result[key] for key in
+                ("combined", "text", "path", "files", "count")}
+
+    _llm_route = _post_json_routes("/vrgdg/llm_batches/")
+    _llm_route("plan", _llm_batch_plan)
+    _llm_route("save", _llm_batch_save)
+    _llm_route("combine", _llm_batch_combine)
+    _llm_route("split",
+               lambda p: lbx.split_prompt_json(
+                   p.get("text", ""), folder=None,
+                   index=int(p.get("index", 0))))
+
     # ---------------- storyboard ----------------
     # Storyboard state persistence (VRGDG_StoryboardBuilderNodes.py:
     # 2910-2944); the gemma_*/story_*/dialogue generation routes are LLM
