@@ -188,25 +188,29 @@ def test_build_chunk_output_path_parity(tmp_path):
             (ref_path,) = srt_node.run(str(folder_ref), index, base,
                                        "overwrite")
             our_path = build_chunk_output_path(str(folder_our), index,
-                                               base, "overwrite")
+                                               base, "overwrite",
+                                               srt_naming=True)
             assert os.path.basename(our_path) == \
                 os.path.basename(ref_path)
             (ref_path,) = plain_node.run(str(folder_ref), index, base,
                                          "overwrite")
             our_path = build_chunk_output_path(
-                str(folder_our), index, base, "overwrite",
-                srt_style=False)
+                str(folder_our), index, base, "overwrite")
             assert os.path.basename(our_path) == \
                 os.path.basename(ref_path)
 
-    # backup rotation (SRT style keeps the same name in backup/)
+    # backup mode: the shipped builder deliberately hardens the
+    # reference's prefix sweep into an exact-stem match (see the
+    # docstring + tests/test_video_utils.py); here just the SRT-name
+    # rotation into backup/ under its own name
     work = tmp_path / "bk"
     work.mkdir()
-    (work / "video_0003_0002-extra.mp4").write_bytes(b"x")
-    path = build_chunk_output_path(str(work), 2, "video", "backup")
+    (work / "video_0003_0002.mp4").write_bytes(b"x")
+    path = build_chunk_output_path(str(work), 2, "video", "backup",
+                                   srt_naming=True)
     assert os.path.basename(path) == "video_0003_0002"
-    assert (work / "backup" / "video_0003_0002-extra.mp4").exists()
-    assert not (work / "video_0003_0002-extra.mp4").exists()
+    assert (work / "backup" / "video_0003_0002.mp4").exists()
+    assert not (work / "video_0003_0002.mp4").exists()
 
 
 def test_pick_cycled_prompt_parity():

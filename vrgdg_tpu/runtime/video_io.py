@@ -947,47 +947,6 @@ def combine_scene_videos(videos, audio_meta, fps: float = 25.0,
     return np.concatenate(pieces, axis=0)
 
 
-def build_chunk_output_path(output_folder: str, chunk_index: int,
-                            base_name: str = "video",
-                            overwrite_mode: str = "overwrite",
-                            srt_style: bool = True) -> str:
-    """Compute the per-chunk render output path for the general
-    splitter's Video Combine stage
-    (``GeneralVideoNodes.py:1668-1796``, BuildVideoOutputPath_General
-    and the _SRT variant).
-
-    SRT style names ``{base}_{index+1:04d}_{index:04d}`` after
-    stripping any trailing numeric groups from ``base_name``; the
-    plain style names ``{base}_{index:04d}``.  ``overwrite_mode=
-    "backup"`` rotates matching existing ``.mp4`` renders into
-    ``backup/`` first — the SRT variant overwrites the previous backup
-    (same name), the plain variant keeps timestamped ``.bak``
-    copies.  Returns the extension-less output path (the encoder adds
-    its own suffix, matching the reference's Video Combine contract).
-    """
-    os.makedirs(output_folder, exist_ok=True)
-    chunk_index = int(chunk_index)
-    if srt_style:
-        base_name = re.sub(r"(?:_\d+)+$", "", str(base_name))
-        filename = f"{base_name}_{chunk_index + 1:04d}_{chunk_index:04d}"
-    else:
-        filename = f"{base_name}_{chunk_index:04d}"
-    if overwrite_mode == "backup":
-        backup_dir = os.path.join(output_folder, "backup")
-        os.makedirs(backup_dir, exist_ok=True)
-        for name in os.listdir(output_folder):
-            if name.startswith(filename) and name.endswith(".mp4"):
-                source = os.path.join(output_folder, name)
-                if srt_style:
-                    target = os.path.join(backup_dir, name)
-                else:
-                    stamp = time.strftime("%Y%m%d_%H%M%S")
-                    target = os.path.join(backup_dir,
-                                          f"{name}.{stamp}.bak")
-                os.replace(source, target)
-    return os.path.join(output_folder, filename)
-
-
 def list_final_set_videos(folder: str) -> list[str]:
     """The rendered set finals in a HuMo output folder — sorted
     ``*-audio.mp4`` files (``HumoAutomation.py:236-241,2575-2581``)."""
