@@ -519,3 +519,19 @@ def test_extract_window_lyrics_flows():
         assert out["texts"] == expected
         for line in out["sheet"].splitlines()[2:]:
             assert line.startswith("lyricSegment")
+
+
+def test_humo_scene_windows_match_reference_math():
+    """Window boundaries equal the plain Manual Lyrics Extractor's
+    4N+1-quantized sample math (HumoAutomationExtra2.py:222-236)."""
+    import math as m
+
+    from vrgdg_tpu.runtime.audio_toolkit import adjust_frames_humo
+
+    for rate, dur, total in ((44100, 4.0, 44100 * 31),
+                             (48000, 2.5, 48000 * 9 + 7)):
+        frames = adjust_frames_humo(int(round(25 * dur)))
+        sps = int(frames * rate / 25 + 0.5)
+        expected = [((i * sps) / rate, min((i + 1) * sps, total) / rate)
+                    for i in range(m.ceil(total / sps))]
+        assert la.humo_scene_windows(total, rate, dur) == expected

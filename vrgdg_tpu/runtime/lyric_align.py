@@ -47,7 +47,7 @@ __all__ = ["clean_lyric", "normalize_for_match",
            "cleanup_reference_segments", "is_alignment_meaningful",
            "is_meaningful_text", "merge_missing_segments",
            "collect_time_text_chunks", "text_for_window",
-           "fixed_scene_windows", "srt_windows",
+           "fixed_scene_windows", "humo_scene_windows", "srt_windows",
            "nonvocal_placeholder", "align_windows_to_reference",
            "format_lyric_segments", "extract_window_lyrics"]
 
@@ -1133,6 +1133,25 @@ def fixed_scene_windows(total_samples: int, sample_rate: int,
                                  * float(scene_duration_seconds)))
     samples_per_scene = int(frames_per_scene * sample_rate
                             / int(fps) + 0.5)
+    count = math.ceil(total_samples / samples_per_scene)
+    return [((index * samples_per_scene) / sample_rate,
+             min((index + 1) * samples_per_scene, total_samples)
+             / sample_rate)
+            for index in range(count)]
+
+
+def humo_scene_windows(total_samples: int, sample_rate: int,
+                       scene_duration_seconds: float = 4.0
+                       ) -> list[tuple[float, float]]:
+    """Fixed scene windows with the HuMo ``4N+1`` frame quantization at
+    25 fps — the plain Manual Lyrics Extractor's segmentation
+    (``HumoAutomationExtra2.py:222-236``)."""
+    from .audio_toolkit import adjust_frames_humo
+
+    fps = 25
+    frames = adjust_frames_humo(
+        int(round(fps * float(scene_duration_seconds))))
+    samples_per_scene = int(frames * sample_rate / fps + 0.5)
     count = math.ceil(total_samples / samples_per_scene)
     return [((index * samples_per_scene) / sample_rate,
              min((index + 1) * samples_per_scene, total_samples)
