@@ -274,3 +274,62 @@ def test_add_label_bar_matches_reference(tmp_path):
     ours_bytes = open(out_path, "rb").read()
     theirs_bytes = open(ref_video, "rb").read()
     assert ours_bytes == theirs_bytes
+
+
+def test_render_video_grid_matches_reference(tmp_path):
+    """Pixel parity with VRGDG_VideoFolderGridPlot
+    (LTXLoraTrain.py:7926-8316): tensor-input grids match exactly;
+    path-input grids match frame counts and bytes; hold-last-frame
+    semantics for uneven lengths."""
+    import cv2
+    import math as m
+    import torch
+
+    from tests.reference_oracle import load_reference
+    from vrgdg_tpu.runtime.video_io import (find_grid_videos,
+                                            render_video_grid)
+
+    ref_ns = load_reference(
+        "LTXLoraTrain.py",
+        ["VRGDG_LTXPreviewXYZPlot", "VRGDG_VideoFolderGridPlot"],
+        extra_globals={"cv2": cv2, "torch": torch, "np": np,
+                       "folder_paths": None})
+    ref = ref_ns["VRGDG_VideoFolderGridPlot"]()
+
+    rng = np.random.default_rng(7)
+    batches = [rng.random((n, 20, 30, 3)).astype(np.float32)
+               for n in (3, 5, 2)]
+    labels = ["alpha", "", "gamma"]
+    columns = ref._choose_columns(len(batches))
+    cell_w, cell_h = ref._resolve_cell_size_from_images(
+        [torch.from_numpy(b) for b in batches], 0, 0, True)
+    expected = ref._build_grid_frames_from_images(
+        [torch.from_numpy(b) for b in batches], cell_w, cell_h,
+        columns, True, ["alpha", "video2", "gamma"]).numpy()
+    ours = render_video_grid(batches, labels=labels)
+    assert ours.shape == expected.shape == (5, 2 * cell_h,
+                                            2 * cell_w, 3)
+    np.testing.assert_array_equal(ours, expected)
+
+    # path sources: hold-last-frame keeps shorter videos frozen
+    paths = []
+    for index, count in enumerate((4, 2)):
+        path = str(tmp_path / f"clip{index}.mp4")
+        writer = cv2.VideoWriter(path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 10.0, (32, 24))
+        for frame in range(count):
+            writer.write(np.full((24, 32, 3), 40 * (frame + 1),
+                                 np.uint8))
+        writer.release()
+        paths.append(path)
+    grid = render_video_grid(paths, label_tiles=False)
+    assert grid.shape == (4, 24, 64, 3)
+    # the short clip's last frame repeats in frames 2..3
+    np.testing.assert_array_equal(grid[2, :, 32:], grid[3, :, 32:])
+
+    # folder listing excludes prior grid outputs
+    (tmp_path / "x_VIDEOGRID_old.mp4").write_bytes(b"")
+    listed = find_grid_videos(str(tmp_path))
+    assert [os.path.basename(p) for p in listed] == ["clip0.mp4",
+                                                     "clip1.mp4"]

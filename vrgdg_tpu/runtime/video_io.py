@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import contextlib
 import hashlib
+import math
 import os
 import queue
 import re
@@ -1027,6 +1028,176 @@ def assemble_final_video(folder: str, audio=None, threshold: int = 3,
     return {"skipped": False, "count": len(videos),
             "threshold": int(threshold), "output": output_path,
             "backend": result["backend"], "audio": result["audio"]}
+
+
+GRID_LABEL_BAND = 40
+_GRID_VIDEO_EXTENSIONS = {".mp4", ".mov", ".mkv", ".webm", ".avi"}
+
+
+def find_grid_videos(folder: str) -> list[str]:
+    """Videos eligible for a comparison grid, sorted by (lowercased
+    name, mtime, path); prior grid/XYZ outputs excluded
+    (``LTXLoraTrain.py:7992-8006``)."""
+    matches = []
+    for entry in os.scandir(folder):
+        if not entry.is_file():
+            continue
+        if os.path.splitext(entry.name)[1].lower() \
+                not in _GRID_VIDEO_EXTENSIONS:
+            continue
+        upper = entry.name.upper()
+        if "_XYZ_COMPARE_" in upper or "_VIDEOGRID_" in upper:
+            continue
+        matches.append((entry.name.lower(), entry.stat().st_mtime,
+                        entry.path))
+    matches.sort()
+    return [os.path.normpath(path) for _, _, path in matches]
+
+
+def _fit_grid_tile(frame_bgr, cell_width, cell_height, label_text,
+                   band_height):
+    """Letterbox one frame into a labeled tile (``LTXLoraTrain.py:
+    8062-8089``): aspect-preserving INTER_AREA downfit, centered, with
+    a centered white caption in the label band."""
+    import cv2
+
+    canvas = np.zeros((int(cell_height), int(cell_width), 3), np.uint8)
+    content_height = max(16, int(cell_height) - int(band_height))
+    frame_height, frame_width = frame_bgr.shape[:2]
+    scale = min(float(cell_width) / max(1, frame_width),
+                float(content_height) / max(1, frame_height))
+    new_width = max(1, int(round(frame_width * scale)))
+    new_height = max(1, int(round(frame_height * scale)))
+    resized = cv2.resize(frame_bgr, (new_width, new_height),
+                         interpolation=cv2.INTER_AREA)
+    x0 = max(0, (int(cell_width) - new_width) // 2)
+    y0 = int(band_height) + max(0, (content_height - new_height) // 2)
+    canvas[y0:y0 + new_height, x0:x0 + new_width] = resized
+
+    if band_height:
+        font = cv2.FONT_HERSHEY_SIMPLEX
+        font_scale = max(0.45, min(1.0, float(cell_width) / 420.0))
+        text = str(label_text or "")
+        (text_w, text_h), baseline = cv2.getTextSize(text, font,
+                                                     font_scale, 2)
+        cv2.putText(canvas, text,
+                    (max(8, (int(cell_width) - text_w) // 2),
+                     max(text_h + 6,
+                         (int(band_height) + text_h) // 2 - baseline)),
+                    font, font_scale, (255, 255, 255), 2, cv2.LINE_AA)
+    return canvas
+
+
+def render_video_grid(sources, labels=None, cell_width: int = 0,
+                      cell_height: int = 0,
+                      label_tiles: bool = True) -> np.ndarray:
+    """Labeled comparison grid of N videos — the review tool the
+    reference buries in its trainer module
+    (``LTXLoraTrain.py:7926-8316``, VRGDG_VideoFolderGridPlot).
+
+    ``sources`` is a list of video paths or of (frames, H, W, 3) float
+    [0,1] arrays (mixable).  Columns = ⌈√N⌉; the cell auto-sizes from
+    the first source (+40 px label band).  Paths stream frame-by-frame
+    holding each video's last frame until the longest ends; array
+    sources clamp their final frame the same way.  Returns (frames,
+    rows*cell_h, cols*cell_w, 3) float32 RGB.
+    """
+    import cv2
+
+    if not sources:
+        raise ValueError("render_video_grid needs at least one source")
+    band = GRID_LABEL_BAND if label_tiles else 0
+    labels = list(labels or [])
+    labels += [""] * (len(sources) - len(labels))
+
+    def _first_resolution(source):
+        if isinstance(source, str):
+            probe = probe_video(source)
+            return probe["width"], probe["height"]
+        array = np.asarray(source)
+        return int(array.shape[-2]), int(array.shape[-3])
+
+    if not (cell_width > 0 and cell_height > 0):
+        width0, height0 = _first_resolution(sources[0])
+        cell_width = int(cell_width) if cell_width > 0 else width0
+        cell_height = int(cell_height) if cell_height > 0 \
+            else height0 + band
+    columns = max(1, math.ceil(math.sqrt(len(sources))))
+    rows = math.ceil(len(sources) / columns)
+
+    resolved_labels = []
+    for index, source in enumerate(sources):
+        fallback = os.path.splitext(os.path.basename(source))[0] \
+            if isinstance(source, str) else f"video{index + 1}"
+        resolved_labels.append(str(labels[index]).strip() or fallback)
+
+    readers = []
+    try:
+        for source in sources:
+            if isinstance(source, str):
+                capture = cv2.VideoCapture(source)
+                if not capture.isOpened():
+                    raise RuntimeError(
+                        f"Could not open video for grid render: "
+                        f"{source}")
+                readers.append({"capture": capture, "last": None,
+                                "done": False})
+            else:
+                array = np.asarray(source)
+                if array.ndim == 3:
+                    array = array[None]
+                readers.append({"frames": array, "cursor": 0})
+
+        output = []
+        blank = np.zeros((max(16, cell_height - band), cell_width, 3),
+                         np.uint8)
+        while True:
+            fresh = False
+            tiles = []
+            for reader in readers:
+                if "capture" in reader:
+                    frame = None
+                    if not reader["done"]:
+                        ok, read = reader["capture"].read()
+                        if ok and read is not None:
+                            frame = reader["last"] = read
+                            fresh = True
+                        else:
+                            reader["done"] = True
+                    if frame is None:
+                        frame = reader["last"] if reader["last"] \
+                            is not None else blank
+                else:
+                    frames = reader["frames"]
+                    source_index = min(reader["cursor"],
+                                       frames.shape[0] - 1)
+                    if reader["cursor"] < frames.shape[0]:
+                        fresh = True
+                    reader["cursor"] += 1
+                    rgb = np.clip(np.asarray(frames[source_index])
+                                  * 255.0, 0, 255).astype(np.uint8)
+                    frame = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
+                tiles.append(frame)
+            if not fresh:
+                break
+            grid = np.zeros((rows * cell_height, columns * cell_width,
+                             3), np.uint8)
+            for index, frame in enumerate(tiles):
+                tile = _fit_grid_tile(frame, cell_width, cell_height,
+                                      resolved_labels[index], band)
+                row, col = divmod(index, columns)
+                grid[row * cell_height:(row + 1) * cell_height,
+                     col * cell_width:(col + 1) * cell_width] = tile
+            output.append(cv2.cvtColor(grid, cv2.COLOR_BGR2RGB)
+                          .astype(np.float32) / 255.0)
+    finally:
+        for reader in readers:
+            if "capture" in reader:
+                reader["capture"].release()
+    if not output:
+        raise RuntimeError("No grid frames could be created from the "
+                           "provided sources.")
+    return np.stack(output)
 
 
 def add_label_bar(frames, label_text: str) -> np.ndarray:
