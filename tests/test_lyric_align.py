@@ -483,8 +483,6 @@ def test_extract_window_lyrics_flows():
         lines = la.split_reference_lyrics(text)
         windows = la.fixed_scene_windows(
             int(total * 16000), 16000, 25, 4.0)
-        chunks = ref._collect_time_text_chunks(
-            __import__("types").SimpleNamespace(segments=[]))
 
         # path 1: no reference — raw windows
         out = la.extract_window_lyrics(segments, windows)
