@@ -533,3 +533,17 @@ def test_humo_scene_windows_match_reference_math():
         expected = [((i * sps) / rate, min((i + 1) * sps, total) / rate)
                     for i in range(m.ceil(total / sps))]
         assert la.humo_scene_windows(total, rate, dur) == expected
+
+
+def test_srt_windows_robust_inputs():
+    """Index-less and malformed SRT blocks must parse or skip, never
+    raise — the port accepts arbitrary user text over HTTP/CLI."""
+    indexless = ("00:00:00,000 --> 00:00:06,000\nhello\n\n"
+                 "00:00:06,000 --> 00:00:12,000\nworld")
+    assert la.srt_windows(indexless) == [(0.0, 6.0), (6.0, 12.0)]
+    messy = ("garbage block\n\n"
+             "3\nnot a timestamp\nstill not\n\n"
+             "4\n00:00:01,500 --> 00:00:02,000\nok\n\n"
+             "5\n00:bad:00,000 --> 00:00:09,000\nskipped")
+    assert la.srt_windows(messy) == [(1.5, 2.0)]
+    assert la.srt_windows("") == []

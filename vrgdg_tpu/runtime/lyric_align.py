@@ -1161,21 +1161,31 @@ def humo_scene_windows(total_samples: int, sample_rate: int,
 
 def srt_windows(srt_text: str) -> list[tuple[float, float]]:
     """SRT cue (start, end) pairs in seconds (reference :1462-1485,
-    taking text instead of a path)."""
+    taking text instead of a path).
+
+    Unlike the reference's parser (which only ever sees its own
+    numbered SRT files), this accepts arbitrary user text: the
+    timestamp line is located by its ``-->`` marker, so index-less
+    cues parse and malformed blocks are skipped instead of raising.
+    """
     windows = []
     for block in str(srt_text).strip().split("\n\n"):
-        lines = block.splitlines()
-        if len(lines) < 2:
+        stamp_line = next((line for line in block.splitlines()
+                           if " --> " in line), None)
+        if stamp_line is None:
             continue
-        start_str, end_str = lines[1].split(" --> ")
+        start_str, end_str = stamp_line.split(" --> ")[:2]
 
         def _seconds(stamp):
-            hours, minutes, rest = stamp.split(":")
+            hours, minutes, rest = stamp.strip().split(":")
             secs, millis = rest.split(",")
             return int(hours) * 3600 + int(minutes) * 60 \
                 + float(secs) + float(millis) / 1000.0
 
-        windows.append((_seconds(start_str), _seconds(end_str)))
+        try:
+            windows.append((_seconds(start_str), _seconds(end_str)))
+        except ValueError:
+            continue
     return windows
 
 
