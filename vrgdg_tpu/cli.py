@@ -293,6 +293,36 @@ def main(argv=None):
     p.add_argument("--folder", default="",
                    help="persist folder for split outputs")
 
+    p = sub.add_parser(
+        "humo", help="HuMo set pipeline (plan/split/final/grid)")
+    p.add_argument("action", choices=["plan", "split-set", "chunk",
+                                      "final", "grid"])
+    p.add_argument("target",
+                   help="audio file (plan, split-set, chunk) / set "
+                        "folder (final) / video folder (grid)")
+    p.add_argument("--index", type=int, default=0,
+                   help="set or chunk index")
+    p.add_argument("--scene-duration", type=float, default=4.0)
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--humo-align", action="store_true",
+                   help="4N+1 frame quantization (requires fps 25)")
+    p.add_argument("--durations", default="",
+                   help="custom scene durations, e.g. \"2,3.5,4\" "
+                        "(chunk)")
+    p.add_argument("--threshold", type=int, default=3,
+                   help="set finals required before assembly (final)")
+    p.add_argument("--audio", default="",
+                   help="original mix to lay under the final video")
+    p.add_argument("--redo", action="store_true",
+                   help="rerun mode: bypass the threshold, write "
+                        "FINAL_VIDEO_REDO (final)")
+    p.add_argument("--labels", default="",
+                   help="comma-separated tile labels (grid)")
+    p.add_argument("--grid-fps", type=float, default=24.0)
+    p.add_argument("-o", "--output", default="",
+                   help="output folder (split-set, chunk) / video "
+                        "path (grid)")
+
     p = sub.add_parser("serve", help="run the HTTP API server")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8431)
@@ -665,6 +695,81 @@ def main(argv=None):
             _print(lbx.split_prompt_json(
                 _read_text(args.target), folder=args.folder or None,
                 index=max(args.index, 0)))
+    elif args.command == "humo":
+        from .runtime import audio_toolkit as atk
+        from .runtime import video_io as vio
+
+        if args.action == "plan":
+            audio = atk.load_audio(args.target)
+            _print(atk.calculate_wan22_sets(
+                audio, index=args.index,
+                scene_duration_seconds=args.scene_duration))
+        elif args.action == "split-set":
+            audio = atk.load_audio(args.target)
+            result = atk.split_audio_humo_set(audio,
+                                              set_index=args.index)
+            out_dir = args.output or os.path.join(
+                os.path.dirname(os.path.abspath(args.target)),
+                f"humo_set_{args.index:03d}")
+            os.makedirs(out_dir, exist_ok=True)
+            paths = [atk.save_wav(
+                os.path.join(out_dir, f"audio_{pos + 1}.wav"), seg)
+                for pos, seg in enumerate(result["segments"])]
+            with open(os.path.join(out_dir, "meta.json"), "w",
+                      encoding="utf-8") as handle:
+                json.dump(result["meta"], handle, indent=2)
+            _print({"folder": out_dir, "segments": paths,
+                    "total_duration": result["total_duration"]})
+        elif args.action == "chunk":
+            audio = atk.load_audio(args.target)
+            durations = atk.parse_duration_list(args.durations) \
+                if args.durations else None
+            result = atk.split_general_chunk(
+                audio, chunk_index=args.index,
+                scene_duration_seconds=args.scene_duration,
+                fps=args.fps, use_humo_alignment=args.humo_align,
+                durations=durations)
+            out_dir = args.output or os.path.dirname(
+                os.path.abspath(args.target))
+            os.makedirs(out_dir, exist_ok=True)
+            wav = atk.save_wav(os.path.join(
+                out_dir, f"chunk_{args.index:04d}.wav"),
+                result.pop("audio"))
+            _print({"wav": wav, **{key: result[key] for key in
+                                   ("chunk_index", "total_sets",
+                                    "frames_per_scene",
+                                    "frames_for_ltx",
+                                    "preroll_frames", "start_time",
+                                    "end_time")}})
+        elif args.action == "final":
+            audio = atk.load_audio(args.audio) if args.audio else None
+            _print(vio.assemble_final_video(
+                args.target, audio=audio, threshold=args.threshold,
+                redo=args.redo))
+        elif args.action == "grid":
+            if os.path.isdir(args.target):
+                sources = vio.find_grid_videos(args.target)
+            else:
+                sources = [part for part in args.target.split(",")
+                           if part.strip()]
+            labels = [part.strip() for part
+                      in args.labels.split(",")] if args.labels \
+                else None
+            frames = vio.render_video_grid(sources, labels=labels)
+            out_path = args.output or os.path.join(
+                args.target if os.path.isdir(args.target) else ".",
+                "video_grid.mp4")
+            writer = vio.VideoWriter(out_path, args.grid_fps,
+                                     frames.shape[2],
+                                     frames.shape[1])
+            try:
+                for frame in vio.array_to_frames(frames):
+                    writer.write_bgr(frame)
+            finally:
+                writer.close()
+            _print({"output": os.path.abspath(out_path),
+                    "frames": int(frames.shape[0]),
+                    "tiles": len(sources)})
     elif args.command == "serve":
         if args.distributed:
             from .parallel import initialize_distributed
