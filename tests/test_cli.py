@@ -215,3 +215,49 @@ def test_builder_cli_save_without_session_keeps_timeline(tmp_path,
     assert [seg["label"] for seg in saved["session"]["segments"]] == \
         ["One"]
     assert saved["session"]["audio_path"].startswith(folder)
+
+
+def test_humo_pipeline(click_wav, tmp_path, capsys):
+    """humo plan/split-set/chunk on a WAV, then final + grid over
+    generated set renders."""
+    import cv2
+
+    cli.main(["humo", "plan", click_wav, "--scene-duration", "3.88"])
+    plan = json.loads(capsys.readouterr().out)
+    assert plan["frames_per_scene"] == 97   # adjust_humo(round(25*3.88))
+    assert plan["total_sets"] >= 1
+
+    out_dir = str(tmp_path / "set0")
+    cli.main(["humo", "split-set", click_wav, "--index", "0",
+              "-o", out_dir])
+    split = json.loads(capsys.readouterr().out)
+    assert len(split["segments"]) == 16
+    assert os.path.isfile(os.path.join(out_dir, "meta.json"))
+    assert os.path.isfile(os.path.join(out_dir, "audio_16.wav"))
+
+    cli.main(["humo", "chunk", click_wav, "--index", "1",
+              "--fps", "25", "--humo-align", "-o", str(tmp_path)])
+    chunk = json.loads(capsys.readouterr().out)
+    assert chunk["frames_per_scene"] % 4 == 1
+    assert chunk["preroll_frames"] == 6
+    assert os.path.isfile(chunk["wav"])
+
+    sets = tmp_path / "renders"
+    sets.mkdir()
+    for index, count in enumerate((4, 3)):
+        writer = cv2.VideoWriter(
+            str(sets / f"s{index}-audio.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (32, 24))
+        for frame in range(count):
+            writer.write(np.full((24, 32, 3), 50 * (frame + 1),
+                                 np.uint8))
+        writer.release()
+
+    cli.main(["humo", "final", str(sets), "--threshold", "2"])
+    final = json.loads(capsys.readouterr().out)
+    assert not final["skipped"] and final["count"] == 2
+
+    grid_path = str(tmp_path / "grid.mp4")
+    cli.main(["humo", "grid", str(sets), "-o", grid_path])
+    grid = json.loads(capsys.readouterr().out)
+    assert grid["frames"] >= 4 and os.path.isfile(grid_path)
