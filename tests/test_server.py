@@ -1236,3 +1236,41 @@ def test_lyrics_and_llm_batch_routes(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_compare_grid_route(tmp_path):
+    """POST /vrgdg/compare/grid composes a labeled comparison grid
+    from a folder of renders (LTXLoraTrain.py:7926-8316)."""
+    import cv2
+    import numpy as np
+
+    async def scenario():
+        app = create_app(base_folder=str(tmp_path / "root"))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            clips = tmp_path / "clips"
+            clips.mkdir()
+            for index in (1, 2, 3):
+                writer = cv2.VideoWriter(
+                    str(clips / f"take{index}.mp4"),
+                    cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (32, 24))
+                for frame in range(2 + index):
+                    writer.write(np.full((24, 32, 3), 40 * index,
+                                         np.uint8))
+                writer.release()
+            out = str(tmp_path / "grid.mp4")
+            body = await (await client.post(
+                "/vrgdg/compare/grid",
+                json={"folder": str(clips), "output": out,
+                      "labels": ["a", "b", "c"]})).json()
+            assert body["ok"] and body["result"]["tiles"] == 3
+            assert body["result"]["frames"] == 5   # longest clip
+            capture = cv2.VideoCapture(out)
+            assert int(capture.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
+            assert int(capture.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 128
+            capture.release()
+        finally:
+            await client.close()
+
+    _run(scenario())

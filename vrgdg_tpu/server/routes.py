@@ -1007,6 +1007,34 @@ def create_app(base_folder: str | None = None,
             blink_speed=float(p.get("blink_speed", 1.0)),
             batch_size=int(p.get("batch_size", 8))))
 
+    def _compare_grid(payload):
+        # labeled comparison grid (LTXLoraTrain.py:7926-8316) over
+        # explicit paths or a folder of renders
+        folder = str(payload.get("folder") or "").strip()
+        sources = video_io.find_grid_videos(folder) if folder \
+            else [str(path) for path in payload.get("paths", [])]
+        frames = video_io.render_video_grid(
+            sources, labels=payload.get("labels"),
+            cell_width=int(payload.get("cell_width", 0)),
+            cell_height=int(payload.get("cell_height", 0)),
+            label_tiles=bool(payload.get("label_tiles", True)))
+        output = str(payload.get("output") or "").strip() or \
+            os.path.join(enh.root_folder(base_folder),
+                         f"compare_grid_{int(time.time() * 1000)}.mp4")
+        fps = float(payload.get("fps", 24.0))
+        writer = video_io.VideoWriter(output, fps, frames.shape[2],
+                                      frames.shape[1])
+        try:
+            for frame in video_io.array_to_frames(frames):
+                writer.write_bgr(frame)
+        finally:
+            writer.close()
+        return {"output": os.path.abspath(output),
+                "frames": int(frames.shape[0]),
+                "tiles": len(sources), "fps": fps}
+
+    _sync_json_route("/vrgdg/compare/grid", _compare_grid)
+
     # ---------------- face fix ----------------
     # Route surface parity: /root/reference/VRGDG_FaceFix.py:1029-1104.
     # Responses are flat {"ok": true, **result} like the reference's.
