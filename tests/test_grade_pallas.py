@@ -112,10 +112,11 @@ def test_fused_pallas_odd_shapes_match_xla(stack):
 
 
 def test_fused_pallas_layouts_agree(stack):
-    """The production phase-1 layout ('rowmajor': consume the gather
-    output natively) and the A/B baseline ('plane': corner-major planes
-    via the XLA relayout) must agree — same math, different gather
-    index shapes and stats partial grouping."""
+    """All three data layouts must agree (grain off) — same math,
+    different data movement: 'plane' (corner-major planes via the XLA
+    relayout), 'rowmajor' (native gather consumption + padded-plane
+    phase 2), and 'flat' (native gather consumption + phase 2 DMA'd
+    straight off the flat LAB rows, no relayout/pad copies)."""
     from vrgdg_tpu.kernels.grade_pallas import fused_post_gather
     from vrgdg_tpu.ops.grade import _bundle_for
 
@@ -126,15 +127,21 @@ def test_fused_pallas_layouts_agree(stack):
     rng = np.random.default_rng(21)
     kw = dict(blend=0.8, match_strength=0.7, sharpen_strength=1.5,
               grain_intensity=0.0, saturation_mix=0.5, interpret=True)
-    for shape in ((2, 32, 256, 3), (1, 30, 200, 3)):
+    for shape in ((2, 32, 256, 3), (1, 30, 200, 3), (1, 37, 250, 3)):
         frames = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
         seed = jnp.zeros(1, jnp.int32)
         plane = fused_post_gather(frames, bundle, dmin, dmax, ref_mean,
                                   ref_std, seed, layout="plane", **kw)
         rowm = fused_post_gather(frames, bundle, dmin, dmax, ref_mean,
                                  ref_std, seed, layout="rowmajor", **kw)
+        flat = fused_post_gather(frames, bundle, dmin, dmax, ref_mean,
+                                 ref_std, seed, layout="flat", **kw)
         err = float(jnp.max(jnp.abs(plane - rowm)))
         assert err < 1e-5, (shape, err)
+        # flat shares phase 1 with rowmajor and every phase-2 formula;
+        # only the data movement differs, so grain-off it is bit-equal
+        err = float(jnp.max(jnp.abs(flat - rowm)))
+        assert err == 0.0, (shape, err)
 
 
 def test_fused_pallas_rejected_on_mesh(stack):

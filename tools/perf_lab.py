@@ -113,6 +113,11 @@ def main():
         return phase1_layout_ab()
     if name == "rowmajor_1080p":
         return phase1_layout_ab((8, 1080, 1920, 3))
+    if name == "flat":
+        return phase1_layout_ab(layouts=("rowmajor", "flat"))
+    if name == "flat_1080p":
+        return phase1_layout_ab((8, 1080, 1920, 3),
+                                layouts=("rowmajor", "flat"))
     batch = 2
     if name.endswith("_b4"):
         batch = 4
@@ -217,7 +222,8 @@ def fused_stack_ab(shape=(2, 2160, 3840, 3), steps=STEPS):
         print(f"[fused {mode} {shape[1]}p] {best * 1e3:.2f} ms/batch  "
               f"{batch / best:.2f} fps", flush=True)
 
-def phase1_layout_ab(shape=(2, 2160, 3840, 3), steps=STEPS):
+def phase1_layout_ab(shape=(2, 2160, 3840, 3), steps=STEPS,
+                     layouts=("plane", "rowmajor")):
     """A/B the two-phase kernel's phase-1 LAYOUT (gather-output
     consumption): 'plane' = corner-major planes via the XLA relayout
     copy; 'rowmajor' = consume the gather's native (rows, 24) layout
@@ -249,7 +255,7 @@ def phase1_layout_ab(shape=(2, 2160, 3840, 3), steps=STEPS):
               grain_intensity=0.05, saturation_mix=0.5)
 
     results = {}
-    for layout in ("plane", "rowmajor"):
+    for layout in layouts:
 
         @jax.jit
         def chained(x, _layout=layout):
@@ -273,8 +279,9 @@ def phase1_layout_ab(shape=(2, 2160, 3840, 3), steps=STEPS):
         results[layout] = best
         print(f"[{layout} {shape[1]}p] {best * 1e3:.2f} ms/batch  "
               f"{batch / best:.2f} fps", flush=True)
-    speedup = results["plane"] / results["rowmajor"]
-    print(f"[rowmajor {shape[1]}p] speedup vs plane: {speedup:.3f}x",
+    a, b = layouts
+    speedup = results[a] / results[b]
+    print(f"[{b} {shape[1]}p] speedup vs {a}: {speedup:.3f}x",
           flush=True)
 
 

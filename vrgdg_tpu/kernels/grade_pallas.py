@@ -355,6 +355,112 @@ def _phase2_kernel(coeff_ref, seed_ref, lab_hbm, out_ref, scratch, sem,
             out_ref[0, c] = sharp[c]
 
 
+def _phase2_flat_kernel(coeff_ref, seed_ref, lab_hbm, out_ref, scratch, sem,
+                        *, wl: int, c_rows: int, dstart0: int, foff0: int,
+                        win: int, real_height: int, real_width: int,
+                        width: int, sharpen_strength: float,
+                        grain_intensity: float, saturation_mix: float):
+    """Phase 2 consuming phase 1's NATIVE flat (rows, 128) pixel layout.
+
+    The padded-plane phase 2 forces two XLA data-formatting passes on the
+    LAB planes (tiled->(B,3,H,W) relayout + the halo `jnp.pad` copy,
+    ~1.2 ms/4K-batch, BASELINE.md round-4 op profile). Here the kernel
+    DMAs its halo window straight out of phase 1's output (lead/tail pad
+    tiles in that output keep every window in bounds), so the planes
+    never round-trip through a row-major relayout. The 3x3 zero-border
+    blur runs in flat-pixel space: vertical neighbors are +-``wl`` flat
+    rows (``wl`` = lane-tiles per frame row), horizontal neighbors are
+    lane rolls whose lane-0/127 wrap is patched from the adjacent flat
+    row (one-row-shifted slices of the same rolled array).
+
+    Grid (B, H // P2_ROWS). ``lab_hbm``: (B, 3, RP, 128) ANY, where
+    scratch row r of tile t holds frame flat row ``t*c_rows + foff0 + r``
+    (foff0 < 0: halo + DMA alignment lead). Output block: flat
+    (1, 3, c_rows, 128). Grain draws per-(frame, tile) like the plane
+    variant but in flat order, so the stream differs from the padded
+    phase 2 by pixel position only (same distribution; the on-chip check
+    is statistical and the determinism contract — noise depends only on
+    seed + absolute frame index — is preserved)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        lab_hbm.at[b, :, pl.ds(t * c_rows + dstart0, win), :],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    # Affine color-match transfer, then LAB -> RGB (clipped).
+    lab = [scratch[c] * coeff_ref[b, c] + coeff_ref[b, 3 + c]
+           for c in range(3)]
+    rgb = [jnp.clip(p, 0.0, 1.0) for p in _rgb_from_lab_planes(*lab)]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (win, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (win, LANES), 0)
+    # int division truncates toward zero, so keep the dividend
+    # non-negative: shift by a whole number of frame rows covering the
+    # halo/alignment lead, divide, then shift the row index back
+    k_rows = -(-(-foff0) // wl)                    # static
+    fpos = t * c_rows + (foff0 + k_rows * wl) + row
+    q = fpos // wl
+    h = q - k_rows                                 # frame row
+    w = (fpos - q * wl) * LANES + lane             # padded-width column
+    in_frame = jnp.logical_and(
+        jnp.logical_and(h >= 0, h < real_height), w < real_width)
+
+    # hsum rows cover [a, a+n): the blur halo of the c_rows center rows
+    a = -foff0 - wl
+    n = c_rows + 2 * wl
+    o = -foff0                                     # center start
+    sharp = []
+    for p in rgb:
+        xm = jnp.where(in_frame, p, 0.0)
+        # build the neighbor arrays FULL-SIZE (sublane offset 0) and
+        # slice afterwards: a `where` mixing rolls of differently-offset
+        # sublane slices crashes Mosaic layout inference ("limits[i] <=
+        # dim(i)"), while full-size rolls + where + late slices lower
+        # fine (probed on-chip, see BASELINE.md round-4)
+        rl = pltpu.roll(xm, 1, axis=1)
+        rr = pltpu.roll(xm, LANES - 1, axis=1)
+        ldown = pltpu.roll(rl, 1, axis=0)          # ldown[r] = rl[r-1]
+        rup = pltpu.roll(rr, win - 1, axis=0)      # rup[r]  = rr[r+1]
+        # lane 0's left neighbor is lane 127 of the previous flat row
+        # (and symmetrically for lane 127); the true frame edges
+        # (w == 0 / w == width-1) contribute zero. The axis-0 wrap rows
+        # (0 and win-1) never land in [a, a+n).
+        left = jnp.where(lane == 0, ldown, rl)
+        left = jnp.where(w == 0, 0.0, left)
+        right = jnp.where(lane == LANES - 1, rup, rr)
+        right = jnp.where(w == width - 1, 0.0, right)
+        hsum = left[a:a + n] + xm[a:a + n] + right[a:a + n]
+        blur = (hsum[0:c_rows] + hsum[wl:wl + c_rows]
+                + hsum[2 * wl:2 * wl + c_rows]) / 9.0
+        center = p[o:o + c_rows]
+        sharp.append(jnp.clip(
+            center + sharpen_strength * (center - blur), 0.0, 1.0))
+
+    if grain_intensity > 0.0:
+        pltpu.prng_seed(seed_ref[0] + b, t)
+        tile_shape = sharp[0].shape                # (c_rows, 128)
+        noise = []
+        for _c in range(3):
+            u1 = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits(tile_shape), jnp.uint32))
+            u2 = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits(tile_shape), jnp.uint32))
+            noise.append(jnp.sqrt(-2.0 * jnp.log(u1))
+                         * jnp.cos(_TWO_PI * u2))
+        gray = noise[1]
+        for c, channel_scale in enumerate((2.0, 1.0, 3.0)):
+            grain = (saturation_mix * noise[c] * channel_scale
+                     + (1.0 - saturation_mix) * gray)
+            out_ref[0, c] = jnp.clip(
+                sharp[c] + grain * grain_intensity, 0.0, 1.0)
+    else:
+        for c in range(3):
+            out_ref[0, c] = sharp[c]
+
+
 # --------------------------------------------------------------------------
 # host-side wiring
 # --------------------------------------------------------------------------
@@ -374,18 +480,20 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
                       ref_std, seed_plus_start, *, blend: float,
                       match_strength: float, sharpen_strength: float,
                       grain_intensity: float, saturation_mix: float,
-                      interpret: bool = False, layout: str = "rowmajor"):
+                      interpret: bool = False, layout: str = "flat"):
     """The full post-gather stack for a BHWC [0,1] batch.
 
     XLA does coords + the corner-bundle gather (the gather itself stays
     at its proven issue-rate floor); the two Pallas phases replace the
-    post-gather loop fusions. ``layout`` picks how phase 1 consumes the
-    gather output: ``"rowmajor"`` (default) eats the custom call's
-    native (rows, 24) layout directly and rebuilds corner planes with
-    in-VMEM transposes — no XLA relayout copy — measured 53.2 vs
-    54.4 ms/4K-batch and 55.1 vs 56.7 ms/1080p-batch-8 against
-    ``"plane"`` (corner-major planes via the relayout, kept for A/B —
-    tools/perf_lab.py rowmajor modes). Returns BHWC float32.
+    post-gather loop fusions. ``layout`` picks the inter-phase data
+    movement: ``"flat"`` (default) consumes the gather's native
+    (rows, 24) layout in phase 1 AND feeds phase 2 straight off the
+    flat LAB rows (no relayout/pad copies; measured 52.5 vs
+    53.2 ms/4K-batch and 54.2 vs 55.1 ms/1080p-batch-8 —
+    tools/perf_lab.py flat modes); ``"rowmajor"`` keeps the padded
+    (B, 3, H+2, W) plane phase 2; ``"plane"`` additionally takes the
+    corner-major gather relayout copy (both kept for A/B).
+    Returns BHWC float32.
     """
     from jax import lax
 
@@ -407,11 +515,17 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     height, width = real_height + pad_h, real_width + pad_w
     pixels = height * width
 
-    if layout == "rowmajor":
+    if layout not in ("plane", "rowmajor", "flat"):
+        raise ValueError(f"Unknown layout {layout!r}")
+    if layout != "plane":
         sub = RM_SUB
         while pixels % (sub * LANES):
             sub //= 2
         sub = max(sub, 1)
+        if layout == "flat" and sub % 8:
+            # the flat phase 2 needs the (tiles, sub, 128) -> (rows, 128)
+            # merge to be layout-free (sub a multiple of the sublane tile)
+            layout = "rowmajor"
     else:
         sub = _phase1_sublanes(pixels, batch)
     tiles = pixels // (sub * LANES)
@@ -438,7 +552,7 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     domain = jnp.stack([domain_min.astype(jnp.float32),
                         inv_span.astype(jnp.float32)])    # (2, 3)
 
-    if layout == "rowmajor":
+    if layout != "plane":
         # The gather lands in its NATIVE (rows, 24) layout — the same
         # tiled-padded form the custom call materializes anyway — and
         # phase 1 consumes it directly, rebuilding corner planes with
@@ -455,6 +569,18 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
                        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
         g = g.astype(jnp.float32)                     # (B*pixels, 24)
         masked = bool(real_width != width or real_height % P2_ROWS)
+        if layout == "flat":
+            # lead/tail pad tiles on the tiles axis keep every flat
+            # phase-2 DMA window (halo + 8-row alignment slack each way)
+            # inside the array; the pad blocks are never written (their
+            # garbage is masked off in phase 2)
+            wl = width // LANES
+            align_off = (-wl) % 8
+            lead_tiles = -(-(wl + align_off + 8) // sub)
+            tail_tiles = -(-(wl + 16) // sub)
+        else:
+            lead_tiles = tail_tiles = 0
+        all_tiles = lead_tiles + tiles + tail_tiles
         lab_t, partials = pl.pallas_call(
             functools.partial(
                 _phase1_rowmajor_kernel, blend=blend,
@@ -473,14 +599,15 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
             ],
             out_specs=(
                 pl.BlockSpec((1, 3, 1, sub, LANES),
-                             lambda b, t: (b, 0, t, 0, 0),
+                             lambda b, t, _lead=lead_tiles:
+                             (b, 0, t + _lead, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 8, LANES),
                              lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((batch, 3, tiles, sub, LANES),
+                jax.ShapeDtypeStruct((batch, 3, all_tiles, sub, LANES),
                                      jnp.float32),
                 jax.ShapeDtypeStruct((batch, tiles, 8, LANES),
                                      jnp.float32),
@@ -547,6 +674,49 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
     b_coef = match_strength * (rmean - mean * gain)
     coeff = jnp.concatenate([a_coef, b_coef,
                              jnp.zeros((batch, 2), jnp.float32)], axis=1)
+
+    if layout == "flat":
+        # -------- phase 2 straight off the flat (rows, 128) planes ------
+        # merging (tiles, sub) is layout-free (sub % 8 == 0), so the LAB
+        # planes never pass through a row-major relayout or a pad copy
+        rows_padded = all_tiles * sub
+        lab_flat = lab_t.reshape(batch, 3, rows_padded, LANES)
+        c_rows = P2_ROWS * wl
+        lead_rows = lead_tiles * sub
+        dstart0 = lead_rows - wl - align_off - 8
+        foff0 = -(wl + align_off + 8)
+        win = -(-(align_off + 16 + c_rows + 2 * wl) // 8) * 8
+        out_flat = pl.pallas_call(
+            functools.partial(
+                _phase2_flat_kernel, wl=wl, c_rows=c_rows,
+                dstart0=dstart0, foff0=foff0, win=win,
+                real_height=real_height, real_width=real_width,
+                width=width,
+                sharpen_strength=sharpen_strength,
+                grain_intensity=grain_intensity,
+                saturation_mix=saturation_mix),
+            grid=(batch, height // P2_ROWS),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 3, c_rows, LANES),
+                                   lambda b, t: (b, 0, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, 3, height * wl, LANES), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((3, win, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(coeff, seed_plus_start, lab_flat)
+        out = jnp.transpose(out_flat.reshape(batch, 3, height, width),
+                            (0, 2, 3, 1))
+        if pad_h or pad_w:
+            out = out[:, :real_height, :real_width, :]
+        return out
 
     # -------- phase 2 over a padded (B, 3, H+2, W) plane layout --------
     lab_planes = lab_t.reshape(batch, 3, height, width)
