@@ -224,13 +224,17 @@ def fused_stack_ab(shape=(2, 2160, 3840, 3), steps=STEPS):
 
 def phase1_layout_ab(shape=(2, 2160, 3840, 3), steps=STEPS,
                      layouts=("plane", "rowmajor")):
-    """A/B the two-phase kernel's phase-1 LAYOUT (gather-output
-    consumption): 'plane' = corner-major planes via the XLA relayout
-    copy; 'rowmajor' = consume the gather's native (rows, 24) layout
-    with in-VMEM square transposes (round-4 lever):
+    """A/B the two-phase kernel's inter-phase LAYOUTS (``layouts``
+    picks any subset): 'plane' = corner-major planes via the XLA
+    relayout copy; 'rowmajor' = consume the gather's native (rows, 24)
+    layout with in-VMEM square transposes (round-4 lever); 'flat' =
+    additionally feed phase 2 straight off phase 1's flat rows
+    (production default):
 
-        python tools/perf_lab.py rowmajor         # 4K batch 2
-        python tools/perf_lab.py rowmajor_1080p   # 1080p batch 8
+        python tools/perf_lab.py rowmajor         # plane vs rowmajor, 4K b2
+        python tools/perf_lab.py rowmajor_1080p   # same at 1080p b8
+        python tools/perf_lab.py flat             # rowmajor vs flat, 4K b2
+        python tools/perf_lab.py flat_1080p       # same at 1080p b8
     """
     import jax
     import jax.numpy as jnp

@@ -524,7 +524,11 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
         sub = max(sub, 1)
         if layout == "flat" and sub % 8:
             # the flat phase 2 needs the (tiles, sub, 128) -> (rows, 128)
-            # merge to be layout-free (sub a multiple of the sublane tile)
+            # merge to be layout-free (sub a multiple of the sublane
+            # tile).  Unreachable in normal flow — grid padding makes
+            # pixels a multiple of 16*128, so the halving ladder from
+            # RM_SUB stops at >=8; only a non-power-of-two VRGDG_RM_SUB
+            # override can land here.  Kept to protect sweeps.
             layout = "rowmajor"
     else:
         sub = _phase1_sublanes(pixels, batch)

@@ -41,20 +41,19 @@ _TRAILING_COMMA = re.compile(r",(\s*[}\]])")
 
 def _strip_fence(text) -> str:
     """Markdown ``...`` fence removal (identical in every fixer:
-    reference :2375-2386 et al.): only a leading fence line and a pure
-    trailing fence line are dropped."""
+    reference :2375-2386 et al.): only a leading bare/json fence line
+    and a pure trailing fence line are dropped.  Note the contract's
+    asymmetry: an opening fence of another language (e.g. ```python)
+    stays, yet a trailing ``` is still peeled; splitlines+join also
+    normalizes \\r\\n to \\n, which downstream fixers rely on."""
     value = str(text or "").strip()
     if not value.startswith("```"):
         return value
-    lines = value.splitlines()
-    if lines:
-        first = lines[0].strip().lower()
-        if first == "```" or first.startswith("```json"):
-            lines = lines[1:]
-        if lines and lines[-1].strip() == "```":
-            lines = lines[:-1]
-        value = "\n".join(lines).strip()
-    return value
+    rows = value.splitlines()
+    head = rows[0].strip().lower()
+    start = 1 if head == "```" or head.startswith("```json") else 0
+    stop = len(rows) - 1 if len(rows) > start and rows[-1].strip() == "```" else len(rows)
+    return "\n".join(rows[start:stop]).strip()
 
 
 def _scrub(text) -> str:
@@ -109,16 +108,17 @@ def _drop_trailing_commas(text) -> tuple[str, int]:
 
 def _json_error_context(exc, text, label) -> str:
     """Line/column pointer for parse failures (reference
-    :2570-2580)."""
+    :2570-2580).  The caret column clamps at 0 and the context block
+    is omitted entirely when the reported line is out of range."""
     if not isinstance(exc, json.JSONDecodeError):
         return f"{label}: {exc}"
-    lines = str(text or "").splitlines()
-    context = ""
-    if 1 <= exc.lineno <= len(lines):
-        line = lines[exc.lineno - 1]
-        pointer = " " * max(0, exc.colno - 1) + "^"
-        context = f" Line {exc.lineno}, column {exc.colno}:\n{line}\n{pointer}"
-    return f"{label}: {exc.msg}.{context}"
+    rows = str(text or "").splitlines()
+    row = rows[exc.lineno - 1] if 1 <= exc.lineno <= len(rows) else None
+    if row is None:
+        return f"{label}: {exc.msg}."
+    caret = "^".rjust(max(0, exc.colno - 1) + 1)
+    return (f"{label}: {exc.msg}."
+            f" Line {exc.lineno}, column {exc.colno}:\n{row}\n{caret}")
 
 
 def _repair_then_parse(text, repair, label, parse):
