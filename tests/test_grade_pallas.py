@@ -144,14 +144,87 @@ def test_fused_pallas_layouts_agree(stack):
         assert err == 0.0, (shape, err)
 
 
-def test_fused_pallas_rejected_on_mesh(stack):
+def test_fused_pallas_adjust_matches_xla(stack):
+    """The 11 elementwise adjust sliders run inside phase 1 (between the
+    LUT blend and the LAB conversion — they feed the color-match
+    statistics exactly like the XLA stage order does)."""
+    from vrgdg_tpu.core.params import AdjustSettings
+
+    lut, frames, ref_stats = stack
+    adjust = AdjustSettings.normalize(dict(
+        temperature=22.0, tint=-9.0, saturation=18.0, exposure=-12.0,
+        contrast=15.0, highlights=25.0, shadows=-30.0, whites=10.0,
+        blacks=-8.0, fade=12.0, vignette=35.0))
+    want = grade(frames, _config(adjust=adjust), lut=lut,
+                 ref_stats=ref_stats)
+    got = grade(frames, _config(adjust=adjust, fused_mode="pallas"),
+                lut=lut, ref_stats=ref_stats)
+    err = float(jnp.max(jnp.abs(got - want)))
+    assert err < 2e-5, err
+    # odd (grid-padded) shapes: the vignette/stat coordinate recovery
+    # from flat indices must use the REAL frame dims, not the padded ones
+    rng = np.random.default_rng(14)
+    for shape in ((1, 30, 200, 3), (2, 27, 129, 3)):
+        small = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+        want = grade(small, _config(adjust=adjust), lut=lut,
+                     ref_stats=ref_stats)
+        got = grade(small, _config(adjust=adjust, fused_mode="pallas"),
+                    lut=lut, ref_stats=ref_stats)
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 2e-5, (shape, err)
+
+
+def test_fused_pallas_adjust_rejects_spatial_sliders(stack):
+    from vrgdg_tpu.core.params import AdjustSettings
+
+    lut, frames, ref_stats = stack
+    for sliders in (dict(clarity=20.0), dict(sharpen=15.0)):
+        adjust = AdjustSettings.normalize(dict(exposure=5.0, **sliders))
+        with pytest.raises(ValueError, match="spatial sliders"):
+            grade(frames, _config(adjust=adjust, fused_mode="pallas"),
+                  lut=lut, ref_stats=ref_stats)
+    # sliders at/below the XLA path's no-op gate (|slider| <= 0.1) pass
+    adjust = AdjustSettings.normalize(dict(exposure=5.0, clarity=0.1))
+    got = grade(frames, _config(adjust=adjust, fused_mode="pallas"),
+                lut=lut, ref_stats=ref_stats)
+    want = grade(frames, _config(adjust=adjust), lut=lut,
+                 ref_stats=ref_stats)
+    assert float(jnp.max(jnp.abs(got - want))) < 2e-5
+
+
+def test_fused_pallas_dp_mesh_bit_identical(stack):
+    """Frame-axis DP (shard_map) must reproduce the single-device fused
+    Pallas output bit-for-bit: per-frame stats, per-(absolute frame,
+    tile) grain seeding, and per-shard frame_start adjustment."""
+    from vrgdg_tpu.core.params import AdjustSettings, GrainParams
+    from vrgdg_tpu.parallel import grade_on_mesh, make_mesh
+
+    lut, _frames, ref_stats = stack
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.uniform(0, 1, (5, 32, 256, 3))
+                         .astype(np.float32))
+    adjust = AdjustSettings.normalize(dict(contrast=12.0, vignette=20.0))
+    config = _config(adjust=adjust,
+                     grain=GrainParams.normalize(0.05, 0.5, seed=11),
+                     fused_mode="pallas")
+    single = grade(frames, config, lut=lut, ref_stats=ref_stats,
+                   frame_start=3)
+    mesh = make_mesh(4)
+    sharded = grade_on_mesh(frames, config, mesh, lut=lut,
+                            ref_stats=ref_stats, frame_start=3)
+    assert sharded.shape == frames.shape
+    err = float(jnp.max(jnp.abs(sharded - single)))
+    assert err == 0.0, err
+
+
+def test_fused_pallas_rejected_on_spatial_mesh(stack):
     from vrgdg_tpu.parallel import grade_on_mesh, make_mesh
 
     lut, frames, ref_stats = stack
-    mesh = make_mesh(2)
-    with pytest.raises(ValueError, match="mesh"):
+    mesh = make_mesh(4, spatial=2)
+    with pytest.raises(ValueError, match="spatial"):
         grade_on_mesh(frames, _config(fused_mode="pallas"), mesh, lut=lut,
-                      ref_stats=ref_stats)
+                      ref_stats=ref_stats, spatial=True)
 
 
 def test_fused_pallas_rejects_large_batch_and_bad_mode(stack):

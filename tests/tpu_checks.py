@@ -372,7 +372,23 @@ def main() -> int:
         err_odd = float(jnp.max(jnp.abs(got_odd - want_odd)))
         assert err_odd < 2e-5, f"odd-shape fused pallas diverged: {err_odd}"
 
-    check("fused two-phase pallas grade parity + grain on chip",
+        # elementwise adjust inside phase 1 (round 5): same stage order
+        # as XLA (blend -> adjust -> stats), real-Mosaic lowering of the
+        # slider chain incl. the vignette coordinate recovery
+        from vrgdg_tpu.core.params import AdjustSettings
+        adjust = AdjustSettings.normalize(dict(
+            temperature=22.0, tint=-9.0, saturation=18.0, exposure=-12.0,
+            contrast=15.0, highlights=25.0, shadows=-30.0, whites=10.0,
+            blacks=-8.0, fade=12.0, vignette=35.0))
+        want_adj = grade(odd, GradeConfig(**base, adjust=adjust), lut=lut,
+                         ref_stats=ref_stats)
+        got_adj = grade(odd, GradeConfig(**base, adjust=adjust,
+                                         fused_mode="pallas"),
+                        lut=lut, ref_stats=ref_stats)
+        err_adj = float(jnp.max(jnp.abs(got_adj - want_adj)))
+        assert err_adj < 2e-5, f"adjust fused pallas diverged: {err_adj}"
+
+    check("fused two-phase pallas grade parity + grain + adjust on chip",
           fused_pallas_grade_parity)
 
     print("[tpu_checks] ALL OK")

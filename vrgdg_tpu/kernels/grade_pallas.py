@@ -29,9 +29,14 @@ outputs match the XLA path exactly only with grain disabled; with grain
 they match distributionally. Locked by tests/test_grade_pallas.py
 (interpret mode) and tests/tpu_checks.py (on chip).
 
-Supported config shape: LUT(bundle) + color match + unsharp(zero) +
-optional grain — exactly the benchmark's fused stack. ops/grade.py
-falls back to the XLA path for anything else.
+Supported config shape: LUT(bundle) + optional elementwise adjust (the
+11 non-spatial sliders; clarity/sharpen are rejected — their blur halos
+over the 5.3x-padded gather read lose to the XLA fallback) + color
+match + unsharp(zero) + optional grain — the benchmark's fused stack
+plus the adjust stage. ops/grade.py falls back to the XLA path for
+anything else. Frame-axis DP meshes run this path under shard_map with
+per-shard absolute frame starts (parallel/mesh.py) — per-frame stats
+and per-(frame, tile) grain seeding make shard boundaries invisible.
 """
 
 from __future__ import annotations
@@ -122,6 +127,91 @@ def _rgb_from_lab_planes(lab_l, lab_a, lab_b):
 
 
 # --------------------------------------------------------------------------
+# the elementwise adjust chain on channel planes
+# --------------------------------------------------------------------------
+
+def _apply_adjust_planes(planes, s, *, tile, sub: int, pad_width: int,
+                         real_height: int, real_width: int):
+    """The 13-slider adjust stack on three (sub, 128) channel planes, in
+    flat-pixel layout — the elementwise 11 sliders only (reference math:
+    ``VRGDG_LUTVideoTools.py:307-391``; same formulas as ops/adjust.py).
+
+    The two spatial sliders (clarity's 9-tap reflect blur, sharpen's
+    3-tap replicate blur) are rejected by ops/grade.py before this path
+    is taken: their halo windows over the 5.3x-padded gather read would
+    cost more than the XLA fallback (see BASELINE.md round-5).  Vignette
+    needs per-pixel frame coordinates, recovered from the flat index the
+    same way the stat mask derives them.  Sliders at zero are dead code
+    (``s`` is trace-time static), matching the XLA path's gating.
+    """
+    r, g, b = [jnp.clip(p, 0.0, 1.0) for p in planes]
+
+    if s.temperature != 0.0 or s.tint != 0.0:
+        r = r + (s.temperature / 400.0 - s.tint / 900.0)
+        g = g + (s.tint / 450.0)
+        b = b + (-s.temperature / 400.0 - s.tint / 900.0)
+
+    if s.exposure != 0.0:
+        k = 2.0 ** (s.exposure / 100.0)
+        r, g, b = r * k, g * k, b * k
+    if s.contrast != 0.0:
+        k = 1.0 + s.contrast / 100.0
+        r = (r - 0.5) * k + 0.5
+        g = (g - 0.5) * k + 0.5
+        b = (b - 0.5) * k + 0.5
+
+    if s.saturation != 0.0:
+        gray = r * cs.LUMA_R + g * cs.LUMA_G + b * cs.LUMA_B
+        k = 1.0 + s.saturation / 100.0
+        r = gray + (r - gray) * k
+        g = gray + (g - gray) * k
+        b = gray + (b - gray) * k
+
+    if s.highlights or s.shadows or s.whites or s.blacks:
+        # one luma shared by all four masks, added sequentially — the
+        # exact association order of the XLA path
+        luma = r * cs.LUMA_R + g * cs.LUMA_G + b * cs.LUMA_B
+        terms = []
+        if s.highlights:
+            terms.append(jnp.clip((luma - 0.55) / 0.45, 0.0, 1.0)
+                         * (s.highlights / 220.0))
+        if s.shadows:
+            terms.append(jnp.clip((0.45 - luma) / 0.45, 0.0, 1.0)
+                         * (s.shadows / 220.0))
+        if s.whites:
+            terms.append(jnp.clip((luma - 0.75) / 0.25, 0.0, 1.0)
+                         * (s.whites / 240.0))
+        if s.blacks:
+            terms.append(jnp.clip((0.25 - luma) / 0.25, 0.0, 1.0)
+                         * (s.blacks / 240.0))
+        for term in terms:
+            r, g, b = r + term, g + term, b + term
+
+    fade = s.fade / 100.0
+    if fade > 0.0:
+        k0, k1 = 1.0 - fade * 0.35, fade * 0.18
+        r, g, b = r * k0 + k1, g * k0 + k1, b * k0 + k1
+
+    vignette = s.vignette / 100.0
+    if vignette > 0.0:
+        shape = (sub, LANES)
+        flat = ((tile * sub
+                 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        h = (flat // pad_width).astype(jnp.float32)
+        w = (flat % pad_width).astype(jnp.float32)
+        yy = h * (2.0 / max(real_height - 1, 1)) - 1.0
+        xx = w * (2.0 / max(real_width - 1, 1)) - 1.0
+        distance = jnp.sqrt(xx * xx + yy * yy)
+        mask = 1.0 - jnp.clip((distance - 0.35) / 1.05, 0.0, 1.0) \
+            * vignette * 0.75
+        r, g, b = r * mask, g * mask, b * mask
+
+    return [jnp.clip(r, 0.0, 1.0), jnp.clip(g, 0.0, 1.0),
+            jnp.clip(b, 0.0, 1.0)]
+
+
+# --------------------------------------------------------------------------
 # phase 1: trilerp + blend + LAB + stat partials
 # --------------------------------------------------------------------------
 
@@ -207,7 +297,7 @@ RM_SUB = int(os.environ.get("VRGDG_RM_SUB", "32"))
 def _phase1_rowmajor_kernel(domain_ref, g_ref, src_ref, lab_ref, part_ref,
                             *, blend: float, max_index: int, sub: int,
                             real_height: int, real_width: int,
-                            pad_width: int, masked: bool):
+                            pad_width: int, masked: bool, adjust=None):
     """Grid (B, tiles). ``g_ref`` is a (sub*128, 24) block of the
     gather output in the custom call's OWN row-major layout — the XLA
     relayout copy that the plane-major kernel forces (~14 ms/4K-batch,
@@ -259,6 +349,11 @@ def _phase1_rowmajor_kernel(domain_ref, g_ref, src_ref, lab_ref, part_ref,
         graded = jnp.clip(c0 * (1.0 - fr) + c1 * fr, 0.0, 1.0)
         src = src_ref[c, 0, 0]
         out.append(src * (1.0 - blend) + graded * blend)
+    if adjust is not None:
+        out = _apply_adjust_planes(out, adjust, tile=t, sub=sub,
+                                   pad_width=pad_width,
+                                   real_height=real_height,
+                                   real_width=real_width)
     lab = _lab_from_rgb_planes(*out)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     acc = jnp.zeros((8, LANES), jnp.float32)
@@ -475,12 +570,13 @@ def supported_shape(height: int, width: int) -> bool:
     jax.jit,
     static_argnames=("blend", "match_strength", "sharpen_strength",
                      "grain_intensity", "saturation_mix", "interpret",
-                     "layout"))
+                     "layout", "adjust"))
 def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
                       ref_std, seed_plus_start, *, blend: float,
                       match_strength: float, sharpen_strength: float,
                       grain_intensity: float, saturation_mix: float,
-                      interpret: bool = False, layout: str = "flat"):
+                      interpret: bool = False, layout: str = "flat",
+                      adjust=None):
     """The full post-gather stack for a BHWC [0,1] batch.
 
     XLA does coords + the corner-bundle gather (the gather itself stays
@@ -517,6 +613,10 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
 
     if layout not in ("plane", "rowmajor", "flat"):
         raise ValueError(f"Unknown layout {layout!r}")
+    if adjust is not None and layout == "plane":
+        # the legacy A/B layout's phase-1 kernel never grew the adjust
+        # chain; production (flat/rowmajor) is where it matters
+        raise ValueError("adjust requires layout='flat' or 'rowmajor'")
     if layout != "plane":
         sub = RM_SUB
         while pixels % (sub * LANES):
@@ -589,7 +689,8 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
             functools.partial(
                 _phase1_rowmajor_kernel, blend=blend,
                 max_index=max_index, sub=sub, real_height=real_height,
-                real_width=real_width, pad_width=width, masked=masked),
+                real_width=real_width, pad_width=width, masked=masked,
+                adjust=adjust),
             grid=(batch, tiles),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),

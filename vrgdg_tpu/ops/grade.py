@@ -93,16 +93,19 @@ class GradeConfig:
     grain_mode: str = "threefry"
     # "xla" (default) = the post-gather stages run as XLA loop fusions;
     # "pallas" = the two-phase Pallas consumer (kernels/grade_pallas):
-    # trilerp+LAB+stat-partials, then affine-transfer+unsharp+grain.
-    # Only the benchmark's stack *structure* is supported (LUT bundle +
-    # color match + unsharp/zero + optional grain, 3-channel frames);
-    # any positive H/W works — frames are grid-padded to the (16, 128)
-    # tile grid inside the kernel wrapper and cropped back, with pad
-    # pixels masked out of the color-match statistics.  Grain uses the
+    # trilerp+adjust+LAB+stat-partials, then affine-transfer+unsharp+
+    # grain.  Supported stack structure: LUT bundle + optional adjust
+    # with the spatial sliders (clarity, sharpen) at zero + color match
+    # + unsharp/zero + optional grain, 3-channel frames; any positive
+    # H/W works — frames are grid-padded to the (16, 128) tile grid
+    # inside the kernel wrapper and cropped back, with pad pixels
+    # masked out of the color-match statistics.  Grain uses the
     # hardware PRNG stream (same determinism contract, different
     # stream), so outputs equal the XLA path exactly only with grain
-    # disabled.  Rejected on mesh paths for the same pl.program_id
-    # reason as grain_mode.
+    # disabled.  Mesh grades: frame-axis DP runs this path under
+    # shard_map with per-shard absolute frame starts (bit-identical to
+    # single-device, grain included); spatial sharding is rejected
+    # (the kernel's tiling is per-frame).
     fused_mode: str = "xla"
 
     @property
@@ -111,14 +114,33 @@ class GradeConfig:
                     self.sharpen, self.grain))
 
 
+def _active_adjust(config: GradeConfig):
+    """The adjust settings the fused Pallas kernel must apply, or None.
+
+    Mirrors :func:`~vrgdg_tpu.ops.adjust.apply_adjust`'s early-out: a
+    disabled or all-zero adjust stage is a no-op for in-contract [0,1]
+    inputs (the XLA path's extra clamp only matters out of contract).
+    """
+    adjust = config.adjust
+    if adjust is None or not adjust.enabled or adjust.is_identity:
+        return None
+    return adjust
+
+
 def _fused_pallas_supported(config: GradeConfig, frames) -> str:
     """Empty string when the two-phase Pallas path can run, else why not."""
     from ..kernels.grade_pallas import supported_shape
 
     if config.lut is None or config.lut_mode != "bundle":
         return "fused_mode='pallas' needs the bundle LUT stage enabled"
-    if config.adjust is not None:
-        return "fused_mode='pallas' does not support the adjust stage"
+    adjust = _active_adjust(config)
+    if adjust is not None and (abs(adjust.clarity) > 0.1
+                               or adjust.sharpen > 0.1):
+        # the XLA path gates these blurs at |slider|/100 > 0.001; above
+        # that they need 9-tap/3-tap halos whose redundant window reads
+        # over the 5.3x-padded gather output lose to the XLA fallback
+        return ("fused_mode='pallas' supports adjust only with the "
+                "spatial sliders (clarity, sharpen) at zero")
     if config.color_match is None:
         return "fused_mode='pallas' needs the color-match stage enabled"
     if (config.sharpen is None or config.sharpen.kind != "unsharp"
@@ -135,6 +157,33 @@ def _fused_pallas_supported(config: GradeConfig, frames) -> str:
     return ""
 
 
+def _run_fused_pallas(frames, config: GradeConfig, lut_table, domain_min,
+                      domain_max, ref_mean, ref_std, frame_start):
+    """The fused Pallas path body (also the shard-local body on DP
+    meshes, where ``frame_start`` carries the shard's absolute start)."""
+    from ..kernels.grade_pallas import fused_post_gather
+
+    reason = _fused_pallas_supported(config, frames)
+    if reason:
+        raise ValueError(reason)
+    grain = config.grain if (config.grain is not None
+                             and config.grain.intensity > 0) else None
+    seed_plus_start = (
+        jnp.asarray(0 if grain is None else grain.seed, jnp.int32)
+        + frame_start.astype(jnp.int32)).reshape(1)
+    return fused_post_gather(
+        frames, lut_table, domain_min, domain_max, ref_mean, ref_std,
+        seed_plus_start,
+        blend=min(max(float(config.lut.strength), 0.0), 10.0) / 10.0,
+        match_strength=float(config.color_match.match_strength),
+        sharpen_strength=float(config.sharpen.strength),
+        grain_intensity=0.0 if grain is None else float(grain.intensity),
+        saturation_mix=(0.5 if grain is None
+                        else float(grain.saturation_mix)),
+        adjust=_active_adjust(config),
+        interpret=jax.default_backend() != "tpu")
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _grade_impl(frames, config: GradeConfig, lut_table, domain_min,
                 domain_max, ref_mean, ref_std, frame_start):
@@ -145,26 +194,8 @@ def _grade_impl(frames, config: GradeConfig, lut_table, domain_min,
             f"Unknown fused_mode {config.fused_mode!r}; expected 'xla' "
             "or 'pallas'.")
     if config.fused_mode == "pallas":
-        from ..kernels.grade_pallas import fused_post_gather
-
-        reason = _fused_pallas_supported(config, frames)
-        if reason:
-            raise ValueError(reason)
-        grain = config.grain if (config.grain is not None
-                                 and config.grain.intensity > 0) else None
-        seed_plus_start = (
-            jnp.asarray(0 if grain is None else grain.seed, jnp.int32)
-            + frame_start.astype(jnp.int32)).reshape(1)
-        return fused_post_gather(
-            frames, lut_table, domain_min, domain_max, ref_mean, ref_std,
-            seed_plus_start,
-            blend=min(max(float(config.lut.strength), 0.0), 10.0) / 10.0,
-            match_strength=float(config.color_match.match_strength),
-            sharpen_strength=float(config.sharpen.strength),
-            grain_intensity=0.0 if grain is None else float(grain.intensity),
-            saturation_mix=(0.5 if grain is None
-                            else float(grain.saturation_mix)),
-            interpret=jax.default_backend() != "tpu")
+        return _run_fused_pallas(frames, config, lut_table, domain_min,
+                                 domain_max, ref_mean, ref_std, frame_start)
     out = frames
     if config.lut is not None:
         if config.lut_mode == "bundle":
@@ -212,7 +243,17 @@ def grade(frames: jnp.ndarray, config: GradeConfig, *, lut=None,
     """
     if not config.any_enabled:
         return frames
+    table, dmin, dmax, ref_mean, ref_std = prepare_operands(
+        config, lut=lut, reference=reference, ref_stats=ref_stats)
+    return _grade_impl(frames, config, table, dmin, dmax, ref_mean, ref_std,
+                       jnp.asarray(frame_start, jnp.uint32))
 
+
+def prepare_operands(config: GradeConfig, *, lut=None, reference=None,
+                     ref_stats=None):
+    """Resolve the runtime arrays a grade config needs: the (bundled) LUT
+    table with its domain, and the color-match reference statistics.
+    Shared by the single-device path and the mesh paths."""
     from ..core.cube import LutData  # local import to avoid cycle at init
 
     table = dmin = dmax = None
@@ -251,5 +292,4 @@ def grade(frames: jnp.ndarray, config: GradeConfig, *, lut=None,
         ref_mean = jnp.zeros((1, 1, 1, 3), jnp.float32)
         ref_std = jnp.ones((1, 1, 1, 3), jnp.float32)
 
-    return _grade_impl(frames, config, table, dmin, dmax, ref_mean, ref_std,
-                       jnp.asarray(frame_start, jnp.uint32))
+    return table, dmin, dmax, ref_mean, ref_std
