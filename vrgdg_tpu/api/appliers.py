@@ -153,6 +153,9 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
             dir=os.path.dirname(input_path))
         os.close(fd)
 
+    from ..runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     metadata = video_io.probe_video(input_path)
     fps, width, height = metadata["fps"], metadata["width"], metadata["height"]
     # VRGDG_DISPATCH_DEPTH overrides the pipelining depth (1 = the
@@ -181,15 +184,27 @@ def _apply_effect_to_video(input_path, effect, *, tag: str, output_path="",
         in_flight: deque = deque()
 
         def submit(frame_index, batch):
+            # Tail batches (N % batch_size frames) are padded back to
+            # batch_size by repeating the last frame, so the whole job
+            # runs ONE compiled program (a fresh trace costs 20-120 s
+            # over a remote-compile tunnel).  Exact: every stage is
+            # frame-local — per-frame color-match stats, per-(seed +
+            # absolute index) grain — so the real frames' outputs are
+            # bit-identical and the pad frames are sliced off below.
+            real = int(batch.shape[0])
+            if real != batch_size and real > 0:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], batch_size - real, 0)])
             # uint8 both ways across the host<->device hop (4x fewer
             # bytes each direction); the [0,1] float math runs on
             # device, bit-identical to the host paths
             float_batch = video_io.dequantize_on_device(jnp.asarray(batch))
-            return video_io.quantize_on_device(effect(float_batch,
-                                                      frame_index))
+            return (video_io.quantize_on_device(effect(float_batch,
+                                                       frame_index)), real)
 
-        def force(device_out):
-            out = np.asarray(device_out)
+        def force(item):
+            device_out, real = item
+            out = np.asarray(device_out)[:real]
             counters["frames"] += out.shape[0]
             return out
 

@@ -454,6 +454,9 @@ def _render_segment(source_path: str, segment_path: str, start_frame: int,
 def render_job(job_id: str, payload: dict, resume: bool = False,
                registry: JobRegistry = JOBS, base_folder: str | None = None):
     """Full job flow (``VRGDG_StandaloneVideoEnhancerNodes.py:513-655``)."""
+    from ..runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     cancel_event = registry.cancel_event(job_id)
     job_folder = os.path.join(jobs_folder(base_folder), job_id)
     segments_folder = os.path.join(job_folder, "segments")
