@@ -878,6 +878,72 @@ def test_text_and_audio_library_routes(tmp_path):
     _run(scenario())
 
 
+def test_workflow_runner_routes(tmp_path, monkeypatch):
+    """The prompt-builder surface over HTTP: choices, model root store,
+    a build that patches a vendored template, and error wrapping."""
+    base = str(tmp_path)
+    monkeypatch.delenv("VRGDG_TPU_MODELS", raising=False)
+    monkeypatch.delenv("VRGDG_TPU_INPUT", raising=False)
+    from vrgdg_tpu.api import workflow_runner as wr
+    monkeypatch.setattr(wr, "DEFAULT_OUTPUT_ROOT", base)
+    wr.set_default_catalog(None)
+
+    async def scenario():
+        app = create_app(base_folder=base)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.get("/vrgdg/workflow_runner/lora_list")
+            body = await resp.json()
+            assert body["ok"] and body["loras"][0] == "[none]"
+
+            resp = await client.get("/vrgdg/workflow_runner/i2v_choices")
+            body = await resp.json()
+            assert body["ok"] and "video_gguf_unets" in body
+
+            # model root: save -> load round trip
+            models = tmp_path / "models"
+            (models / "loras").mkdir(parents=True)
+            (models / "loras" / "x.safetensors").write_bytes(b"x")
+            resp = await client.post("/vrgdg/workflow_runner/model_root",
+                                     json={"models_root": str(models)})
+            assert (await resp.json())["ok"]
+            resp = await client.get("/vrgdg/workflow_runner/model_root")
+            body = await resp.json()
+            assert body["models_root"] == str(models) and body["registered"]
+            resp = await client.get("/vrgdg/workflow_runner/lora_list")
+            assert (await resp.json())["loras"] == ["[none]",
+                                                    "x.safetensors"]
+
+            resp = await client.post(
+                "/vrgdg/workflow_runner/build_zimage_prompt",
+                json={"prompt": "a quiet lake", "seed": 9,
+                      "use_custom_loras": True, "lora_count": 1,
+                      "lora_1": "x.safetensors"})
+            body = await resp.json()
+            assert body["ok"] and body["used_seed"] == 9
+            assert body["prompt"]["971"]["inputs"]["text"] == "a quiet lake"
+            assert body["prompt"]["984"]["inputs"]["lora_1"] == \
+                "x.safetensors"  # the template's two-pass LoRA node
+
+            resp = await client.post(
+                "/vrgdg/workflow_runner/build_clear_memory_prompt")
+            assert (await resp.json())["ok"]
+
+            # builder errors surface as the reference's ok:false shape
+            resp = await client.post(
+                "/vrgdg/workflow_runner/build_zimage_prompt",
+                json={"prompt": ""})
+            body = await resp.json()
+            assert resp.status == 400 and not body["ok"]
+            assert "empty" in body["error"]
+        finally:
+            await client.close()
+            wr.set_default_catalog(None)
+
+    _run(scenario())
+
+
 def test_api_docs_match_registered_routes():
     """Every route documented in docs/API.md must actually be
     registered (docs-vs-code consistency guard)."""

@@ -26,7 +26,7 @@ import uuid
 from aiohttp import web
 
 from .. import api
-from ..api import paths
+from ..api import paths, workflow_runner
 from ..jobs import enhancer as enh
 from ..runtime import video_io
 
@@ -1149,6 +1149,70 @@ def create_app(base_folder: str | None = None,
         # builder panel is this repo's canvas)
         return _ok(name="VRGDG Node Canvas Prototype", version=1,
                    builder_connected=False)
+
+    # ---------------- workflow runner ----------------
+    # Parameter-compatible prompt builders for an external ComfyUI-style
+    # executor (VRGDG_WorkflowRunnerNodes.py:4288-4626); the prompt JSON
+    # byte-matches the reference builders (tests/test_workflow_runner.py).
+
+    @routes.get("/vrgdg/workflow_runner/lora_list")
+    @_handler
+    def wr_lora_list(request):
+        return _ok(**workflow_runner.lora_list())
+
+    @routes.get("/vrgdg/workflow_runner/i2v_choices")
+    @_handler
+    def wr_i2v_choices(request):
+        return _ok(**workflow_runner.i2v_choices())
+
+    @routes.get("/vrgdg/workflow_runner/model_root")
+    @_handler
+    def wr_model_root(request):
+        result = workflow_runner.load_model_root(base_folder)
+        # standalone: "registered" reports whether the root resolves
+        result["registered"] = bool(
+            result.get("models_root")
+            and os.path.isdir(result["models_root"]))
+        return _ok(**result)
+
+    @routes.post("/vrgdg/workflow_runner/model_root")
+    @_handler
+    async def wr_save_model_root(request):
+        payload = await _json(request)
+        result = workflow_runner.save_model_root(
+            payload.get("models_root", ""), base_folder)
+        workflow_runner.set_default_catalog(None)  # re-scan on next use
+        return _ok(**result)
+
+    def _wr_build_route(key, builder):
+        @_handler
+        async def handler(request):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(
+                None, lambda: builder(payload, base=base_folder))
+            return _ok(**result)
+        handler.__name__ = f"wr_build_{key}_prompt"
+        return handler
+
+    for _key, _builder in workflow_runner.BUILDERS.items():
+        routes.post(f"/vrgdg/workflow_runner/build_{_key}_prompt")(
+            _wr_build_route(_key, _builder))
+
+    @routes.post("/vrgdg/workflow_runner/build_clear_memory_prompt")
+    @_handler
+    def wr_build_clear_memory(request):
+        return _ok(**workflow_runner.build_clear_memory_prompt())
+
+    @routes.post("/vrgdg/workflow_runner/prepare_scene_audio_clip")
+    @_handler
+    async def wr_prepare_scene_audio(request):
+        payload = await _json(request)
+        loop = asyncio.get_running_loop()
+        result = await loop.run_in_executor(
+            None, lambda: workflow_runner.prepare_scene_audio_clip(
+                payload, base=base_folder))
+        return _ok(**result)
 
     # ---------------- web UI ----------------
     # Thin control panel standing in for the reference's ComfyUI browser
