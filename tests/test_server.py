@@ -937,6 +937,41 @@ def test_workflow_runner_routes(tmp_path, monkeypatch):
             body = await resp.json()
             assert resp.status == 400 and not body["ok"]
             assert "empty" in body["error"]
+
+            # scene-render routes that need no ffmpeg: approved-image
+            # save + freshest-render search
+            renders = tmp_path / "renders"
+            renders.mkdir()
+            (renders / "gen_0001.png").write_bytes(b"png")
+            import vrgdg_tpu.api.scene_render as sr
+            monkeypatch.setattr(sr, "DEFAULT_OUTPUT_ROOT", base)
+            resp = await client.post(
+                "/vrgdg/workflow_runner/save_image",
+                json={"image": {"filename": "gen_0001.png",
+                                "subfolder": "renders",
+                                "type": "output"},
+                      "save_folder": "Approved"})
+            body = await resp.json()
+            assert body["ok"] and os.path.isfile(body["saved_path"])
+
+            project = tmp_path / "proj"
+            clips = project / "image_to_video_clips"
+            clips.mkdir(parents=True)
+            (clips / "video_0001-audio.mp4").write_bytes(b"vid")
+            resp = await client.post(
+                "/vrgdg/workflow_runner/find_scene_video_output",
+                json={"project_folder": str(project), "scene_number": 1})
+            body = await resp.json()
+            assert body["ok"] and body["video_path"].endswith(
+                "video_0001-audio.mp4")
+
+            # ffmpeg-dependent scene routes fail loudly without it
+            resp = await client.post(
+                "/vrgdg/workflow_runner/trim_scene_video",
+                json={"source_path": str(clips / "video_0001-audio.mp4"),
+                      "project_folder": str(project)})
+            body = await resp.json()
+            assert resp.status == 400 and "FFmpeg" in body["error"]
         finally:
             await client.close()
             wr.set_default_catalog(None)

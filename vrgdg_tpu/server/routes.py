@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import asyncio
 import functools
+import subprocess
 import os
 import time
 import uuid
@@ -26,7 +27,7 @@ import uuid
 from aiohttp import web
 
 from .. import api
-from ..api import paths, workflow_runner
+from ..api import paths, scene_render, workflow_runner
 from ..jobs import enhancer as enh
 from ..runtime import video_io
 
@@ -1213,6 +1214,41 @@ def create_app(base_folder: str | None = None,
             None, lambda: workflow_runner.prepare_scene_audio_clip(
                 payload, base=base_folder))
         return _ok(**result)
+
+    def _wr_scene_route(name, fn, ffmpeg_errors=False):
+        @_handler
+        async def handler(request):
+            payload = await _json(request)
+            loop = asyncio.get_running_loop()
+            try:
+                result = await loop.run_in_executor(None,
+                                                    lambda: fn(payload))
+            except subprocess.CalledProcessError as exc:
+                error = exc.stderr or exc.output or str(exc)
+                return _err(RuntimeError(f"FFmpeg failed:\n{error}"))
+            return _ok(**result)
+        handler.__name__ = f"wr_{name}"
+        return handler
+
+    for _name, _fn in (
+            ("collect_scene_video", scene_render.collect_scene_video),
+            ("match_scene_video_start_color",
+             scene_render.match_scene_start_color),
+            ("trim_scene_video", scene_render.trim_scene_video),
+            ("find_scene_video_output",
+             scene_render.find_scene_video_output),
+            ("stitch_scene_videos", scene_render.stitch_scene_videos),
+            ("render_image_slideshow",
+             scene_render.render_image_slideshow)):
+        routes.post(f"/vrgdg/workflow_runner/{_name}")(
+            _wr_scene_route(_name, _fn))
+
+    @routes.post("/vrgdg/workflow_runner/save_image")
+    @_handler
+    async def wr_save_image(request):
+        payload = await _json(request)
+        return _ok(**scene_render.save_generated_image(payload,
+                                                       base=base_folder))
 
     # ---------------- web UI ----------------
     # Thin control panel standing in for the reference's ComfyUI browser
