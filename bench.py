@@ -198,6 +198,18 @@ def build_stack():
             sharpen=SharpenParams.normalize(1.5, border="zero"),
             grain=GrainParams.normalize(0.05, 0.5, seed=42),
             fused_mode="pallas"),
+        # round 5: the same Pallas consumer with the elementwise adjust
+        # sliders enabled (phase 1 applies them between the LUT blend
+        # and the LAB statistics — the full six-stage production stack)
+        fused_pallas2_adjust=GradeConfig(
+            lut=LUTParams.normalize(8.0),
+            adjust=AdjustSettings.normalize(
+                {"exposure": 10, "contrast": 12, "saturation": 8,
+                 "vignette": 20}),
+            color_match=ColorMatchParams.normalize(0.7),
+            sharpen=SharpenParams.normalize(1.5, border="zero"),
+            grain=GrainParams.normalize(0.05, 0.5, seed=42),
+            fused_mode="pallas"),
         adjust_only=GradeConfig(adjust=AdjustSettings.normalize(
             {"exposure": 10, "contrast": 12, "saturation": 8,
              "vignette": 20})),
@@ -385,6 +397,8 @@ def main():
         cfgs.append(("fused_4k_pallas_grain", "fused_pallas_grain",
                      2, 2160, 3840))
         cfgs.append(("fused_4k_pallas2", "fused_pallas2", 2, 2160, 3840))
+        cfgs.append(("fused_4k_pallas2_adjust", "fused_pallas2_adjust",
+                     2, 2160, 3840))
     for name, key, batch, h, w in cfgs:
         # the remote compile helper 500s flakily on GB-operand Pallas
         # programs (CLAUDE.md): identical shapes sometimes compile and

@@ -570,13 +570,13 @@ def supported_shape(height: int, width: int) -> bool:
     jax.jit,
     static_argnames=("blend", "match_strength", "sharpen_strength",
                      "grain_intensity", "saturation_mix", "interpret",
-                     "layout", "adjust"))
+                     "layout", "adjust", "emit"))
 def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
                       ref_std, seed_plus_start, *, blend: float,
                       match_strength: float, sharpen_strength: float,
                       grain_intensity: float, saturation_mix: float,
                       interpret: bool = False, layout: str = "flat",
-                      adjust=None):
+                      adjust=None, emit: str = "bhwc"):
     """The full post-gather stack for a BHWC [0,1] batch.
 
     XLA does coords + the corner-bundle gather (the gather itself stays
@@ -817,8 +817,18 @@ def fused_post_gather(frames, bundle, domain_min, domain_max, ref_mean,
             ],
             interpret=pltpu.InterpretParams() if interpret else False,
         )(coeff, seed_plus_start, lab_flat)
-        out = jnp.transpose(out_flat.reshape(batch, 3, height, width),
-                            (0, 2, 3, 1))
+        planes = out_flat.reshape(batch, 3, height, width)
+        if emit == "planes":
+            # channel-plane output for the A/B probe of the final BHWC
+            # transpose (tools/probe_emit.py): lets a uint8 consumer
+            # transpose 4x fewer bytes.  A direct BHWC write from the
+            # kernel is rejected by construction: a Mosaic output block
+            # must tile the array's last two dims, and BHWC's minor dim
+            # of 3 pads to 128 lanes — a ~42x write amplification.
+            if pad_h or pad_w:
+                planes = planes[:, :, :real_height, :real_width]
+            return planes
+        out = jnp.transpose(planes, (0, 2, 3, 1))
         if pad_h or pad_w:
             out = out[:, :real_height, :real_width, :]
         return out
