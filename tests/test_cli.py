@@ -261,3 +261,40 @@ def test_humo_pipeline(click_wav, tmp_path, capsys):
     cli.main(["humo", "grid", str(sets), "-o", grid_path])
     grid = json.loads(capsys.readouterr().out)
     assert grid["frames"] >= 4 and os.path.isfile(grid_path)
+
+
+def test_workflow_cli(tmp_path, capsys, monkeypatch):
+    monkeypatch.setenv("VRGDG_TPU_MODELS", str(tmp_path / "models"))
+    loras = tmp_path / "models" / "loras"
+    loras.mkdir(parents=True)
+    (loras / "x.safetensors").write_bytes(b"x")
+    from vrgdg_tpu.api import workflow_runner as wr
+    wr.set_default_catalog(None)
+    try:
+        cli.main(["workflow", "list"])
+        listing = _last_json(capsys)
+        assert "zimage" in listing["builders"]
+        assert "clear_memory" in listing["builders"]
+
+        cli.main(["workflow", "lora-list"])
+        assert _last_json(capsys)["loras"] == ["[none]", "x.safetensors"]
+
+        payload = tmp_path / "p.json"
+        payload.write_text(json.dumps({"prompt": "a red door", "seed": 6,
+                                       "use_custom_loras": True,
+                                       "lora_count": 1,
+                                       "lora_1": "x.safetensors"}))
+        out = tmp_path / "prompt.json"
+        cli.main(["workflow", "build", "zimage",
+                  "--payload", f"@{payload}", "-o", str(out)])
+        echoed = _last_json(capsys)
+        assert echoed["builder"] == "zimage"
+        built = json.loads(out.read_text())
+        assert built["used_seed"] == 6
+        assert built["prompt"]["971"]["inputs"]["text"] == "a red door"
+        assert built["prompt"]["984"]["inputs"]["lora_1"] == "x.safetensors"
+
+        cli.main(["workflow", "build", "clear_memory"])
+        assert "prompt" in _last_json(capsys)
+    finally:
+        wr.set_default_catalog(None)

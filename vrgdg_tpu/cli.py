@@ -16,6 +16,8 @@ Subcommands:
   audio    — waveform toolkit (split / srt-split / delay / peaks)
   builder  — music video builder project store (new / list / load /
              save / delete / export / import / scan / analyze / mix)
+  workflow — workflow-runner prompt builders (build / list /
+             lora-list / choices)
   serve    — run the HTTP API server
 """
 
@@ -322,6 +324,21 @@ def main(argv=None):
     p.add_argument("-o", "--output", default="",
                    help="output folder (split-set, chunk) / video "
                         "path (grid)")
+
+    p = sub.add_parser(
+        "workflow",
+        help="workflow-runner prompt builders (executor-ready JSON)")
+    p.add_argument("action", choices=["build", "list", "lora-list",
+                                      "choices"])
+    p.add_argument("builder", nargs="?", default="",
+                   help="builder key for 'build' (see 'workflow list')")
+    p.add_argument("--payload", default="",
+                   help="JSON payload text or @file path")
+    p.add_argument("--models-root", default=None,
+                   help="model catalog root (else VRGDG_TPU_MODELS / "
+                        "persisted model_root)")
+    p.add_argument("-o", "--output", default="",
+                   help="write the result JSON here instead of stdout")
 
     p = sub.add_parser("serve", help="run the HTTP API server")
     p.add_argument("--host", default="127.0.0.1")
@@ -770,6 +787,38 @@ def main(argv=None):
             _print({"output": os.path.abspath(out_path),
                     "frames": int(frames.shape[0]),
                     "tiles": len(sources)})
+    elif args.command == "workflow":
+        from .api import workflow_runner as wr
+
+        catalog = (wr.ModelCatalog(root=args.models_root)
+                   if args.models_root else None)
+        if args.action == "list":
+            result = {"builders": sorted(wr.BUILDERS) + ["clear_memory"],
+                      "templates": dict(wr.TEMPLATES)}
+        elif args.action == "lora-list":
+            result = wr.lora_list(catalog)
+        elif args.action == "choices":
+            result = wr.i2v_choices(catalog)
+        else:
+            if args.builder == "clear_memory":
+                result = wr.build_clear_memory_prompt()
+            else:
+                if args.builder not in wr.BUILDERS:
+                    parser.error(f"unknown builder {args.builder!r}; "
+                                 "see 'workflow list'")
+                text = args.payload
+                if text.startswith("@"):
+                    with open(text[1:], encoding="utf-8") as handle:
+                        text = handle.read()
+                payload = json.loads(text) if text else {}
+                result = wr.BUILDERS[args.builder](payload, catalog=catalog)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as handle:
+                json.dump(result, handle, indent=2, default=str)
+            _print({"output": os.path.abspath(args.output),
+                    "builder": args.builder or args.action})
+        else:
+            _print(result)
     elif args.command == "serve":
         if args.distributed:
             from .parallel import initialize_distributed
