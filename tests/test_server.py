@@ -1142,6 +1142,57 @@ def test_release_notes_and_picker_and_lora_routes(tmp_path):
     _run(scenario())
 
 
+def test_graph_plan_routes():
+    """Round-5 graph-glue plan endpoints: LoRA application plans and
+    mute/group state event plans (VRGDG_GeneralNodes2.py:1801-2357)."""
+
+    async def scenario():
+        app = create_app()
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            body = await (await client.post(
+                "/vrgdg/graph/lora_plan",
+                json={"use_custom_loras": True, "lora_count": 1,
+                      "ltx_two_pass_mode": True,
+                      "lora_1": "style.safetensors",
+                      "strength_1": 0.8})).json()
+            plan = body["result"]
+            assert plan["first_pass"] == [["style.safetensors", 0.4]]
+            assert plan["second_pass"] == [["style.safetensors", 0.8]]
+            assert plan["lora_names"] == "style"
+
+            body = await (await client.post(
+                "/vrgdg/graph/lora_plan",
+                json={"variant": "path", "lora_path": "/nope.txt",
+                      "strength_model": 1.0})).json()
+            assert not body["ok"] and "does not exist" in body["error"]
+
+            body = await (await client.post(
+                "/vrgdg/graph/state_plan",
+                json={"mode": "mute", "node_ids": "3;4",
+                      "set_state": False, "off_mode": "bypass"})).json()
+            events = body["result"]["events"]
+            assert events[0][0] == "impact-bridge-continue"
+            assert events[0][1]["bypasses"] == ["3"]
+
+            body = await (await client.post(
+                "/vrgdg/graph/state_plan",
+                json={"group_targets_json":
+                      '[{"action": "active", "node_ids": [7]}]',
+                      "auto_queue_next": True})).json()
+            plan = body["result"]
+            assert plan["events"][0] == [
+                "impact-node-mute-state",
+                {"node_id": 7, "is_active": True}]
+            assert plan["events"][-1] == ["impact-add-queue", {}]
+            assert plan["queue_after_seconds"] == 0.0
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
 def test_node_canvas_status(tmp_path):
     """VRGDG_VideoBuilderNodeUI.py:50-58 static status surface."""
     async def scenario():

@@ -79,44 +79,56 @@ def _run(cmd, message, *, check=False, cwd=None):
 # filesystem primitives (reference :3341-3471)
 # --------------------------------------------------------------------------
 
+def _is_sharing_violation(exc: OSError) -> bool:
+    """True for the lock classes the reference retries: any
+    PermissionError, or the Windows sharing-violation winerror (32)."""
+    return isinstance(exc, PermissionError) or (
+        getattr(exc, "winerror", None) == 32)
+
+
 def retry_file_op(operation, description, attempts=30, delay=0.25):
     """Retry a locked-file operation (Windows sharing violations in the
     reference; kept for parity of failure text)."""
-    last_exc = None
-    for attempt in range(max(1, attempts)):
+    remaining = max(1, attempts)
+    while True:
+        remaining -= 1
         try:
             return operation()
-        except PermissionError as exc:
-            last_exc = exc
         except OSError as exc:
-            if getattr(exc, "winerror", None) != 32:
+            if not _is_sharing_violation(exc):
                 raise
-            last_exc = exc
-        if attempt < attempts - 1:
-            time.sleep(delay)
-    raise RuntimeError(
-        f"{description} failed because the file stayed locked: {last_exc}"
-    ) from last_exc
+            if remaining <= 0:
+                raise RuntimeError(
+                    f"{description} failed because the file stayed "
+                    f"locked: {exc}") from exc
+        time.sleep(delay)
+
+
+def _probe_size(path):
+    """One readability probe: the byte size if the file can actually be
+    opened and read, else the blocking exception."""
+    try:
+        with open(path, "rb") as handle:
+            handle.read(1)
+        return os.path.getsize(path), None
+    except (OSError, PermissionError) as exc:
+        return None, exc
 
 
 def wait_for_stable_readable_file(path, timeout=20.0, interval=0.25):
     """Block until the file's size is stable across two reads
     (``:3413-3435`` — executors may still be flushing the render)."""
     deadline = time.time() + max(0.5, float(timeout or 0))
-    last_size, stable_reads, last_exc = -1, 0, None
+    history, last_exc = [], None
     while time.time() < deadline:
-        try:
-            size = os.path.getsize(path)
-            with open(path, "rb") as handle:
-                handle.read(1)
-            if size > 0 and size == last_size:
-                stable_reads += 1
-                if stable_reads >= 2:
-                    return
-            else:
-                stable_reads, last_size = 0, size
-        except (OSError, PermissionError) as exc:
-            last_exc, stable_reads = exc, 0
+        size, exc = _probe_size(path)
+        if exc is not None:
+            last_exc, history = exc, []
+        else:
+            history = (history + [size])[-3:]
+            stable = len(history) >= 3 and len(set(history)) == 1
+            if stable and history[-1] > 0:
+                return
         time.sleep(interval)
     if last_exc:
         raise RuntimeError(
@@ -556,6 +568,28 @@ def find_scene_video_output(payload) -> dict:
             folders.append(path)
     folders = list(dict.fromkeys(folders))
 
+    def _fresh_file_stat(path, floor):
+        """mtime for a non-empty file at least as new as ``floor`` (1 s
+        slack for coarse filesystem timestamps), else None."""
+        try:
+            stat = os.stat(path)
+        except OSError:
+            return None
+        fresh = (not floor) or (stat.st_mtime + 1 >= floor)
+        return stat.st_mtime if (stat.st_size > 0 and fresh) else None
+
+    def _candidate_score(name, scene, prompt):
+        """Reference ranking (:3776-3782): exact scene stem 1000, prompt
+        prefix 700, embedded scene index 100 — additive."""
+        rules = (
+            (1000, scene and re.match(
+                rf"^video_{scene:04d}-audio\.mp4$", name, re.IGNORECASE)),
+            (700, prompt and re.match(
+                rf"^video_{prompt:04d}(?:_|-)", name, re.IGNORECASE)),
+            (100, scene and f"_{scene:04d}_" in name),
+        )
+        return sum(points for points, hit in rules if hit)
+
     candidates = []
     for folder in folders:
         for root, _dirs, files in os.walk(folder):
@@ -570,25 +604,11 @@ def find_scene_video_output(payload) -> dict:
                 if not name.lower().endswith("-audio.mp4"):
                     continue
                 path = os.path.abspath(os.path.join(root, name))
-                try:
-                    mtime = os.path.getmtime(path)
-                    size = os.path.getsize(path)
-                except OSError:
+                stat = _fresh_file_stat(path, min_mtime)
+                if stat is None:
                     continue
-                if size <= 0 or (min_mtime and mtime + 1 < min_mtime):
-                    continue
-                score = 0
-                if scene_number and re.match(
-                        rf"^video_{scene_number:04d}-audio\.mp4$", name,
-                        re.IGNORECASE):
-                    score += 1000
-                if prompt_number and re.match(
-                        rf"^video_{prompt_number:04d}(?:_|-)", name,
-                        re.IGNORECASE):
-                    score += 700
-                if scene_number and f"_{scene_number:04d}_" in name:
-                    score += 100
-                candidates.append((score, mtime, path, folder))
+                candidates.append((_candidate_score(
+                    name, scene_number, prompt_number), stat, path, folder))
     if not candidates:
         return {"video_path": "", "output_folder": "",
                 "searched_folders": folders}
@@ -1147,13 +1167,8 @@ def render_image_slideshow(payload) -> dict:
                 "FFmpeg did not create the slideshow preview video.")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return {
-        "final_video_path": final_output,
-        "video_folder": target_dir,
-        "scene_count": len(items),
-        "duration": total_duration,
-        "audio_start": audio_start,
-        "output_width": target_width,
-        "output_height": target_height,
-        "fps": fps,
-    }
+    return dict(
+        final_video_path=final_output, video_folder=target_dir,
+        scene_count=len(items), duration=total_duration,
+        audio_start=audio_start, output_width=target_width,
+        output_height=target_height, fps=fps)

@@ -37,6 +37,7 @@ _FIT_ALIASES = {
 
 _METHOD_ALIASES = {
     "nearest": "nearest", "Nearest": "nearest",
+    "nearest-exact": "nearest-exact", "nearest_exact": "nearest-exact",
     "bilinear": "bilinear", "Bilinear": "bilinear",
     "bicubic": "bicubic", "Bicubic (recommended)": "bicubic",
     "area": "area", "Area": "area",
@@ -91,6 +92,13 @@ def resample_matrix(src: int, dst: int, method: str) -> np.ndarray:
 
     if method == "nearest":
         idx = np.minimum((np.arange(dst) * scale).astype(np.int64), src - 1)
+        out[np.arange(dst), idx] = 1.0
+        return out.astype(np.float32)
+
+    if method == "nearest-exact":
+        # torch mode="nearest-exact" / PIL: source index floor((i+0.5)*s)
+        idx = np.minimum(((np.arange(dst) + 0.5) * scale).astype(np.int64),
+                         src - 1)
         out[np.arange(dst), idx] = 1.0
         return out.astype(np.float32)
 

@@ -1112,6 +1112,40 @@ def create_app(base_folder: str | None = None,
                          p.get("pickers") or [],
                          p.get("joiner", "newline")))
 
+    # ---------------- graph-glue plans ----------------
+    # The reference's multi-LoRA loaders and mute/group switchers are
+    # graph nodes whose side-effect halves are ComfyUI-specific
+    # (VRGDG_GeneralNodes2.py:1801-2357); their decision tables get the
+    # natural HTTP surface here — payload in, the ordered
+    # application/event plan out (oracle-fuzzed in
+    # tests/test_graph_plans.py).
+
+    from ..runtime import graph_plans as gp
+
+    def _lora_plan(p):
+        variant = str(p.get("variant", "model_only"))
+        if variant == "two_pass":
+            return gp.two_pass_lora_plan(p)
+        if variant == "path":
+            return gp.lora_path_plan(p.get("lora_path", ""),
+                                     p.get("strength_model", 1.0))
+        return gp.multi_lora_plan(p)
+
+    _sync_json_route("/vrgdg/graph/lora_plan", _lora_plan)
+
+    def _state_plan(p):
+        if str(p.get("mode", "group")) == "mute":
+            return {"events": gp.mute_state_plan(
+                p.get("node_ids", ""), bool(p.get("set_state", True)),
+                p.get("off_mode", "mute"))}
+        return gp.group_state_plan(
+            p.get("group_targets_json", ""), p.get("node_ids_csv", ""),
+            p.get("group_action", "mute"),
+            bool(p.get("auto_queue_next", False)),
+            p.get("queue_delay_seconds", 0.0))
+
+    _sync_json_route("/vrgdg/graph/state_plan", _state_plan)
+
     # ---------------- health + release notes ----------------
     # Release-notes schema parity: VRGDG_UpdateRoutes.py:65-93 (the git
     # self-update itself is excluded; this is the observability surface).
