@@ -373,3 +373,56 @@ def test_ffmpeg_missing_is_loud(monkeypatch):
     monkeypatch.setattr(video_io, "find_ffmpeg", lambda: "")
     with pytest.raises(RuntimeError, match="FFmpeg was not found"):
         sr.find_ffmpeg_path()
+
+
+def test_retry_file_op_semantics(monkeypatch):
+    """Lock the restyled retry helper: sharing violations retry with the
+    reference's failure text (:3341-3363); other OSErrors propagate."""
+    monkeypatch.setattr(time, "sleep", lambda _s: None)
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise PermissionError("locked")
+        return "done"
+
+    assert sr.retry_file_op(flaky, "Copy") == "done"
+    assert calls["n"] == 3
+
+    win32 = OSError("sharing violation")
+    win32.winerror = 32
+    with pytest.raises(RuntimeError, match="Move failed because the file "
+                                           "stayed locked"):
+        sr.retry_file_op(lambda: (_ for _ in ()).throw(win32), "Move",
+                         attempts=2)
+
+    def hard_fail():
+        raise OSError("disk gone")
+
+    with pytest.raises(OSError, match="disk gone"):
+        sr.retry_file_op(hard_fail, "Copy", attempts=5)
+
+
+def test_wait_for_stable_readable_file(tmp_path, monkeypatch):
+    """Stability needs three consecutive identical non-zero sizes; a file
+    that stays unreadable raises the locked error (:3413-3435)."""
+    monkeypatch.setattr(time, "sleep", lambda _s: None)
+    target = tmp_path / "out.mp4"
+    sizes = iter([b"a", b"ab", b"abc", b"abc", b"abc"])
+
+    real_probe = sr._probe_size
+    def growing_probe(path):
+        try:
+            target.write_bytes(next(sizes))
+        except StopIteration:
+            pass
+        return real_probe(path)
+
+    monkeypatch.setattr(sr, "_probe_size", growing_probe)
+    sr.wait_for_stable_readable_file(str(target), timeout=5.0)
+
+    with pytest.raises(RuntimeError, match="still locked"):
+        sr.wait_for_stable_readable_file(str(tmp_path / "missing.mp4"),
+                                         timeout=0.6, interval=0.1)
