@@ -1200,6 +1200,13 @@ def create_app(base_folder: str | None = None,
     def wr_i2v_choices(request):
         return _ok(**workflow_runner.i2v_choices())
 
+    @routes.get("/vrgdg/workflow_runner/builders")
+    @_handler
+    def wr_builders(request):
+        # discovery surface for the panel/CLI: one row per
+        # build_<key>_prompt route
+        return _ok(builders=sorted(workflow_runner.BUILDERS))
+
     @routes.get("/vrgdg/workflow_runner/model_root")
     @_handler
     def wr_model_root(request):
