@@ -298,3 +298,21 @@ def test_workflow_cli(tmp_path, capsys, monkeypatch):
         assert "prompt" in _last_json(capsys)
     finally:
         wr.set_default_catalog(None)
+
+
+def test_graph_cli(tmp_path, capsys):
+    cli.main(["graph", "lora-plan", "--payload", json.dumps(
+        {"use_custom_loras": True, "lora_count": 1,
+         "ltx_two_pass_mode": True,
+         "lora_1": "style.safetensors", "strength_1": 0.8})])
+    plan = _last_json(capsys)
+    assert plan["first_pass"] == [["style.safetensors", 0.4]]
+    assert plan["second_pass"] == [["style.safetensors", 0.8]]
+
+    out = tmp_path / "events.json"
+    cli.main(["graph", "state-plan", "--payload", json.dumps(
+        {"mode": "mute", "node_ids": "3;4", "set_state": False,
+         "off_mode": "bypass"}), "-o", str(out)])
+    events = json.loads(out.read_text())["events"]
+    assert [e[0] for e in events] == ["impact-bridge-continue"] * 2
+    assert events[1][1]["bypasses"] == ["4"]

@@ -32,7 +32,13 @@ import time
 
 
 def _print(result):
-    print(json.dumps(result, indent=2, default=str))
+    try:
+        print(json.dumps(result, indent=2, default=str))
+    except BrokenPipeError:
+        # downstream closed early (`... | head`): exit quietly like any
+        # well-behaved unix filter instead of stack-tracing
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        raise SystemExit(0)
 
 
 def _add_video_common(p):
@@ -339,6 +345,16 @@ def main(argv=None):
                         "persisted model_root)")
     p.add_argument("-o", "--output", default="",
                    help="write the result JSON here instead of stdout")
+
+    p = sub.add_parser(
+        "graph",
+        help="graph-glue plans (LoRA application / mute-group events)")
+    p.add_argument("action", choices=["lora-plan", "state-plan"])
+    p.add_argument("--payload", default="",
+                   help="JSON payload text or @file path (same schema "
+                        "as POST /vrgdg/graph/*)")
+    p.add_argument("-o", "--output", default="",
+                   help="write the plan JSON here instead of stdout")
 
     p = sub.add_parser("serve", help="run the HTTP API server")
     p.add_argument("--host", default="127.0.0.1")
@@ -817,6 +833,25 @@ def main(argv=None):
                 json.dump(result, handle, indent=2, default=str)
             _print({"output": os.path.abspath(args.output),
                     "builder": args.builder or args.action})
+        else:
+            _print(result)
+    elif args.command == "graph":
+        from .runtime import graph_plans as gp
+
+        text = args.payload
+        if text.startswith("@"):
+            with open(text[1:], encoding="utf-8") as handle:
+                text = handle.read()
+        payload = json.loads(text) if text else {}
+        dispatch = (gp.lora_plan_from_payload
+                    if args.action == "lora-plan"
+                    else gp.state_plan_from_payload)
+        result = dispatch(payload)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as handle:
+                json.dump(result, handle, indent=2, default=str)
+            _print({"output": os.path.abspath(args.output),
+                    "action": args.action})
         else:
             _print(result)
     elif args.command == "serve":

@@ -36,6 +36,7 @@ __all__ = [
     "lora_stem", "collect_lora_specs", "collect_two_pass_lora_specs",
     "multi_lora_plan", "two_pass_lora_plan", "lora_path_plan",
     "parse_node_ids", "mute_state_plan", "group_state_plan",
+    "lora_plan_from_payload", "state_plan_from_payload",
 ]
 
 
@@ -311,3 +312,30 @@ def group_state_plan(group_targets_json="", node_ids_csv="",
             events.append(("impact-add-queue", {}))
     return {"events": events, "applied": applied,
             "queue_after_seconds": queue_after}
+
+def lora_plan_from_payload(payload) -> dict:
+    """HTTP/CLI dispatch: route a loose payload to the right LoRA-plan
+    variant (``variant``: ``model_only`` default, ``two_pass``,
+    ``path``)."""
+    variant = str((payload or {}).get("variant", "model_only"))
+    if variant == "two_pass":
+        return two_pass_lora_plan(payload)
+    if variant == "path":
+        return lora_path_plan(payload.get("lora_path", ""),
+                              payload.get("strength_model", 1.0))
+    return multi_lora_plan(payload)
+
+
+def state_plan_from_payload(payload) -> dict:
+    """HTTP/CLI dispatch: ``mode: "mute"`` for the multi-id toggler,
+    anything else for the group-state planner."""
+    p = payload or {}
+    if str(p.get("mode", "group")) == "mute":
+        return {"events": mute_state_plan(
+            p.get("node_ids", ""), bool(p.get("set_state", True)),
+            p.get("off_mode", "mute"))}
+    return group_state_plan(
+        p.get("group_targets_json", ""), p.get("node_ids_csv", ""),
+        p.get("group_action", "mute"),
+        bool(p.get("auto_queue_next", False)),
+        p.get("queue_delay_seconds", 0.0))

@@ -1122,29 +1122,8 @@ def create_app(base_folder: str | None = None,
 
     from ..runtime import graph_plans as gp
 
-    def _lora_plan(p):
-        variant = str(p.get("variant", "model_only"))
-        if variant == "two_pass":
-            return gp.two_pass_lora_plan(p)
-        if variant == "path":
-            return gp.lora_path_plan(p.get("lora_path", ""),
-                                     p.get("strength_model", 1.0))
-        return gp.multi_lora_plan(p)
-
-    _sync_json_route("/vrgdg/graph/lora_plan", _lora_plan)
-
-    def _state_plan(p):
-        if str(p.get("mode", "group")) == "mute":
-            return {"events": gp.mute_state_plan(
-                p.get("node_ids", ""), bool(p.get("set_state", True)),
-                p.get("off_mode", "mute"))}
-        return gp.group_state_plan(
-            p.get("group_targets_json", ""), p.get("node_ids_csv", ""),
-            p.get("group_action", "mute"),
-            bool(p.get("auto_queue_next", False)),
-            p.get("queue_delay_seconds", 0.0))
-
-    _sync_json_route("/vrgdg/graph/state_plan", _state_plan)
+    _sync_json_route("/vrgdg/graph/lora_plan", gp.lora_plan_from_payload)
+    _sync_json_route("/vrgdg/graph/state_plan", gp.state_plan_from_payload)
 
     # ---------------- health + release notes ----------------
     # Release-notes schema parity: VRGDG_UpdateRoutes.py:65-93 (the git
