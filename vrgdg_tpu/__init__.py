@@ -16,7 +16,7 @@ Layers (SURVEY.md §1 -> this package):
   parallelism -> :mod:`vrgdg_tpu.parallel`
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from . import core, ops
 from .core.params import (AdjustSettings, ColorMatchParams, EnhancerSettings,
