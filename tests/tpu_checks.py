@@ -391,6 +391,28 @@ def main() -> int:
     check("fused two-phase pallas grade parity + grain + adjust on chip",
           fused_pallas_grade_parity)
 
+    def lora_merge_full_precision():
+        # The TPU default matmul (bf16 passes) measured 3.5e-2 abs error
+        # on a rank-4 fold; ops/lora pins HIGHEST — assert the fold
+        # stays at f32 accuracy ON CHIP (BASELINE.md round-5).
+        import numpy as np
+
+        from vrgdg_tpu.ops import lora
+
+        rng = np.random.default_rng(11)
+        weight = rng.standard_normal((256, 128)).astype(np.float32)
+        down = rng.standard_normal((8, 128)).astype(np.float32)
+        up = rng.standard_normal((256, 8)).astype(np.float32)
+        merged = lora.merge_lora(
+            {"w": jnp.asarray(weight)},
+            {"w": {"down": down, "up": up, "alpha": 16.0}}, 0.7)
+        want = weight + 0.7 * (16.0 / 8.0) * (up @ down)
+        err = float(np.max(np.abs(np.asarray(merged["w"]) - want)))
+        assert err < 1e-4, f"LoRA fold lost precision on chip: {err}"
+
+    check("LoRA param-tree fold at full MXU precision",
+          lora_merge_full_precision)
+
     print("[tpu_checks] ALL OK")
     return 0
 
