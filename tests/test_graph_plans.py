@@ -265,3 +265,24 @@ def test_group_state_plan_no_requeue_when_nothing_applied():
     plan = graph_plans.group_state_plan("[]", "", "mute", True, 0.0)
     assert recorder.calls == plan["events"] == []
     assert plan["queue_after_seconds"] is None
+
+
+def test_payload_dispatchers_coerce_string_booleans():
+    """Form-built clients send "false" strings; bool("false") is True —
+    the dispatchers must use the loaders' _truthy coercion."""
+    plan = graph_plans.state_plan_from_payload(
+        {"mode": "mute", "node_ids": "3", "set_state": "false",
+         "off_mode": "bypass"})
+    assert plan["events"][0][0] == "impact-bridge-continue"
+
+    plan = graph_plans.state_plan_from_payload(
+        {"node_ids_csv": "5", "group_action": "mute",
+         "auto_queue_next": "false"})
+    assert plan["queue_after_seconds"] is None
+    assert all(event[0] != "impact-add-queue" for event in plan["events"])
+
+    plan = graph_plans.state_plan_from_payload(
+        {"node_ids_csv": "5", "group_action": "bypass",
+         "auto_queue_next": "true"})
+    assert plan["events"][0][1]["bypasses"] == ["5"]
+    assert plan["events"][-1] == ("impact-add-queue", {})

@@ -147,3 +147,9 @@ def test_blank_frame_color_unpack(ref):
     ours = np.asarray(sw.blank_frame(width=5, height=3, color=0x336699))
     theirs = ref["_empty_image"](width=5, height=3, color=0x336699).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-7)
+
+
+def test_parse_map_line_terminators(ref):
+    """splitlines semantics: \\r and \\v break rows like the reference."""
+    for text in ("1=1\r2=2", "1=1\x0b2=2", "1=1\r\n2=2;3=all"):
+        assert sw.parse_index_map(text) == ref["_parse_map"](text), text

@@ -82,7 +82,9 @@ def parse_index_map(map_text: str) -> dict[int, list[int]]:
     """``key=spec`` lines (``;`` also separates lines) to an index table
     (``VRGDGswtichNodes.py:68-89``); later duplicate keys win."""
     table: dict[int, list[int]] = {}
-    for line in re.split(r"[;\n]", map_text or ""):
+    # str.splitlines (NOT a plain \n split): the reference accepts every
+    # unicode line terminator (\r, \v, \f, \x1c..) as a row break
+    for line in (map_text or "").replace(";", "\n").splitlines():
         key_text, eq, spec = line.partition("=")
         if not eq:
             continue

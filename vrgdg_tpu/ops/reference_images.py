@@ -39,9 +39,8 @@ __all__ = ["MAX_REFERENCE_IMAGES", "parse_image_paths", "scale_dims",
 
 MAX_REFERENCE_IMAGES = 50  # VRGDG_GeneralNodes2.py:3775
 
-# the node's dropdown -> this framework's resampler methods
-_METHOD_MAP = {"nearest-exact": "nearest-exact", "bilinear": "bilinear",
-               "area": "area", "bicubic": "bicubic", "lanczos": "lanczos4"}
+# the node's dropdown values all resolve through the resampler's own
+# alias table (canonical_method); "lanczos" -> "lanczos4" included
 
 
 def _path_of(item) -> str:
@@ -93,8 +92,7 @@ def scale_to_total_pixels(images: jnp.ndarray, upscale_method: str,
                           resolution_steps: int) -> jnp.ndarray:
     """Resize a BHWC batch to its megapixel-budget dims, no cropping
     (the reference passes ``crop="disabled"``)."""
-    method = _METHOD_MAP.get(str(upscale_method),
-                             canonical_method(upscale_method))
+    method = canonical_method(upscale_method)
     out_h, out_w = scale_dims(int(images.shape[1]), int(images.shape[2]),
                               megapixels, resolution_steps)
     return resample(images, out_h, out_w, method)
@@ -127,7 +125,7 @@ def upscale_center(images: jnp.ndarray, target_height: int,
         int(target_height), int(target_width))
     window = images[:, top:top + crop_h, left:left + crop_w, :]
     return resample(window, int(target_height), int(target_width),
-                    _METHOD_MAP.get(str(method), method))
+                    canonical_method(method))
 
 
 def batch_reference_images(images) -> jnp.ndarray:

@@ -331,11 +331,12 @@ def state_plan_from_payload(payload) -> dict:
     anything else for the group-state planner."""
     p = payload or {}
     if str(p.get("mode", "group")) == "mute":
+        # _truthy, not bool(): form-built clients send "false" strings
         return {"events": mute_state_plan(
-            p.get("node_ids", ""), bool(p.get("set_state", True)),
+            p.get("node_ids", ""), _truthy(p.get("set_state", True)),
             p.get("off_mode", "mute"))}
     return group_state_plan(
         p.get("group_targets_json", ""), p.get("node_ids_csv", ""),
         p.get("group_action", "mute"),
-        bool(p.get("auto_queue_next", False)),
+        _truthy(p.get("auto_queue_next", False)),
         p.get("queue_delay_seconds", 0.0))

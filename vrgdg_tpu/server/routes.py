@@ -1183,8 +1183,10 @@ def create_app(base_folder: str | None = None,
     @_handler
     def wr_builders(request):
         # discovery surface for the panel/CLI: one row per
-        # build_<key>_prompt route
-        return _ok(builders=sorted(workflow_runner.BUILDERS))
+        # build_<key>_prompt route (clear_memory is registered
+        # separately below but is a builder to callers)
+        return _ok(builders=sorted(
+            list(workflow_runner.BUILDERS) + ["clear_memory"]))
 
     @routes.get("/vrgdg/workflow_runner/model_root")
     @_handler
