@@ -1426,3 +1426,39 @@ def test_compare_grid_route(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_every_post_route_survives_junk_payloads(tmp_path, monkeypatch):
+    """Robustness sweep: every registered POST route must answer junk
+    payloads with a JSON body (the _handler boundary), never an
+    unhandled 500 HTML page or a hang.  Catches any future route that
+    bypasses the boundary or crashes before it."""
+    monkeypatch.setenv("VRGDG_TPU_OUTPUT", str(tmp_path))
+
+    async def scenario():
+        app = create_app(base_folder=str(tmp_path))
+        posts = sorted({
+            r.resource.canonical for r in app.router.routes()
+            if r.method == "POST" and r.resource
+            and r.resource.canonical.startswith("/vrgdg")})
+        assert len(posts) > 80  # the surface keeps growing; guard scale
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            for path in posts:
+                for body in (None, "[]", '{"unexpected": []}',
+                             "not json at all"):
+                    resp = await client.post(
+                        path, data=body,
+                        headers={"Content-Type": "application/json"})
+                    assert resp.status != 405, path
+                    assert resp.content_type == "application/json", (
+                        path, body, resp.status)
+                    parsed = await resp.json()
+                    assert isinstance(parsed, dict), (path, body)
+                    if resp.status == 200 and parsed.get("ok") is False:
+                        assert "error" in parsed, path
+        finally:
+            await client.close()
+
+    _run(scenario())
