@@ -1001,6 +1001,13 @@ def test_api_docs_match_registered_routes():
     missing = sorted(documented - registered)
     assert not missing, f"documented but unregistered: {missing}"
 
+    # ... and the reverse: every registered /vrgdg path appears in the
+    # docs (catches routes added without an API.md row)
+    undocumented = sorted(
+        path for path in registered
+        if path.startswith("/vrgdg") and path not in documented)
+    assert not undocumented, f"registered but undocumented: {undocumented}"
+
 
 def test_editor_media_serves_out_of_root_editor_folders(tmp_path):
     """list_clips accepts arbitrary absolute folders, so the playback
