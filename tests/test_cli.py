@@ -316,3 +316,21 @@ def test_graph_cli(tmp_path, capsys):
     events = json.loads(out.read_text())["events"]
     assert [e[0] for e in events] == ["impact-bridge-continue"] * 2
     assert events[1][1]["bypasses"] == ["4"]
+
+
+def test_cli_help_and_all_subcommand_parsers(capsys):
+    """Every subcommand's parser builds and prints help without error —
+    catches argparse wiring regressions (duplicate flags, bad choices)."""
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["--help"])
+    assert exc.value.code == 0
+    help_text = capsys.readouterr().out
+    for name in ("grain", "lut", "adjust", "grade", "enhance", "face-fix",
+                 "compare", "luts", "make-lut", "probe", "beats",
+                 "scene-srt", "audio", "builder", "lyrics", "llm-batch",
+                 "humo", "workflow", "graph", "serve"):
+        assert name in help_text, name
+        with pytest.raises(SystemExit) as sub:
+            cli.main([name, "--help"])
+        assert sub.value.code == 0, name
+        assert capsys.readouterr().out
