@@ -226,3 +226,17 @@ def test_resolve_and_load_images(tmp_path):
     too_many = "[" + ",".join(['"ref.png"'] * 10) + "]"
     with pytest.raises(ValueError):
         mm.load_reference_images(too_many, roots=(str(root_b),))
+
+
+def test_h3_collection_numeric_payloads_do_not_recurse():
+    """A float/int value round-trips json.loads as a NEW equal object;
+    the identity-style recursion guard must not loop on it (the
+    reference recurses forever here)."""
+    from vrgdg_tpu.api.workflow_runner import _h3_collection
+
+    assert _h3_collection(1.5) == ["1.5"]
+    assert _h3_collection(7) == ["7"]
+    assert _h3_collection(True) == ["True"]
+    # string parses still peel quotes like the reference
+    assert _h3_collection('"/a/b.png"') == ["/a/b.png"]
+    assert _h3_collection('["x.png", "y.png"]') == ["x.png", "y.png"]

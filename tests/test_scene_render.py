@@ -426,3 +426,12 @@ def test_wait_for_stable_readable_file(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="still locked"):
         sr.wait_for_stable_readable_file(str(tmp_path / "missing.mp4"),
                                          timeout=0.6, interval=0.1)
+
+
+def test_empty_project_folder_is_rejected_not_cwd(tmp_path):
+    """abspath('') is the server CWD — blank folders must error loudly
+    instead of scanning/mutating the process working directory."""
+    with pytest.raises(ValueError, match="Project folder is empty"):
+        sr.safe_project_subfolder("", "rendered_scene_videos")
+    with pytest.raises(ValueError, match="empty or does not exist"):
+        sr.find_scene_video_output({"project_folder": "  "})

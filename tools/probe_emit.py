@@ -8,10 +8,12 @@ Run alone on the chip (one TPU process at a time):
     python tools/probe_emit.py [batch] [height] [width]
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402

@@ -166,9 +166,12 @@ def replace_file_with_retry(source_path, target_path):
 
 
 def safe_project_subfolder(project_folder, folder_name):
-    project = os.path.abspath(str(project_folder or "").strip().strip('"'))
-    if not project:
+    # validate BEFORE abspath: abspath("") is the server CWD, which
+    # would silently move user media under the process working dir
+    cleaned = str(project_folder or "").strip().strip('"')
+    if not cleaned:
         raise ValueError("Project folder is empty.")
+    project = os.path.abspath(cleaned)
     target = os.path.abspath(os.path.join(project, folder_name))
     if os.path.commonpath([project, target]) != project:
         raise ValueError("Target folder escapes the project folder.")
@@ -385,8 +388,11 @@ def _int_of(payload, key, default, lo, hi):
 
 
 def _abs_path(payload, key):
-    return os.path.abspath(str(payload.get(key, "") or "").strip()
-                           .strip('"'))
+    # "" stays "" — abspath("") is the server CWD, which would make the
+    # folder guards downstream pass vacuously and scan/mutate the
+    # process working directory
+    cleaned = str(payload.get(key, "") or "").strip().strip('"')
+    return os.path.abspath(cleaned) if cleaned else ""
 
 
 def collect_scene_video(payload) -> dict:

@@ -244,6 +244,13 @@ class ModelCatalog:
             root = load_model_root(base).get("models_root", "")
         self.root = str(root or "")
         self.overrides = dict(overrides or {})
+        # short-TTL walk cache: a single prompt build resolves dozens of
+        # names (clean_lora x 20 slots + the require calls) and the
+        # reference leaned on ComfyUI's cached folder_paths. The TTL
+        # (vs caching forever) keeps the long-lived default catalog
+        # seeing newly installed models between requests.
+        self._scan_cache: dict[str, tuple[float, list[str]]] = {}
+        self._scan_ttl = 5.0
 
     def names(self, category) -> list[str]:
         if isinstance(category, (list, tuple)):
@@ -257,6 +264,9 @@ class ModelCatalog:
         category = str(category or "").strip()
         if category in self.overrides:
             return [str(n) for n in self.overrides[category]]
+        cached = self._scan_cache.get(category)
+        if cached is not None and time.monotonic() - cached[0] < self._scan_ttl:
+            return list(cached[1])
         folder = os.path.join(self.root, category) if self.root else ""
         if not category or not folder or not os.path.isdir(folder):
             return []
@@ -268,7 +278,8 @@ class ModelCatalog:
                     continue
                 rel = os.path.relpath(os.path.join(dirpath, name), folder)
                 found.append(rel.replace("/", os.sep).replace("\\", os.sep))
-        return found
+        self._scan_cache[category] = (time.monotonic(), found)
+        return list(found)
 
     def lora_choices(self) -> list[str]:
         return [NONE_LORA] + [name for name in self.names("loras")
@@ -1847,7 +1858,12 @@ def _h3_collection(value, collection_keys=()) -> list:
             parsed = json.loads(text)
         except ValueError:
             parsed = None
-        if parsed is not None and parsed is not value:
+        # recurse into container/string parses only: strings strictly
+        # shrink (quote peel) so they terminate, but a numeric parse
+        # round-trips json.loads as a NEW equal object, so the
+        # reference's identity check recurses forever on floats/ints
+        # (live-reproduced; its flaw at :536-540)
+        if isinstance(parsed, (list, dict, str)) and parsed != value:
             return _h3_collection(parsed, collection_keys)
         return [line.strip() for line in text.splitlines() if line.strip()]
     return []
@@ -1917,10 +1933,11 @@ def probe_media_duration_seconds(path) -> float:
     ffmpeg = video_io.find_ffmpeg()
     ffprobe = (os.path.join(os.path.dirname(ffmpeg), "ffprobe")
                if ffmpeg else "ffprobe")
-    result = subprocess.run(
+    from . import scene_render
+
+    result = scene_render._RUNNER(
         [ffprobe, "-v", "error", "-show_entries", "format=duration",
-         "-of", "default=noprint_wrappers=1:nokey=1", path],
-        capture_output=True, text=True, errors="replace", check=False)
+         "-of", "default=noprint_wrappers=1:nokey=1", path], check=False)
     if result.returncode != 0:
         raise RuntimeError((result.stderr or result.stdout
                             or "FFprobe could not read the audio duration."
@@ -1945,11 +1962,13 @@ def trim_h3_audio_context(source_path, project_folder, scene_number,
     os.makedirs(target_dir, exist_ok=True)
     target = os.path.join(target_dir, f"scene_audio_{scene_number:04d}.wav")
     ffmpeg = video_io.find_ffmpeg() or "ffmpeg"
-    result = subprocess.run(
+    from . import scene_render
+
+    result = scene_render._RUNNER(
         [ffmpeg, "-y", "-ss", f"{timing["audio_trim_start_seconds"]:.9f}",
          "-i", source_path, "-t", f"{timing["audio_trim_duration_seconds"]:.9f}",
          "-vn", "-ac", "2", "-ar", "44100", "-c:a", "pcm_s16le", target],
-        capture_output=True, text=True, errors="replace", check=False)
+        check=False)
     if result.returncode != 0 or not os.path.isfile(target):
         raise RuntimeError(
             (result.stderr or result.stdout
@@ -1991,11 +2010,14 @@ def prepare_scene_audio_clip(payload, base=None) -> dict:
     os.makedirs(target_dir, exist_ok=True)
     target = os.path.join(target_dir, f"scene_audio_{scene_number:04d}.wav")
     ffmpeg = video_io.find_ffmpeg() or "ffmpeg"
-    result = subprocess.run(
+    # through scene_render's injectable runner seam so the fake-runner
+    # command-plan fuzz can exercise this route too (no ffmpeg in CI)
+    from . import scene_render
+
+    result = scene_render._RUNNER(
         [ffmpeg, "-y", "-ss", f"{start:.9f}", "-i", source,
          "-t", f"{duration:.9f}", "-vn", "-ac", "2", "-ar", "44100",
-         "-c:a", "pcm_s16le", target],
-        capture_output=True, text=True, errors="replace", check=False)
+         "-c:a", "pcm_s16le", target], check=False)
     if result.returncode != 0 or not os.path.isfile(target):
         raise RuntimeError((result.stderr or result.stdout
                             or "FFmpeg failed to prepare scene audio.")

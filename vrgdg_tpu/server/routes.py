@@ -1269,8 +1269,12 @@ def create_app(base_folder: str | None = None,
     @_handler
     async def wr_save_image(request):
         payload = await _json(request)
-        return _ok(**scene_render.save_generated_image(payload,
-                                                       base=base_folder))
+        loop = asyncio.get_running_loop()
+        # file copy off the event loop like the sibling scene routes
+        result = await loop.run_in_executor(
+            None, lambda: scene_render.save_generated_image(
+                payload, base=base_folder))
+        return _ok(**result)
 
     # ---------------- web UI ----------------
     # Thin control panel standing in for the reference's ComfyUI browser
