@@ -1441,6 +1441,11 @@ def test_every_post_route_survives_junk_payloads(tmp_path, monkeypatch):
     unhandled 500 HTML page or a hang.  Catches any future route that
     bypasses the boundary or crashes before it."""
     monkeypatch.setenv("VRGDG_TPU_OUTPUT", str(tmp_path))
+    # Some reference-parity routes (storyboard/prompt save) resolve an
+    # empty project_folder to the CWD (VRGDG_StoryboardBuilderNodes.py:164
+    # does the same); run the sweep from tmp so junk payloads can never
+    # write artifacts into the repo checkout.
+    monkeypatch.chdir(tmp_path)
 
     async def scenario():
         app = create_app(base_folder=str(tmp_path))
