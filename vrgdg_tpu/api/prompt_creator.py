@@ -21,10 +21,15 @@ Parity targets:
 - save_outputs ``:1320-1426``, draft save/load ``:1465-1653``,
   draft listing ``:1654-1716``, audio import ``:1893-1930``.
 
+Also here: the hidden Whisper workflow builder + config
+(``build_whisper_prompt``, ``:1815-1891`` — a deterministic template
+patch like the workflow-runner builders) and the recommended LLM
+settings surface.  The instruction store lives in
+``api/pc_instructions.py``.
+
 Excluded (LLM): ``create_concepts`` / ``repair_segments`` /
 ``extract_subject`` / ``create_i2v_motion_notes`` generation (each
-drives a Gemma/LM-Studio call), the instruction-preset text templates,
-and the hidden Whisper ComfyUI workflow builder.
+drives a Gemma/LM-Studio call).
 """
 
 from __future__ import annotations
@@ -800,3 +805,184 @@ def import_audio(project_folder, source_name, data: bytes,
             "Audio import failed because the saved file is empty.")
     return {"project_folder": layout.root, "audio_path": save_path,
             "audio_name": safe_name}
+
+
+# ------------------------------------------------------------------
+# hidden Whisper workflow builder (``:1815-1891``) + config
+# ------------------------------------------------------------------
+
+# the reference's recommended Gemma runtime settings, surfaced verbatim
+# by GET /vrgdg/music_prompt_creator/config (``:38-46``, ``:1951-1958``);
+# pure data for whatever external LLM executor the user wires up
+LLM_SETTINGS = {
+    "n_ctx": 14848,
+    "max_new_tokens": 32000,
+    "temperature": 0.30,
+    "top_p": 0.80,
+    "n_gpu_layers": 99,
+    "n_threads": 8,
+    "chat_format": "",
+}
+
+_WHISPER_TEMPLATE = "prompt_creator_whisper"
+
+
+def config(base=None) -> dict:
+    """GET config payload (``:1951-1958``): where the hidden Whisper
+    template lives plus the recommended LLM settings."""
+    from .workflow_runner import template_path
+    path = template_path(_WHISPER_TEMPLATE)
+    return {
+        "workflow_template_path": path,
+        "workflow_template_exists": os.path.isfile(path),
+        "llm_settings": dict(LLM_SETTINGS),
+    }
+
+
+def safe_file_name(name, fallback: str = "vrgdg_audio.wav") -> str:
+    """Windows-reserved-char scrub on a basename (``:471-473``)."""
+    safe = re.sub(r'[<>:"/\\|?*]+', "_",
+                  os.path.basename(str(name or ""))).strip()
+    return safe or fallback
+
+
+def stage_audio_for_upload(audio_path, base=None) -> tuple[str, str]:
+    """Copy the chosen audio into the executor-visible ingest folder
+    and return ``(upload_name, staged_path)`` (``:476-507``): the
+    LoadAudioUpload node sees a bare filename, the stem splitter an
+    absolute path.  Re-copies only when size or mtime drifted."""
+    from .workflow_runner import input_dir
+    raw_path = str(audio_path or "").strip().strip('"')
+    if not raw_path:
+        raise ValueError("Choose an audio file before running Prompt "
+                         "Creator.")
+    source = os.path.abspath(raw_path)
+    ingest = input_dir(base)
+    if not os.path.isfile(source):
+        candidate = os.path.join(ingest, raw_path)
+        if not os.path.isfile(candidate):
+            raise FileNotFoundError(
+                f"Audio file was not found: {raw_path}")
+        source = os.path.abspath(candidate)
+    ext = os.path.splitext(source)[1] or ".wav"
+    safe_name = safe_file_name(
+        source, f"vrgdg_prompt_creator_audio{ext}")
+    staged = os.path.abspath(os.path.join(ingest, safe_name))
+    if source != staged:
+        import shutil
+        stale = (not os.path.isfile(staged)
+                 or os.path.getsize(staged) != os.path.getsize(source)
+                 or int(os.path.getmtime(staged))
+                 != int(os.path.getmtime(source)))
+        if stale:
+            shutil.copy2(source, staged)
+    return os.path.basename(staged), staged
+
+
+def _ensure_project_folders(project_folder) -> None:
+    """``:440-443`` — project root, context, prompts (and only those)."""
+    layout = ProjectLayout(project_folder)
+    for folder in (layout.root, layout.context_folder,
+                   layout.prompts_folder):
+        os.makedirs(folder, exist_ok=True)
+
+
+def build_whisper_prompt(payload: dict, base=None) -> dict:
+    """Patch the hidden Whisper/segmentation workflow template into a
+    runnable API prompt (``_build_whisper_workflow_prompt``,
+    ``:1815-1891``): stage the audio for the upload node, push the
+    lyric/duration/segment-mode settings into their nodes (every patch
+    is guarded on node presence exactly like the reference, so template
+    edits degrade identically), and name the output SRT with a
+    timestamp.  Returns the prompt JSON an external executor runs plus
+    the SRT paths the UI polls."""
+    import copy as _copy
+
+    from .workflow_runner import load_api_template
+
+    workflow_path, prompt = load_api_template(_WHISPER_TEMPLATE)
+    prompt = _copy.deepcopy(prompt)
+
+    project_folder = project_folder_from_payload(payload, base)
+    _ensure_project_folders(project_folder)
+
+    audio_path = str(payload.get("audio_path", "")
+                     or payload.get("audio_file", "")).strip().strip('"')
+    upload_name, staged_path = stage_audio_for_upload(audio_path, base)
+
+    min_duration = float(payload.get("min_duration", 4) or 4)
+    max_duration = float(payload.get("max_duration", 10) or 10)
+    bias = float(payload.get("bias", 0.7) or 0.7)
+    duration_preset = str(payload.get("duration_preset",
+                                      "varied_no_repeat")
+                          or "varied_no_repeat")
+    use_srt_durations = payload_bool(payload.get("use_srt_durations",
+                                                 True), True)
+    fixed_scene_duration = float(payload.get("fixed_scene_duration", 4)
+                                 or 4)
+    empty_segment_text = str(payload.get("empty_segment_text",
+                                         "Instrumental section.")
+                             or "Instrumental section.").strip() \
+        or "Instrumental section."
+    whisper_language = str(payload.get("whisper_language", "english")
+                           or "english").strip() or "english"
+    full_lyrics = str(payload.get("full_lyrics", "") or "")
+    output_filename = (f"builder_segments_"
+                       f"{time.strftime('%Y%m%d_%H%M%S')}.srt")
+
+    def _node(node_id):
+        key = str(node_id)
+        if key not in prompt:
+            raise KeyError(
+                f"Hidden Whisper workflow node {key} was not found.")
+        return prompt[key].setdefault("inputs", {})
+
+    # audio upload node: 954 with a 964 fallback (``:1842-1845``)
+    for upload_id in ("954", "964"):
+        if upload_id in prompt:
+            _node(upload_id)["audio"] = upload_name
+            break
+
+    # stem splitter wants the absolute staged path (``:1847-1850``)
+    if "28:114" in prompt:
+        _node("28:114")["audio_file_path"] = staged_path
+    elif "955" in prompt and "audio_file_path" in _node("955"):
+        _node("955")["audio_file_path"] = staged_path
+
+    if "955" in prompt \
+            and prompt["955"].get("class_type") == "VRGDG_TextBox":
+        _node("955")["text"] = full_lyrics
+
+    if "960" in prompt:
+        extractor = _node("960")
+        extractor["scene_duration_seconds"] = fixed_scene_duration
+        extractor["reference_lyrics"] = full_lyrics
+        extractor["language"] = whisper_language
+        extractor["strict_reference_text"] = True
+        extractor["preserve_nonvocal_segments"] = True
+        extractor["alignment_min_words"] = 1
+
+    if "28:933" in prompt:
+        _node("28:933")["switch"] = use_srt_durations
+    if "28:887" in prompt:
+        _node("28:887")["use_srt_durations"] = use_srt_durations
+    if "28:920" in prompt:
+        _node("28:920")["use_srt_file"] = use_srt_durations
+    if "28:949" in prompt:
+        _node("28:949")["empty_segment_text"] = empty_segment_text
+
+    duration_id = "28:80" if "28:80" in prompt else "963"
+    duration = _node(duration_id)
+    duration["min_duration"] = min_duration
+    duration["max_duration"] = max_duration
+    duration["bias"] = bias
+    duration["duration_preset"] = duration_preset
+    duration["output_filename"] = output_filename
+
+    return {
+        "workflow_template_path": workflow_path,
+        "prompt": prompt,
+        "project_folder": project_folder,
+        "expected_srt_path": ProjectLayout(project_folder).srt_path,
+        "source_srt_filename": output_filename,
+    }

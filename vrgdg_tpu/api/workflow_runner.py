@@ -93,6 +93,10 @@ TEMPLATES = {
     "clear_memory": "ClearMemory_API.json",
     "transcribe": "LTX2.3_Transcribe_API.json",
     "timestamped_transcribe": "LTX2.3_Transcribe_2_API.json",
+    # hidden Whisper/segmentation workflow the Prompt Creator patches
+    # (VRGDG_MusicVideoPromptCreatorNodes.py:409-416)
+    "prompt_creator_whisper":
+        "LTX2.3_Music_Video_Creator_Prompt_Creator_API.json",
 }
 
 

@@ -316,6 +316,12 @@ def create_app(base_folder: str | None = None,
         "/vrgdg/music_builder/post_process/delete_preview",
         lambda p: {"deleted": api.delete_preview(p.get("path"),
                                                  base=base_folder)})
+    # the reference exposes the same delete under the luts/ prefix too
+    # (VRGDG_LUTVideoTools.py:1612-1619) — keep both paths answering
+    _sync_json_route(
+        "/vrgdg/music_builder/luts/delete_preview",
+        lambda p: {"deleted": api.delete_preview(p.get("path"),
+                                                 base=base_folder)})
 
     @routes.get("/vrgdg/music_builder/post_process/adjust_presets")
     @_handler
@@ -706,6 +712,30 @@ def create_app(base_folder: str | None = None,
                    p.get("text", ""), folder=None,
                    index=int(p.get("index", 0))))
 
+    # combined-file browsing + remake prompt editing over the batches
+    # the loop above writes (VRGDG_GeneralNodes.py:447-601; helpers in
+    # runtime/combined_files.py, oracle-fuzzed)
+    from ..runtime import combined_files as cbf
+
+    @routes.get("/vrgdg/llm_batches/combined_files")
+    @_handler
+    def llm_combined_files(request):
+        return _ok(**cbf.combined_files_state(
+            _llm_root, request.query.get("batch_type", ""),
+            request.query.get("combined_json_file", "")))
+
+    @routes.get("/vrgdg/llm_batches/combined_file_prompt_values")
+    @_handler
+    def llm_combined_prompt_values(request):
+        return _ok(**cbf.combined_file_prompt_values(
+            _llm_root, request.query.get("batch_type", ""),
+            request.query.get("combined_json_file", "")))
+
+    _llm_route("combined_file_update_prompts",
+               lambda p: cbf.update_combined_file_prompts(_llm_root, p))
+    _llm_route("remake_prompt_indexes",
+               lambda p: cbf.remake_prompt_state(p.get("folder_path", "")))
+
     # ---------------- storyboard ----------------
     # Storyboard state persistence (VRGDG_StoryboardBuilderNodes.py:
     # 2910-2944); the gemma_*/story_*/dialogue generation routes are LLM
@@ -815,6 +845,31 @@ def create_app(base_folder: str | None = None,
     @_handler
     def pc_list_drafts(request):
         return _ok(**pcr.list_drafts(_out_root))
+
+    # instruction store (defaults/overrides/presets — the Gemma drivers
+    # that consume the text stay excluded; api/pc_instructions.py) and
+    # the deterministic hidden-Whisper workflow builder
+    from ..api import pc_instructions as pci
+
+    _pc_route("get_instruction",
+              lambda p: pci.get_instruction(p, _out_root))
+    _pc_route("save_instruction",
+              lambda p: pci.save_instruction(p, _out_root))
+    _pc_route("reset_instruction",
+              lambda p: pci.reset_instruction(p, _out_root))
+    _pc_route("list_instruction_presets",
+              lambda p: pci.list_presets(p, _out_root))
+    _pc_route("save_instruction_preset",
+              lambda p: pci.save_preset(p, _out_root))
+    _pc_route("load_instruction_preset",
+              lambda p: pci.load_preset(p, _out_root))
+    _pc_route("build_whisper_prompt",
+              lambda p: pcr.build_whisper_prompt(p, _out_root))
+
+    @routes.get("/vrgdg/music_prompt_creator/config")
+    @_handler
+    def pc_config(request):
+        return _ok(**pcr.config(_out_root))
 
     @routes.post("/vrgdg/music_prompt_creator/import_audio")
     @_handler
