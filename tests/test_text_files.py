@@ -168,3 +168,54 @@ def test_save_text_concat_appends_and_numbers_sidecar(tmp_path):
     four = tfl.save_text_concat({**base, "text": "d"}, output_root=root)
     assert four["json"] == {"Prompt1": "a", "Prompt2": "c",
                             "Prompt3": "w", "Prompt4": "d"}
+
+
+def test_popup_targets_parity_and_flows(tmp_path):
+    """Quick-input popup (VRGDG_GeneralNodes2.py:49-56, :519-520,
+    :561-563, :1205-1307): the target table and path math must match
+    the reference; save writes every field (missing -> empty) and the
+    audio drop is single-slot."""
+    from tests.reference_oracle import load_reference
+    from vrgdg_tpu.api import text_files as tfl
+
+    root = str(tmp_path)
+
+    class _FakeFolderPaths:
+        @staticmethod
+        def get_output_directory():
+            return root
+
+    ref = load_reference(
+        "VRGDG_GeneralNodes2.py",
+        ["_VRGDG_TEST_TEXT_TARGETS", "_get_test_popup_text_path",
+         "_get_test_popup_audio_dir"],
+        extra_globals={"folder_paths": _FakeFolderPaths})
+    assert tfl.POPUP_TEXT_TARGETS == ref["_VRGDG_TEST_TEXT_TARGETS"]
+    for field in tfl.POPUP_TEXT_TARGETS:
+        assert tfl.popup_text_path(field, root) == \
+            ref["_get_test_popup_text_path"](field)
+    config = tfl.popup_config(root)
+    assert config["audio_dir"] == ref["_get_test_popup_audio_dir"]()
+    assert set(config["text_targets"]) == set(tfl.POPUP_TEXT_TARGETS)
+    assert config["concept_prompts_path"].endswith(
+        os.path.join("ConceptPrompts", "ConceptPrompts.txt"))
+
+    saved = tfl.popup_save_text(
+        {"full_lyrics": "la la", "story_idea": None}, root)
+    assert set(saved["saved_paths"]) == set(tfl.POPUP_TEXT_TARGETS)
+    with open(saved["saved_paths"]["full_lyrics"],
+              encoding="utf-8") as handle:
+        assert handle.read() == "la la"
+    # missing and None fields write empty files
+    for field in ("story_idea", "style_theme"):
+        with open(saved["saved_paths"][field], encoding="utf-8") as fh:
+            assert fh.read() == ""
+
+    first = tfl.popup_upload_audio("mix one.wav", b"AAA", root)
+    assert open(first["path"], "rb").read() == b"AAA"
+    second = tfl.popup_upload_audio("other.mp3", b"BB", root)
+    assert not os.path.exists(first["path"])  # single slot
+    assert os.path.basename(second["path"]) == "other.mp3"
+    import pytest
+    with pytest.raises(ValueError):
+        tfl.popup_upload_audio("", b"x", root)

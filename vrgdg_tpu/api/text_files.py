@@ -18,7 +18,11 @@ routes:
   :func:`vrgdg_tpu.api.builder.default_audio_srt_paths` reads,
 - ``part2/load_concept_prompts``
   (``VRGDG_GeneralNodes2.py:1220-1250``): the shared ConceptPrompts
-  handoff file.
+  handoff file,
+- the quick-input popup (``VRGDG_GeneralNodes2.py:519-520``,
+  ``:561-563``, the ``test_popup`` routes at ``:1205-1310``): six fixed
+  text targets under ``VRGDG_TEMP/TextFiles`` plus a single-slot audio
+  drop into ``VRGDG_AudioFiles``.
 """
 
 from __future__ import annotations
@@ -218,6 +222,81 @@ def save_audio_upload(filename, data: bytes, overwrite: bool = False,
     return {"name": os.path.basename(candidate),
             "files": list_audio(output_root)["files"],
             "path": candidate, "input_dir": folder}
+
+
+# ------------------------------------------------------------------
+# quick-input popup (test_popup routes, VRGDG_GeneralNodes2.py:1205-1310)
+# ------------------------------------------------------------------
+
+# field -> path parts under the output root (``_VRGDG_TEST_TEXT_TARGETS``,
+# ``:49-56``) — the files the HuMo automation nodes read back
+POPUP_TEXT_TARGETS = {
+    "full_lyrics": (TEXT_ROOT_FOLDER, TEXT_SUBFOLDER, "fulllyrics",
+                    "full_lyrics.txt"),
+    "style_theme": (TEXT_ROOT_FOLDER, TEXT_SUBFOLDER, "themestyle",
+                    "themestyle.txt"),
+    "story_idea": (TEXT_ROOT_FOLDER, TEXT_SUBFOLDER, "storyconcept",
+                   "storyconcept.txt"),
+    "subjects_and_scenes": (TEXT_ROOT_FOLDER, TEXT_SUBFOLDER,
+                            "subjectandscenes", "subjectsandscenes.txt"),
+    "text_to_image_notes": (TEXT_ROOT_FOLDER, TEXT_SUBFOLDER, "t2iNotes",
+                            "t2iNotes.txt"),
+    "image_to_video_notes": (TEXT_ROOT_FOLDER, TEXT_SUBFOLDER,
+                             "i2vNotes", "i2vNotes.txt"),
+}
+
+
+def popup_text_path(field_name, output_root=None) -> str:
+    """``_get_test_popup_text_path`` (``:561-563``)."""
+    parts = POPUP_TEXT_TARGETS[field_name]
+    return os.path.normpath(os.path.join(
+        os.path.abspath(output_root or DEFAULT_OUTPUT_ROOT), *parts))
+
+
+def popup_config(output_root=None) -> dict:
+    """GET ``test_popup/config`` payload (``:1205-1218``); the
+    reference's multi-output-root concept-prompts search collapses to
+    the single managed root standalone."""
+    return {
+        "audio_dir": audio_library_folder(output_root),
+        "text_targets": {field: popup_text_path(field, output_root)
+                         for field in POPUP_TEXT_TARGETS},
+        "concept_prompts_path": os.path.join(
+            text_files_root(output_root), "ConceptPrompts",
+            "ConceptPrompts.txt"),
+    }
+
+
+def popup_save_text(payload: dict, output_root=None) -> dict:
+    """POST ``test_popup/save_text`` (``:1248-1277``): every known
+    field writes its fixed target (missing fields write empty)."""
+    saved_paths = {}
+    for field in POPUP_TEXT_TARGETS:
+        path = popup_text_path(field, output_root)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w", encoding="utf-8") as handle:
+            handle.write(str(payload.get(field, "") or ""))
+        saved_paths[field] = path
+    return {"saved_paths": saved_paths}
+
+
+def popup_upload_audio(filename, data: bytes,
+                       output_root=None) -> dict:
+    """POST ``test_popup/upload_audio`` (``:1279-1307``): a single-slot
+    drop — every existing file in the library folder is removed before
+    the new one lands (the popup feeds exactly one mix downstream)."""
+    name = os.path.basename(str(filename or "").strip())
+    if not name:
+        raise ValueError("Invalid audio filename.")
+    folder = audio_library_folder(output_root)
+    for existing in os.listdir(folder):
+        existing_path = os.path.join(folder, existing)
+        if os.path.isfile(existing_path):
+            os.remove(existing_path)
+    path = os.path.join(folder, name)
+    with open(path, "wb") as handle:
+        handle.write(data)
+    return {"path": path, "filename": name}
 
 
 def load_shared_concept_prompts(output_root=None) -> dict:

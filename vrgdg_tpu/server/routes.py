@@ -827,6 +827,33 @@ def create_app(base_folder: str | None = None,
     def part2_concept_prompts(request):
         return _ok(**tfl.load_shared_concept_prompts(_out_root))
 
+    # quick-input popup (VRGDG_GeneralNodes2.py:1205-1310): fixed text
+    # targets the HuMo automation reads back + a single-slot audio drop
+    @routes.get("/vrgdg/test_popup/config")
+    @_handler
+    def popup_config(request):
+        return _ok(**tfl.popup_config(_out_root))
+
+    _post_json_routes("/vrgdg/test_popup/")(
+        "save_text", lambda p: tfl.popup_save_text(p, _out_root))
+
+    @routes.post("/vrgdg/test_popup/upload_audio")
+    @_handler
+    async def popup_upload_audio(request):
+        reader = await request.multipart()
+        filename, chunks = "", []
+        async for part in reader:
+            if part.name == "audio":
+                filename = part.filename or ""
+                await _drain_part(part, chunks.append)
+        if not filename:
+            raise ValueError("Missing audio file.")
+        loop = asyncio.get_running_loop()
+        result = await loop.run_in_executor(
+            None, tfl.popup_upload_audio, filename, b"".join(chunks),
+            _out_root)
+        return _ok(**result)
+
     # ---------------- prompt creator ----------------
     # Draft/output persistence the Video Builder imports from
     # (VRGDG_MusicVideoPromptCreatorNodes.py:1951-2079); the Gemma
