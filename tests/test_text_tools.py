@@ -166,3 +166,75 @@ def test_extract_prompt_text_sanitizer():
     assert extract_prompt_text("```\njust a plain prompt\n```") == \
         "just a plain prompt"
     assert extract_prompt_text("") == ""
+
+
+def test_concept_prompt_items_parity(tmp_path):
+    """Oracle-fuzz parse_concept_prompt_items / strip_llm_fence /
+    first_clean_llm_line vs the reference Gemma-flow helpers
+    (VRGDG_GeneralNodes2.py:576-682)."""
+    from tests.reference_oracle import load_reference
+    from vrgdg_tpu.api import text_files as tfl
+    from vrgdg_tpu.runtime.text_tools import (first_clean_llm_line,
+                                              parse_concept_prompt_items,
+                                              strip_llm_fence)
+
+    root = str(tmp_path)
+
+    class _FakeFolderPaths:
+        @staticmethod
+        def get_output_directory():
+            return root
+
+    ref = load_reference(
+        "VRGDG_GeneralNodes2.py",
+        ["_strip_json_fence", "_clean_gemma4_text",
+         "_first_clean_gemma4_line", "_parse_concept_prompt_items",
+         "_get_vrgdg_text_file_path", "_get_t2i_prompts_output_path",
+         "_get_t2v_prompts_output_path"],
+        extra_globals={"folder_paths": _FakeFolderPaths})
+
+    texts = [
+        "", None, "   ", "```json\n{\"a\": \"x\"}\n```",
+        "```JSON\n[\"one\", \"two\"]\n```", "```\nplain\n```",
+        "{\"p2\": \"beta\", \"p1\": \"alpha\", \"empty\": \"  \"}",
+        "[\"a\", {\"x\": 1}, \"\"]", "[[\"k1\", \"v1\"], [\"k2\", 2]]",
+        "[[\"k1\", \"v1\"], [\"k2\", 2], [\"odd\"]]",
+        "{\"outer\": {\"inner\": \"v\"}}", "5", "null",
+        "block one\nsecond line\n\nblock two", "not { json",
+        "\n\n\n", "- first bullet\n- second",
+        "1. numbered line\nplain", "* starred\n\n2) numbered",
+        "```text\n  the line  \nnext\n```",
+    ]
+    for text in texts:
+        assert strip_llm_fence(text, tag="json") == \
+            ref["_strip_json_fence"](text), text
+        assert strip_llm_fence(text, tag="text") == \
+            ref["_clean_gemma4_text"](text), text
+        assert first_clean_llm_line(text) == \
+            ref["_first_clean_gemma4_line"](text), text
+        mine = theirs = my_exc = their_exc = None
+        try:
+            mine = parse_concept_prompt_items(text)
+        except ValueError as exc:
+            my_exc = str(exc)
+        try:
+            theirs = ref["_parse_concept_prompt_items"](text)
+        except ValueError as exc:
+            their_exc = str(exc)
+        assert my_exc == their_exc, text
+        if mine is not None:
+            assert [list(pair) for pair in mine] == \
+                [list(pair) for pair in theirs], text
+
+    for folder, name in (("t2iNotes", "t2iNotes.txt"),
+                         ("storyconcept", "storyconcept.txt"),
+                         ("weird name?", "x.txt")):
+        assert tfl.vrgdg_text_file_path(folder, name, root) == \
+            ref["_get_vrgdg_text_file_path"](
+                tfl.sanitize_segment(folder), name)
+    assert tfl.vrgdg_text_file_path("t2i_Prompts", "t2i_Prompts.txt",
+                                    root) == \
+        ref["_get_t2i_prompts_output_path"]()
+    assert tfl.vrgdg_text_file_path("t2v_Prompts", "t2v_Prompts.txt",
+                                    root) == \
+        ref["_get_t2v_prompts_output_path"]()

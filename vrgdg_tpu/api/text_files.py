@@ -246,6 +246,20 @@ POPUP_TEXT_TARGETS = {
 }
 
 
+def vrgdg_text_file_path(folder_name, file_name,
+                         output_root=None) -> str:
+    """``<root>/VRGDG_TEMP/TextFiles/<folder>/<file>``
+    (``_get_vrgdg_text_file_path``, ``VRGDG_GeneralNodes2.py:576-585``).
+    The t2i/t2v-from-concepts flow reads its inputs from
+    ``themestyle``/``storyconcept`` and writes its generated prompts to
+    ``t2i_Prompts/t2i_Prompts.txt`` / ``t2v_Prompts/t2v_Prompts.txt``
+    (``:588-593``) — external-LLM users keep the same layout (see
+    docs/MIGRATION.md)."""
+    return os.path.normpath(os.path.join(text_files_root(output_root),
+                                         sanitize_segment(folder_name),
+                                         str(file_name)))
+
+
 def popup_text_path(field_name, output_root=None) -> str:
     """``_get_test_popup_text_path`` (``:561-563``)."""
     parts = POPUP_TEXT_TARGETS[field_name]

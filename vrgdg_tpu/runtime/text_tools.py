@@ -699,3 +699,81 @@ def next_batch_file_index(output_path: str, file_prefix: str) -> int:
         if match and os.path.isfile(os.path.join(output_path, name)):
             highest = max(highest, int(match.group(1)))
     return highest + 1
+
+
+# ---------------------------------------------------------------------------
+# concept-prompt round trips (the deterministic rim of the Gemma
+# t2i/t2v-from-concepts flow, VRGDG_GeneralNodes2.py:576-682, 935-1120 —
+# the LLM calls themselves stay external per SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+_FENCE_OPEN = r"^\s*```(?:{tag})?\s*"
+_FENCE_CLOSE = r"\s*```\s*$"
+
+
+def strip_llm_fence(text, tag: str = "json") -> str:
+    """Peel one optional markdown code fence off an LLM reply
+    (``_strip_json_fence`` :603-607 with tag ``json``;
+    ``_clean_gemma4_text`` :651-655 with tag ``text``)."""
+    value = str(text or "").strip()
+    value = re.sub(_FENCE_OPEN.format(tag=re.escape(tag)), "", value,
+                   flags=re.IGNORECASE)
+    return re.sub(_FENCE_CLOSE, "", value).strip()
+
+
+def first_clean_llm_line(text) -> str:
+    """First non-empty reply line with bullet/number markers shed
+    (``_first_clean_gemma4_line`` :677-682) — how single-line fields
+    like camera motion are pulled from a chatty reply."""
+    for line in strip_llm_fence(text, tag="text").splitlines():
+        line = re.sub(r"^\s*(?:[-*]|\d+[.)])\s*", "", line).strip()
+        if line:
+            return line
+    return ""
+
+
+def parse_concept_prompt_items(text) -> list:
+    """Ordered ``(key, prompt_text)`` rows from a ConceptPrompts
+    payload (``_parse_concept_prompt_items`` :610-648): JSON objects
+    keep key order, arrays synthesize ``prompt_N`` keys (2-tuples pass
+    through as pairs), and non-JSON text falls back to blank-line
+    blocks.  Raises ``ValueError`` on empty/unusable input with the
+    reference's messages."""
+    cleaned = strip_llm_fence(text, tag="json")
+    if not cleaned:
+        raise ValueError("ConceptPrompts.txt is empty.")
+    try:
+        data = json.loads(cleaned, object_pairs_hook=list)
+    except json.JSONDecodeError as exc:
+        blocks = [block.strip()
+                  for block in re.split(r"(?:\r?\n){2,}", cleaned)
+                  if block.strip()]
+        if not blocks:
+            raise ValueError(
+                f"ConceptPrompts.txt is not valid JSON at line "
+                f"{exc.lineno}, column {exc.colno}: {exc.msg}") from exc
+        return [(f"prompt_{number}", block)
+                for number, block in enumerate(blocks, start=1)]
+
+    if isinstance(data, dict):
+        pairs = list(data.items())
+    elif isinstance(data, list):
+        pair_shaped = all(isinstance(item, (list, tuple))
+                          and len(item) == 2 for item in data)
+        pairs = data if pair_shaped else \
+            [(f"prompt_{number}", item)
+             for number, item in enumerate(data, start=1)]
+    else:
+        raise ValueError(
+            "ConceptPrompts.txt must contain a JSON object or array.")
+
+    items = []
+    for key, value in pairs:
+        prompt_text = value.strip() if isinstance(value, str) \
+            else json.dumps(value, ensure_ascii=False)
+        if prompt_text:
+            items.append((str(key), prompt_text))
+    if not items:
+        raise ValueError(
+            "ConceptPrompts.txt did not contain any usable prompt rows.")
+    return items
