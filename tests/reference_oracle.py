@@ -17,15 +17,32 @@ import os
 REFERENCE_ROOT = os.environ.get("VRGDG_REFERENCE", "/root/reference")
 
 
-def load_reference(filename, names, extra_globals=None):
+def load_reference(filename, names, extra_globals=None, within=None):
     """Exec the named top-level functions/constants from a reference
-    module into a fresh namespace and return it as a dict."""
+    module into a fresh namespace and return it as a dict.
+
+    ``within`` names an enclosing top-level function whose *body* is
+    searched instead of the module body — several reference modules
+    (e.g. ``LTXLoraTrain.py``) define their whole helper layer inside a
+    route-registrar closure; the helpers only reference each other and
+    module globals, so hoisting them into one namespace preserves
+    behavior."""
     path = os.path.join(REFERENCE_ROOT, filename)
     with open(path, "r", encoding="utf-8") as handle:
         tree = ast.parse(handle.read(), filename=path)
+    body = tree.body
+    if within is not None:
+        enclosing = [node for node in tree.body
+                     if isinstance(node, (ast.FunctionDef,
+                                          ast.AsyncFunctionDef))
+                     and node.name == within]
+        if not enclosing:
+            raise AssertionError(
+                f"enclosing function {within} not found in {filename}")
+        body = enclosing[0].body
     wanted = set(names)
     picked = []
-    for node in tree.body:
+    for node in body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                              ast.ClassDef)) and node.name in wanted:
             picked.append(node)

@@ -97,6 +97,8 @@ TEMPLATES = {
     # (VRGDG_MusicVideoPromptCreatorNodes.py:409-416)
     "prompt_creator_whisper":
         "LTX2.3_Music_Video_Creator_Prompt_Creator_API.json",
+    # Krea2 LoRA Studio's sample renderer (LTXLoraTrain.py:1604-1605)
+    "krea2_lora_sample": "Krea2_API_2Pass_Lora_Train_Sample.json",
 }
 
 

@@ -1168,6 +1168,87 @@ def create_app(base_folder: str | None = None,
     _flat_json_route("/vrgdg/lora_dataset/save_ic_pair", lds.save_ic_pair)
     _flat_json_route("/vrgdg/lora_dataset/list", lds.list_dataset)
 
+    # ---------------- Krea2 LoRA Studio ----------------
+    # Deterministic layer of /root/reference/LTXLoraTrain.py:1235-2430:
+    # project/dataset store, imports, samples, XYZ grid, progress parse,
+    # and run *plans* — the musubi/AI-Toolkit execution and LLM
+    # captioning stay external (api/krea2_studio.py docstring).
+
+    from ..api import krea2_studio as k2s
+
+    @routes.get("/vrgdg/krea2_studio/defaults")
+    @_handler
+    def k2s_defaults(request):
+        return _ok(**k2s.defaults(output_root=_out_root))
+
+    _flat_json_route("/vrgdg/krea2_studio/create_project",
+                     lambda p: k2s.create_project(p, _out_root))
+    _flat_json_route("/vrgdg/krea2_studio/load_project", k2s.load_project)
+    _flat_json_route("/vrgdg/krea2_studio/list_projects",
+                     lambda p: k2s.list_projects(p, _out_root))
+    _flat_json_route("/vrgdg/krea2_studio/save_project", k2s.save_project)
+    _flat_json_route("/vrgdg/krea2_studio/training_progress",
+                     lambda p: k2s.training_progress(
+                         p.get("project_dir", "")))
+    _flat_json_route("/vrgdg/krea2_studio/build_sample_prompt",
+                     k2s.build_sample_prompt)
+    _flat_json_route("/vrgdg/krea2_studio/save_sample",
+                     lambda p: k2s.save_sample(p, _out_root))
+    _flat_json_route("/vrgdg/krea2_studio/create_xyz", k2s.create_xyz)
+    _flat_json_route("/vrgdg/krea2_studio/train_plan", k2s.train_plan)
+    _flat_json_route("/vrgdg/krea2_studio/record_training_result",
+                     k2s.record_training_result)
+
+    @routes.post("/vrgdg/krea2_studio/build_clear_memory_prompt")
+    @_handler
+    async def k2s_clear_memory_prompt(request):
+        # LTXLoraTrain.py:1931-1939 — the template verbatim
+        path, prompt = workflow_runner.load_api_template("clear_memory")
+        return _ok(workflow_path=path, prompt=prompt)
+
+    async def _k2s_import(request):
+        reader = await request.multipart()
+        project_dir, role, uploads = "", "", []
+        async for part in reader:
+            if part.name == "project_dir":
+                project_dir = (await part.text()).strip()
+            elif part.name == "role":
+                role = (await part.text()).strip()
+            elif part.filename:
+                chunks = []
+                await _drain_part(part, chunks.append)
+                uploads.append((part.filename, b"".join(chunks)))
+        return project_dir, role, uploads
+
+    @routes.post("/vrgdg/krea2_studio/import_files")
+    @_handler
+    async def k2s_import_files(request):
+        project_dir, _role, uploads = await _k2s_import(request)
+        loop = asyncio.get_running_loop()
+        return _ok(**await loop.run_in_executor(
+            None, k2s.import_files, project_dir, uploads))
+
+    @routes.post("/vrgdg/krea2_studio/import_edit_files")
+    @_handler
+    async def k2s_import_edit_files(request):
+        project_dir, role, uploads = await _k2s_import(request)
+        loop = asyncio.get_running_loop()
+        return _ok(**await loop.run_in_executor(
+            None, k2s.import_edit_files, project_dir, role, uploads))
+
+    @routes.get("/vrgdg/krea2_studio/file")
+    @_handler
+    def k2s_file(request):
+        path = os.path.normpath(os.path.abspath(
+            str(request.query.get("path") or "").strip()))
+        # the reference serves any image path (LTXLoraTrain.py:2405-2410);
+        # standalone, contain to the managed output root like /media
+        root = os.path.abspath(_out_root or paths.DEFAULT_OUTPUT_ROOT)
+        if not paths._inside(root, path) or not os.path.isfile(path) \
+                or os.path.splitext(path)[1].lower() not in k2s.IMAGE_EXTS:
+            raise FileNotFoundError("Not found")
+        return web.FileResponse(path)
+
     # ---------------- cycling text pickers ----------------
     # The reference exposes these as graph nodes only
     # (VRGDG_GeneralNodes.py:2473-3151); here they get the natural HTTP
